@@ -1,0 +1,136 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.util.matching.Regex
+
+import graft.index.IndexParams
+
+/** Per-database catalog document — the Spark-side replacement for the
+  * reference's `config.json` (minDB mindb.py:513-527) plus snapshot
+  * pointers that replace its mutable-index concurrency (locks/queues,
+  * fastapi.py:23-28) with immutable versioned tables + atomic pointer swap.
+  *
+  * Layout per database:
+  * {{{
+  *   <root>/<name>/catalog.json
+  *   <root>/<name>/data/v<dataVersion>/      (id, vector, metadata) parquet
+  *   <root>/<name>/index/v<indexVersion>/    centroids/ codebooks/ pca/ coded/
+  * }}}
+  */
+final case class CatalogDoc(
+    name: String,
+    vectorDimension: Int,          // -1 until first add (inferred, mindb.py:225)
+    maxId: Long,                   // highest assigned id (mindb.py:192-193)
+    dataVersion: Int,
+    indexVersion: Int,             // -1 = flat / untrained
+    maxTrainedId: Long,
+    numVectorsTrainedOn: Long,
+    numTrainedVectorsRemoved: Long,
+    numNewVectors: Long,
+    pcaDimension: Int,
+    opqDimension: Int,
+    compressedVectorBytes: Int,
+    numClusters: Int,
+    nProbe: Int) {
+
+  def isTrained: Boolean = indexVersion >= 0
+
+  def dataPath(root: String): String = s"$root/$name/data/v$dataVersion"
+  def indexPath(root: String): String = s"$root/$name/index/v$indexVersion"
+}
+
+object CatalogDoc {
+  def empty(name: String, vectorDimension: Int = -1): CatalogDoc =
+    CatalogDoc(name, vectorDimension, maxId = -1L, dataVersion = 0,
+      indexVersion = -1, maxTrainedId = -1L, numVectorsTrainedOn = 0L,
+      numTrainedVectorsRemoved = 0L, numNewVectors = 0L,
+      pcaDimension = -1, opqDimension = -1, compressedVectorBytes = -1,
+      numClusters = -1, nProbe = -1)
+}
+
+/** Tiny flat-JSON codec + atomic file swap for the catalog doc. All fields
+  * are scalars so a hand-rolled codec avoids any library dependency.
+  */
+object Catalog {
+
+  /** Database-name validation, same charset as the reference
+    * (input_validation.py:6-12).
+    */
+  private val NamePattern: Regex = "^[a-zA-Z0-9_ -]+$".r
+  def validateName(name: String): Unit =
+    require(NamePattern.matches(name),
+      s"invalid database name '$name': only letters, digits, _, space, - allowed")
+
+  def catalogFile(root: String, name: String): Path =
+    Paths.get(root, name, "catalog.json")
+
+  def exists(root: String, name: String): Boolean =
+    Files.exists(catalogFile(root, name))
+
+  def save(root: String, doc: CatalogDoc): Unit = {
+    val dir = Paths.get(root, doc.name)
+    Files.createDirectories(dir)
+    val json =
+      s"""{
+         |  "name": ${quote(doc.name)},
+         |  "vectorDimension": ${doc.vectorDimension},
+         |  "maxId": ${doc.maxId},
+         |  "dataVersion": ${doc.dataVersion},
+         |  "indexVersion": ${doc.indexVersion},
+         |  "maxTrainedId": ${doc.maxTrainedId},
+         |  "numVectorsTrainedOn": ${doc.numVectorsTrainedOn},
+         |  "numTrainedVectorsRemoved": ${doc.numTrainedVectorsRemoved},
+         |  "numNewVectors": ${doc.numNewVectors},
+         |  "pcaDimension": ${doc.pcaDimension},
+         |  "opqDimension": ${doc.opqDimension},
+         |  "compressedVectorBytes": ${doc.compressedVectorBytes},
+         |  "numClusters": ${doc.numClusters},
+         |  "nProbe": ${doc.nProbe}
+         |}""".stripMargin
+    // write-then-move so a concurrent reader never sees a torn doc
+    val tmp = dir.resolve("catalog.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve("catalog.json"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def load(root: String, name: String): CatalogDoc = {
+    val raw = new String(Files.readAllBytes(catalogFile(root, name)),
+      StandardCharsets.UTF_8)
+    def str(k: String): String =
+      s""""$k"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(raw)
+        .map(_.group(1)).getOrElse(sys.error(s"catalog missing $k"))
+    def num(k: String): Long =
+      s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(raw)
+        .map(_.group(1).toLong).getOrElse(sys.error(s"catalog missing $k"))
+    CatalogDoc(str("name"), num("vectorDimension").toInt, num("maxId"),
+      num("dataVersion").toInt, num("indexVersion").toInt, num("maxTrainedId"),
+      num("numVectorsTrainedOn"), num("numTrainedVectorsRemoved"),
+      num("numNewVectors"), num("pcaDimension").toInt,
+      num("opqDimension").toInt, num("compressedVectorBytes").toInt,
+      num("numClusters").toInt, num("nProbe").toInt)
+  }
+
+  def delete(root: String, name: String): Unit = {
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(rm(_))
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(root, name))
+  }
+
+  def withParams(doc: CatalogDoc, p: IndexParams, nlist: Int, nprobe: Int): CatalogDoc =
+    doc.copy(pcaDimension = p.pcaDimension, opqDimension = p.opqDimension,
+      compressedVectorBytes = p.compressedVectorBytes, numClusters = nlist,
+      nProbe = nprobe)
+
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

@@ -1,0 +1,422 @@
+package graft.core
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog.{Catalog, CatalogDoc}
+import graft.functions.VectorFunctions._
+import graft.index._
+
+/** The engine facade — Spark-native re-expression of the reference's
+  * `minDB` class + FastAPI service verbs (minDB mindb.py:42-572,
+  * api/fastapi.py): named databases of `(id, vector, metadata)` with an
+  * optional PCA→IVF→PQ index, two-stage ANN query (compressed coarse
+  * search then exact rerank — mindb.py:368-442), sequential id assignment,
+  * delete with trained/new counter bookkeeping, and coverage-ratio-driven
+  * retraining.
+  *
+  * Architectural translation (SURVEY §1.3/§4): LMDB row-KV → Parquet
+  * columnar snapshots; Faiss index file → centroid/codebook/PCA DataFrames
+  * + a PQ-coded table partitioned by `cluster_id` (IVF inverted lists →
+  * partition pruning); locks/queues/dual-writes → immutable versioned
+  * tables with an atomic catalog pointer swap.
+  */
+class Engine(val spark: SparkSession, val root: String) {
+  import Engine._
+
+  private val indexCache = TrieMap.empty[(String, Int), IndexModel]
+
+  // ---------------------------------------------------------------- schema
+
+  val dataSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("vector", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("metadata", StringType, nullable = true)))
+
+  // ------------------------------------------------------------- lifecycle
+
+  /** S1 — create db (mindb.py:42-92). */
+  def create(name: String, vectorDimension: Int = -1): CatalogDoc = {
+    Catalog.validateName(name)
+    require(!Catalog.exists(root, name), s"database '$name' already exists")
+    val doc = CatalogDoc.empty(name, vectorDimension)
+    Catalog.save(root, doc)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
+      .write.mode("overwrite").parquet(doc.dataPath(root))
+    doc
+  }
+
+  /** S2 — load db (mindb.py:554-572). */
+  def load(name: String): CatalogDoc = Catalog.load(root, name)
+
+  def exists(name: String): Boolean = Catalog.exists(root, name)
+
+  /** S12 — drop db (mindb.py:549-551). */
+  def delete(name: String): Unit = {
+    indexCache.filterInPlace { case ((n, _), _) => n != name }
+    Catalog.delete(root, name)
+  }
+
+  /** Main table of the current snapshot. */
+  def data(name: String): DataFrame = {
+    val doc = load(name)
+    spark.read.schema(dataSchema).parquet(doc.dataPath(root))
+  }
+
+  /** S10 — count (Parquet-footer metadata only). */
+  def count(name: String): Long = data(name).count()
+
+  // ----------------------------------------------------------------- add
+
+  /** A1-A8 — validate, L2-normalize, assign sequential ids, append
+    * (mindb.py:162-229). `rows` needs columns `vector: array<float>`,
+    * `metadata: string`. Returns the assigned (firstId, lastId).
+    *
+    * Ids are exact and contiguous (`maxId+1 …`) without a single-partition
+    * window: `zipWithIndex` does one count pass per partition and assigns
+    * offset-based indices fully distributed.
+    */
+  def add(name: String, rows: DataFrame): (Long, Long) = {
+    var doc = load(name)
+    val d0 = doc.vectorDimension
+    val firstRow = rows.select("vector").head(1)
+    require(firstRow.nonEmpty, "add: empty input")
+    val inferredD = firstRow(0).getSeq[Float](0).length
+    val d = if (d0 > 0) d0 else inferredD
+
+    // A1 dim check fails the job inside the scan (no extra pass) + A2 normalize
+    val prepared = rows.select(
+      when(size(col("vector")) === d, col("vector"))
+        .otherwise(raise_error(concat(lit(s"dimension mismatch: expected $d, got "),
+          size(col("vector")).cast("string")))).as("vector"),
+      col("metadata").cast("string").as("metadata"))
+      .select(transform(l2Normalize(col("vector")), _.cast("float")).as("vector"),
+        col("metadata"))
+
+    val base = doc.maxId + 1
+    val withIds = spark.createDataFrame(
+      prepared.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(base + i, r.getSeq[Float](0), r.getString(1))
+      }, dataSchema)
+    withIds.write.mode("append").parquet(doc.dataPath(root))
+    val added = withIds.count()
+
+    // A6 — incremental index insert for a live trained index
+    if (doc.isTrained) {
+      val model = indexModel(doc)
+      appendToCodedTable(doc, model,
+        spark.read.schema(dataSchema).parquet(doc.dataPath(root))
+          .filter(col("id") >= base))
+    }
+
+    doc = doc.copy(maxId = base + added - 1,
+      vectorDimension = d,
+      numNewVectors = doc.numNewVectors + added)
+    Catalog.save(root, doc)
+    (base, base + added - 1)
+  }
+
+  /** Driver-local convenience add (test/API parity with the reference's
+    * `add(list of (vector, metadata))`).
+    */
+  def addLocal(name: String, vectors: Seq[Array[Float]],
+               metadata: Seq[String]): (Long, Long) = {
+    val rows = vectors.zipAll(metadata, Array.empty[Float], null)
+      .map { case (v, m) => org.apache.spark.sql.Row(v.toSeq, m) }
+    val schema = StructType(Seq(
+      StructField("vector", ArrayType(FloatType, containsNull = false)),
+      StructField("metadata", StringType)))
+    add(name, spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.size / 5000)), schema))
+  }
+
+  // ---------------------------------------------------------------- remove
+
+  /** D1-D5 — delete ids; anti-join snapshot rewrite + counter split by
+    * `id > maxTrainedId` (mindb.py:459-489, 529-540). Returns the number
+    * of rows actually deleted.
+    */
+  def remove(name: String, ids: Seq[Long]): Long = {
+    var doc = load(name)
+    val idDf = spark.createDataFrame(ids.map(Tuple1(_))).toDF("id")
+    val cur = spark.read.schema(dataSchema).parquet(doc.dataPath(root))
+
+    // D5 bookkeeping — one tiny aggregate over the present ids
+    val present = cur.join(broadcast(idDf), Seq("id"), "left_semi")
+      .select(col("id"), (col("id") <= doc.maxTrainedId).as("trained"))
+      .groupBy("trained").count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val removedTrained = present.getOrElse(true, 0L)
+    val removedNew = present.getOrElse(false, 0L)
+    if (removedTrained + removedNew == 0) return 0L
+
+    val newVersion = doc.dataVersion + 1
+    cur.join(broadcast(idDf), Seq("id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$root/$name/data/v$newVersion")
+
+    // D2 — index delete (index never references missing rows)
+    if (doc.isTrained) {
+      val model = indexModel(doc)
+      val newIdxVersion = doc.indexVersion + 1
+      val coded = spark.read.parquet(s"${doc.indexPath(root)}/coded")
+      coded.join(broadcast(idDf), Seq("id"), "left_anti")
+        .write.mode("overwrite").partitionBy("cluster_id")
+        .parquet(s"$root/$name/index/v$newIdxVersion/coded")
+      IndexStore.saveModel(spark, s"$root/$name/index/v$newIdxVersion", model)
+      doc = doc.copy(indexVersion = newIdxVersion)
+    }
+
+    doc = doc.copy(dataVersion = newVersion,
+      numTrainedVectorsRemoved = doc.numTrainedVectorsRemoved + removedTrained,
+      numNewVectors = doc.numNewVectors - removedNew)
+    Catalog.save(root, doc)
+    removedTrained + removedNew
+  }
+
+  // ----------------------------------------------------------------- query
+
+  /** Q1-Q9 — two-stage ANN query (mindb.py:368-442). Returns an ordered
+    * DataFrame `(rank, id, metadata, cosine_similarity)` of `finalTopK`
+    * rows. Untrained dbs use the exact flat path (mindb.py:396-415).
+    */
+  def query(name: String, q: Array[Float], preliminaryTopK: Int = 500,
+            finalTopK: Int = 100): DataFrame = {
+    val doc = load(name)
+    require(doc.vectorDimension <= 0 || q.length == doc.vectorDimension,
+      s"query dim ${q.length} != ${doc.vectorDimension}")
+    val qn = normalizeLocal(q)
+    val table = spark.read.schema(dataSchema).parquet(doc.dataPath(root))
+
+    val candidates: DataFrame =
+      if (!doc.isTrained) table
+      else {
+        // Q2 — coarse search: probe selection on the driver (O(nlist·p)),
+        // partition-pruned ADC scan, top-preliminaryTopK
+        val model = indexModel(doc)
+        val qp = model.pca.applyLocal(qn)
+        val probes = model.nearestClusters(qp, doc.nProbe)
+        val luts = probes.map(c => c -> model.pq.lut(residualLocal(qp, model.centroids(c)))).toMap
+        val coded = spark.read.parquet(s"${doc.indexPath(root)}/coded")
+          .filter(col("cluster_id").isin(probes.map(Integer.valueOf): _*))
+        val lutMap = typedLit(luts.map { case (c, l) => c -> l.map(_.toSeq).toSeq })
+        val adc = aggregate(
+          zip_with(col("code"), element_at(lutMap, col("cluster_id")),
+            (cd, l) => element_at(l, cd + 1)),
+          lit(0.0d), (acc, x) => acc + x)
+        val candIds = coded.select(col("id"), adc.as("adc_dist"))
+          .orderBy(col("adc_dist")).limit(preliminaryTopK).select("id")
+        // Q4 — candidate fetch: broadcast join of the tiny candidate set
+        table.join(broadcast(candIds), Seq("id"))
+      }
+
+    // Q5/Q6 — exact rerank by dot-product cosine (normalized vectors)
+    val qLit = typedLit(qn.toSeq)
+    val scored = candidates
+      .select(col("id"), col("metadata"), dot(col("vector"), qLit).as("cosine_similarity"))
+      .orderBy(col("cosine_similarity").desc, col("id"))
+      .limit(finalTopK)
+    scored.withColumn("rank",
+      row_number().over(Window.orderBy(col("cosine_similarity").desc, col("id"))))
+      .select("rank", "id", "metadata", "cosine_similarity")
+  }
+
+  /** Batched exact query for throughput (the Spark-side win): many query
+    * vectors in one job, per-query top-k via window ranking.
+    * `queries`: (query_id long, qvec array<float>) — pre-normalized or not.
+    */
+  def queryBatchFlat(name: String, queries: DataFrame, finalTopK: Int): DataFrame = {
+    val doc = load(name)
+    val table = spark.read.schema(dataSchema).parquet(doc.dataPath(root))
+    val qn = broadcast(queries.select(col("query_id"),
+      transform(l2Normalize(col("qvec")), _.cast("float")).as("qvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_similarity").desc, col("id"))
+    table.join(qn) // broadcast nested-loop: score every (query, row) pair
+      .select(col("query_id"), col("id"), col("metadata"),
+        dot(col("vector"), col("qvec")).as("cosine_similarity"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= finalTopK)
+  }
+
+  // ----------------------------------------------------------------- train
+
+  /** T1-T19 — build the PCA→IVF→PQ index over the current snapshot and
+    * swap it in (mindb.py:231-344). Residual PQ encoding, matching Faiss
+    * IVFPQ. No-op below the flat floor (T3, mindb.py:276-287).
+    */
+  def train(name: String,
+            params: Option[IndexParams] = None,
+            useTwoLevelClustering: Option[Boolean] = None,
+            kmeansIters: Int = 25,
+            seed: Long = 42L): CatalogDoc = {
+    var doc = load(name)
+    val table = spark.read.schema(dataSchema).parquet(doc.dataPath(root))
+      .select("id", "vector")
+    val n = table.count()
+    if (n < Heuristics.FlatIndexFloor) return doc // T3 small-db bypass
+
+    val d = doc.vectorDimension
+    val p = params.getOrElse(Heuristics.defaultIndexParams(d))
+    require(p.pcaDimension <= d, "pca_dimension must be <= vector dimension")
+    require(p.pcaDimension % p.compressedVectorBytes == 0,
+      "pca_dimension must be divisible by compressed_vector_bytes")
+    val nlist = math.max(1, Heuristics.numClusters(n))
+    val nprobe = math.max(1, Heuristics.nProbe(nlist))
+    val snapshotMaxId = doc.maxId
+
+    // T10 — PCA fit on a 100·d sample
+    val pca =
+      if (p.pcaDimension == d) Pca.identity(d)
+      else Pca.fit(table, "vector", d, p.pcaDimension,
+        sampleSize = math.min(n, 100L * d).toInt, seed = seed)
+    val projected = table.select(col("id"), pca.applyCol(col("vector")).as("pvec"))
+
+    // T7/T9/T11-T15 — centroids in PCA space
+    val centroids: Array[Array[Float]] =
+      if (useTwoLevelClustering.getOrElse(n >= 2000000))
+        TwoLevelClustering.fit(projected, "pvec", p.pcaDimension, nlist,
+          kmeansIters, seed)
+      else {
+        val sampleN = math.min(n, 256L * nlist)
+        val sample = projected.sample(withReplacement = false,
+          math.min(1.0, sampleN.toDouble / n), seed)
+        KMeansDF.fitDistributed(sample, "pvec", p.pcaDimension, nlist,
+          kmeansIters, seed)
+      }
+
+    // T15 — PQ codebooks on a 64·256-row sample of residuals
+    val cLit = KMeansDF.centroidsLit(centroids)
+    val pqSample = projected
+      .select(col("pvec"), KMeansDF.nearestCentroid(col("pvec"), cLit).as("cluster_id"))
+      .select(zip_with(col("pvec"), element_at(cLit, col("cluster_id") + 1),
+        (x, c) => x - c).as("res"))
+      .orderBy(rand(seed)).limit(64 * 256)
+      .collect().map(_.getSeq[Double](0).map(_.toFloat).toArray)
+    val pq = ProductQuantizer.fit(pqSample, p.compressedVectorBytes,
+      iters = kmeansIters, seed = seed)
+
+    // T18 — single full pass: assign + residual-encode + write coded table
+    val model = IndexModel(pca, centroids, pq)
+    val newVersion = doc.indexVersion + 1
+    val indexDir = s"$root/$name/index/v$newVersion"
+    writeCoded(projected, model, s"$indexDir/coded")
+    IndexStore.saveModel(spark, indexDir, model)
+
+    // T19 — atomic swap + counter reset
+    doc = Catalog.withParams(doc, p, nlist, nprobe).copy(
+      indexVersion = newVersion,
+      maxTrainedId = snapshotMaxId,
+      numVectorsTrainedOn = n,
+      numTrainedVectorsRemoved = 0L,
+      numNewVectors = math.max(0L, doc.maxId - snapshotMaxId))
+    Catalog.save(root, doc)
+    doc
+  }
+
+  private def writeCoded(projected: DataFrame, model: IndexModel, path: String): Unit = {
+    val cLit = KMeansDF.centroidsLit(model.centroids)
+    val assigned = projected
+      .withColumn("cluster_id", KMeansDF.nearestCentroid(col("pvec"), cLit))
+      .withColumn("res", zip_with(col("pvec"),
+        element_at(cLit, col("cluster_id") + 1), (x, c) => x - c))
+      .select(col("id"), col("cluster_id"), model.pq.encodeCol(col("res")).as("code"))
+    assigned.repartition(col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+  }
+
+  private def appendToCodedTable(doc: CatalogDoc, model: IndexModel,
+                                 rows: DataFrame): Unit = {
+    val projected = rows.select(col("id"), model.pca.applyCol(col("vector")).as("pvec"))
+    val cLit = KMeansDF.centroidsLit(model.centroids)
+    val assigned = projected
+      .withColumn("cluster_id", KMeansDF.nearestCentroid(col("pvec"), cLit))
+      .withColumn("res", zip_with(col("pvec"),
+        element_at(cLit, col("cluster_id") + 1), (x, c) => x - c))
+      .select(col("id"), col("cluster_id"), model.pq.encodeCol(col("res")).as("code"))
+    assigned.write.mode("append").partitionBy("cluster_id")
+      .parquet(s"${doc.indexPath(root)}/coded")
+  }
+
+  // ------------------------------------------------------------- info/misc
+
+  /** M2 — coverage ratio from catalog counters. */
+  def coverageRatio(name: String): Double = {
+    val doc = load(name)
+    Heuristics.coverageRatio(doc.numVectorsTrainedOn, doc.numNewVectors,
+      doc.numTrainedVectorsRemoved)
+  }
+
+  /** M9 — info endpoint parity (fastapi.py:75-105). */
+  def info(name: String): Map[String, Any] = {
+    val doc = load(name)
+    Map(
+      "name" -> doc.name,
+      "num_vectors" -> count(name),
+      "vector_dimension" -> doc.vectorDimension,
+      "max_id" -> doc.maxId,
+      "trained" -> doc.isTrained,
+      "max_trained_id" -> doc.maxTrainedId,
+      "num_vectors_trained_on" -> doc.numVectorsTrainedOn,
+      "num_trained_vectors_removed" -> doc.numTrainedVectorsRemoved,
+      "num_new_vectors" -> doc.numNewVectors,
+      "coverage_ratio" -> coverageRatio(name),
+      "num_clusters" -> doc.numClusters,
+      "n_probe" -> doc.nProbe)
+  }
+
+  /** M3/M4 — auto-train triggers; runs `train` when due. Returns true if a
+    * (re)train ran.
+    */
+  def maybeAutoTrain(name: String): Boolean = {
+    val doc = load(name)
+    val n = count(name)
+    val due =
+      Heuristics.needsInitialTraining(n, !doc.isTrained, trainingInProgress = false) ||
+        (doc.isTrained && Heuristics.needsRetraining(n, coverageRatio(name),
+          trainingInProgress = false))
+    if (due) { train(name); true } else false
+  }
+
+  // --------------------------------------------------------------- private
+
+  private def indexModel(doc: CatalogDoc): IndexModel =
+    indexCache.getOrElseUpdate((doc.name, doc.indexVersion),
+      IndexStore.loadModel(spark, doc.indexPath(root)))
+
+  private def normalizeLocal(v: Array[Float]): Array[Float] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0) v else v.map(x => (x / n).toFloat)
+  }
+
+  private def residualLocal(q: Array[Float], c: Array[Float]): Array[Float] = {
+    val out = new Array[Float](q.length)
+    var i = 0
+    while (i < q.length) { out(i) = q(i) - c(i); i += 1 }
+    out
+  }
+}
+
+object Engine {
+
+  /** In-memory index artifact: PCA model + IVF centroids (PCA space) + PQ
+    * codebooks. Total size O(d² + nlist·p + m·256·subdim) — driver/broadcast
+    * scale, independent of data size.
+    */
+  final case class IndexModel(pca: PcaModel, centroids: Array[Array[Float]],
+                              pq: PqModel) {
+    def nearestClusters(qp: Array[Float], nprobe: Int): Array[Int] = {
+      val dists = centroids.zipWithIndex.map { case (c, i) =>
+        var s = 0.0; var j = 0
+        while (j < c.length) { val df = qp(j) - c(j); s += df * df; j += 1 }
+        (s, i)
+      }
+      dists.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
+    }
+  }
+}

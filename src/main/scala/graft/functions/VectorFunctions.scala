@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector scalar functions over `array<float>` / `array<double>` columns.
+  *
+  * Mirrors the reference's vector math (minDB: input_validation.py:96-99
+  * l2-normalize on ingest; query_utils.py:3-8 dot-product cosine;
+  * two_level_clustering.py:11-21 L2 assignment) re-expressed as Catalyst
+  * array-lambda expressions so the whole hot path stays inside whole-stage
+  * codegen — no UDFs, no serialization boundary.
+  *
+  * All functions compute in Double (deterministic left-to-right `aggregate`
+  * folds) regardless of input element type; callers cast back if float
+  * storage is wanted.
+  */
+object VectorFunctions {
+
+  /** Sum of squares of an array column, in double. */
+  def sumSq(v: Column): Column =
+    aggregate(v, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** L2 norm ‖v‖₂. */
+  def l2Norm(v: Column): Column = sqrt(sumSq(v))
+
+  /** v / ‖v‖₂ — the reference's ingest invariant (input_validation.py:96-99).
+    * Elements emitted as double; zero vectors map to zeros (no NaN).
+    */
+  def l2Normalize(v: Column): Column = {
+    val n = l2Norm(v)
+    transform(v, x => when(n === 0.0d, 0.0d).otherwise(x.cast("double") / n))
+  }
+
+  /** Dot product Σ aᵢ·bᵢ in double (query_utils.py:3-8). On pre-normalized
+    * vectors this IS the cosine similarity — the engine's ranking score.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** Cosine similarity for arbitrary (not necessarily normalized) vectors. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Squared L2 distance Σ (aᵢ-bᵢ)² — ranking-equivalent to L2 distance,
+    * cheaper (no sqrt). Used for centroid assignment (T12).
+    */
+  def l2DistSq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double")
+      d * d
+    }), lit(0.0d), (acc, x) => acc + x)
+
+  /** L2 distance. */
+  def l2Dist(a: Column, b: Column): Column = sqrt(l2DistSq(a, b))
+
+  /** Element-wise sum of two vectors (double). */
+  def add(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x.cast("double") + y.cast("double"))
+
+  /** Scale a vector by a scalar column. */
+  def scale(v: Column, s: Column): Column =
+    transform(v, x => x.cast("double") * s)
+
+  /** Dense mat-vec: rows is array<array<double>> (the PCA matrix, broadcast
+    * as a literal/column), v the input vector. Result dim = len(rows).
+    * Reference: PCA/OPQ chain apply, two_level_clustering.py:206-209.
+    */
+  def matVec(rows: Column, v: Column): Column =
+    transform(rows, r => dot(r, v))
+
+  /** Sub-vector slice for PQ subspaces: elements [start, start+len), 1-based
+    * `slice` semantics wrapped to 0-based args.
+    */
+  def subVec(v: Column, start0: Column, len: Column): Column =
+    slice(v, start0 + 1, len)
+}

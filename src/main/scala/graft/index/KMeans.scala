@@ -1,0 +1,130 @@
+package graft.index
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** k-means for index construction.
+  *
+  * Two flavors:
+  *  - [[LocalKMeans]]: plain-Scala Lloyd's over an in-memory sample. Used
+  *    where the reference also trains on driver-sized samples — coarse
+  *    clustering (two_level_clustering.py:64-82: ≤256·k rows), per-cluster
+  *    sub-k-means (:24-61, ≤64·k rows) and PQ codebooks (:171-181,
+  *    64·256 rows). Sampling happens in Spark; only the sample is local.
+  *  - [[KMeansDF]].assign: the full-data assignment pass as a pure
+  *    projection (no join, no shuffle) — centroids enter the plan as an
+  *    array literal and `argmin` is computed per-row inside codegen.
+  *    This is the piece that must scale to 100 TB; everything driver-side
+  *    is O(k·d) only.
+  */
+object LocalKMeans {
+
+  /** Lloyd's algorithm; deterministic under `seed`. Returns `k` centroids
+    * (empty clusters keep their previous position, matching Faiss's
+    * behavior of not producing NaNs).
+    */
+  def fit(points: Array[Array[Float]], k: Int, iters: Int = 25,
+          seed: Long = 42L): Array[Array[Float]] = {
+    require(points.nonEmpty, "kmeans on empty sample")
+    val n = points.length
+    val d = points(0).length
+    val rnd = new Random(seed)
+    // init: k distinct random points (or fewer if n < k — pad by reuse)
+    val perm = rnd.shuffle((0 until n).toVector)
+    val centroids = Array.tabulate(k)(i => points(perm(i % n)).clone())
+
+    val assign = new Array[Int](n)
+    var iter = 0
+    while (iter < iters) {
+      // assignment
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0; var j = 0
+          val cc = centroids(c); val p = points(i)
+          while (j < d) { val df = p(j) - cc(j); dist += df * df; j += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      // update
+      val sums = Array.ofDim[Double](k, d)
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < n) {
+        val c = assign(i); counts(c) += 1
+        var j = 0; val p = points(i)
+        while (j < d) { sums(c)(j) += p(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < d) { centroids(c)(j) = (sums(c)(j) / counts(c)).toFloat; j += 1 }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    centroids
+  }
+}
+
+object KMeansDF {
+
+  /** Centroids as a plan literal: `array<array<double>>`. */
+  def centroidsLit(centroids: Array[Array[Float]]): Column =
+    typedLit(centroids.map(_.map(_.toDouble).toSeq).toSeq)
+
+  /** Nearest-centroid id for a vector column — a single codegen'd
+    * projection (reference T12, two_level_clustering.py:11-21). 0-based.
+    * No shuffle: every row computes argmin over the broadcast literal.
+    */
+  def nearestCentroid(vec: Column, centroids: Column): Column = {
+    val dists = transform(centroids, c => VectorFunctions.l2DistSq(c, vec))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Distances to the `nprobe` nearest centroids: returns the 0-based ids
+    * of the nprobe closest centroids as an array column (query-side IVF
+    * probe selection).
+    */
+  def nearestCentroids(vec: Column, centroids: Column, nprobe: Int): Column = {
+    val withIdx = transform(centroids, (c, i) =>
+      struct(VectorFunctions.l2DistSq(c, vec).as("dist"), i.as("cid")))
+    slice(transform(array_sort(withIdx), s => s.getField("cid")), 1, nprobe)
+  }
+
+  /** Distributed Lloyd's over a DataFrame for cases where even the
+    * training sample exceeds driver memory: per-iteration, one map-side
+    * partially-aggregated `groupBy(cluster)` with `avg` per dimension
+    * (d agg expressions — no explode, one narrow shuffle of k·d partials).
+    */
+  def fitDistributed(df: DataFrame, vecCol: String, d: Int, k: Int,
+                     iters: Int = 25, seed: Long = 42L): Array[Array[Float]] = {
+    val init = df.select(vecCol).orderBy(rand(seed)).limit(k).collect()
+      .map(_.getSeq[Float](0).toArray)
+    var centroids = init
+    for (_ <- 0 until iters) {
+      val cl = nearestCentroid(col(vecCol), centroidsLit(centroids))
+      val aggs = (0 until d).map(i => avg(col(vecCol)(i)).as(s"c$i"))
+      val updated = df.select(cl.as("cluster"), col(vecCol))
+        .groupBy("cluster").agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> Array.tabulate(d)(i => r.getDouble(i + 1).toFloat))
+        .toMap
+      centroids = Array.tabulate(centroids.length)(c =>
+        updated.getOrElse(c, centroids(c)))
+    }
+    centroids
+  }
+}

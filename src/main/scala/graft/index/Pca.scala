@@ -1,0 +1,89 @@
+package graft.index
+
+import breeze.linalg.{eigSym, DenseMatrix, DenseVector}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** PCA dimensionality reduction (reference T10: the Faiss PCAMatrix stage
+  * of the index chain, two_level_clustering.py:119-140 — fit on a random
+  * sample of 100·d vectors, then chain-applied to every vector).
+  *
+  * Fit is driver-local over a Spark-sampled matrix (O(sample·d + d²)
+  * memory, d ≤ a few thousand — the same driver-sized footprint the
+  * reference uses). Apply is a pure Catalyst projection: the projection
+  * matrix enters the plan as a literal and each output component is a
+  * codegen'd dot product — no UDF, no shuffle, scales with the scan.
+  */
+final case class PcaModel(mean: Array[Double], components: Array[Array[Double]]) {
+
+  def outputDim: Int = components.length
+
+  /** y = W · (x − μ) as a Column over an array<float|double> vector. */
+  def applyCol(vec: Column): Column = {
+    val meanLit = typedLit(mean.toSeq)
+    val centered = zip_with(vec, meanLit, (x, m) => x.cast("double") - m)
+    val w = typedLit(components.map(_.toSeq).toSeq)
+    VectorFunctions.matVec(w, centered)
+  }
+
+  /** Driver-side apply for query vectors (O(d·p), no Spark job). */
+  def applyLocal(x: Array[Float]): Array[Float] = {
+    val c = new Array[Double](mean.length)
+    var i = 0
+    while (i < mean.length) { c(i) = x(i) - mean(i); i += 1 }
+    components.map { row =>
+      var s = 0.0; var j = 0
+      while (j < row.length) { s += row(j) * c(j); j += 1 }
+      s.toFloat
+    }
+  }
+}
+
+object Pca {
+
+  /** Identity model (pcaDim == d and no reduction wanted). */
+  def identity(d: Int): PcaModel =
+    PcaModel(new Array[Double](d), Array.tabulate(d)(i =>
+      Array.tabulate(d)(j => if (i == j) 1.0 else 0.0)))
+
+  /** Fit on `sampleSize` rows sampled from `df` (reference uses 100·d). */
+  def fit(df: DataFrame, vecCol: String, d: Int, outDim: Int,
+          sampleSize: Int, seed: Long = 42L): PcaModel = {
+    val rows = df.select(vecCol).orderBy(rand(seed)).limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).toArray)
+    fitLocal(rows, outDim)
+  }
+
+  /** Eigendecomposition of the sample covariance; components sorted by
+    * descending eigenvalue. Deterministic.
+    */
+  def fitLocal(rows: Array[Array[Float]], outDim: Int): PcaModel = {
+    val n = rows.length
+    val d = rows(0).length
+    require(outDim <= d, s"pca outDim $outDim > input dim $d")
+    val mean = new Array[Double](d)
+    rows.foreach { r => var j = 0; while (j < d) { mean(j) += r(j); j += 1 } }
+    var j = 0
+    while (j < d) { mean(j) /= n; j += 1 }
+
+    val m = DenseMatrix.zeros[Double](n, d)
+    var i = 0
+    while (i < n) {
+      j = 0
+      while (j < d) { m(i, j) = rows(i)(j) - mean(j); j += 1 }
+      i += 1
+    }
+    val cov = (m.t * m) /:/ math.max(n - 1, 1).toDouble
+    val es = eigSym(cov)
+    // eigSym returns ascending eigenvalues; take the top outDim, descending
+    val order = es.eigenvalues.toArray.zipWithIndex.sortBy(-_._1).map(_._2).take(outDim)
+    val comps = order.map { c =>
+      val v: DenseVector[Double] = es.eigenvectors(::, c)
+      v.toArray
+    }
+    PcaModel(mean, comps)
+  }
+}

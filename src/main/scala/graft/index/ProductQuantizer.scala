@@ -1,0 +1,87 @@
+package graft.index
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Product quantization: split a p-dim vector into `m` subspaces of
+  * `subDim = p/m`, k-means each subspace to 256 centroids, store each
+  * vector as `m` one-byte codes; query-time distance via an
+  * asymmetric-distance (ADC) lookup table (reference: the Faiss PQ{m}
+  * stage, training_utils.py:50-51; codebooks fit on a 64·256-row sample,
+  * two_level_clustering.py:171-181).
+  *
+  * Codes are stored as `array<int>` (one 0..255 entry per subspace) so the
+  * encode / ADC expressions stay inside whole-stage codegen; at rest
+  * Parquet dictionary+RLE encodes them to ~1 byte each.
+  */
+final case class PqModel(m: Int, subDim: Int,
+                         codebooks: Array[Array[Array[Float]]]) { // [m][256][subDim]
+
+  /** Encode expression: for each subspace, argmin over its codebook.
+    * Input `vec` must already be in PCA space (length m·subDim).
+    */
+  def encodeCol(vec: Column): Column = {
+    val cbLit = typedLit(codebooks.map(_.map(_.map(_.toDouble).toSeq).toSeq).toSeq)
+    transform(cbLit, (cb, j) => {
+      val sub = slice(vec, j * lit(subDim) + 1, lit(subDim))
+      val dists = transform(cb, c => VectorFunctions.l2DistSq(c, sub))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+  }
+
+  /** Driver-side ADC lookup table for one query (already PCA-projected):
+    * lut(j)(c) = ‖q_sub_j − codebook(j)(c)‖². O(m·256·subDim).
+    */
+  def lut(q: Array[Float]): Array[Array[Double]] =
+    Array.tabulate(m) { j =>
+      val off = j * subDim
+      Array.tabulate(256) { c =>
+        val cb = codebooks(j)(c)
+        var s = 0.0; var t = 0
+        while (t < subDim) { val df = q(off + t) - cb(t); s += df * df; t += 1 }
+        s
+      }
+    }
+
+  /** ADC distance expression: sum over subspaces of lut[j][code[j]] —
+    * one array lookup per subspace per row, codegen'd.
+    */
+  def adcDistCol(codes: Column, lutValues: Array[Array[Double]]): Column = {
+    val lutLit = typedLit(lutValues.map(_.toSeq).toSeq)
+    aggregate(
+      zip_with(codes, lutLit, (c, l) => element_at(l, c + 1)),
+      lit(0.0d), (acc, x) => acc + x)
+  }
+
+  /** Driver-side decode (tests / debugging). */
+  def decode(codes: Array[Int]): Array[Float] = {
+    val out = new Array[Float](m * subDim)
+    var j = 0
+    while (j < m) {
+      System.arraycopy(codebooks(j)(codes(j)), 0, out, j * subDim, subDim)
+      j += 1
+    }
+    out
+  }
+}
+
+object ProductQuantizer {
+
+  /** Fit codebooks on a sample of PCA-space vectors (driver-local — the
+    * sample is 64·256 rows, same scale the reference trains PQ on).
+    */
+  def fit(sample: Array[Array[Float]], m: Int, iters: Int = 25,
+          seed: Long = 42L): PqModel = {
+    require(sample.nonEmpty, "pq fit on empty sample")
+    val p = sample(0).length
+    require(p % m == 0, s"pq: dim $p not divisible by m=$m")
+    val subDim = p / m
+    val codebooks = Array.tabulate(m) { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      LocalKMeans.fit(sub, k = 256, iters = iters, seed = seed + j)
+    }
+    PqModel(m, subDim, codebooks)
+  }
+}

@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** The driver-verified operator inventory (SURVEY §2): each entry is a
+  * DataFrame pipeline over the `/root/testdata` tables, paired in
+  * [[Oracles]] with ANSI SQL the driver runs in DuckDB on the same
+  * parquet. Column names/aliases match the SQL exactly (driver hash
+  * compare is column-name keyed).
+  *
+  * Determinism contract used everywhere: ORDER BY raw (unrounded) values
+  * with a unique id tiebreaker, but OUTPUT floats rounded (2dp money, 6dp
+  * similarities, 9dp distances) so cross-engine float noise can't change
+  * the hash; row order itself is normalized by the driver.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ------------------------------------------------------------ relational
+
+  /** Aggregation baseline (§2.7 aggregations; TPC-H Q1 shape). */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+
+  /** Join + top-k (§2.7 joins, sorts/limits; TPC-H Q3 shape). */
+  def q3TopkJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val orders = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("raw_rev"))
+      .orderBy(col("raw_rev").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        round(col("raw_rev"), 2).as("revenue"))
+  }
+
+  /** S5 — KV point-get batch as a broadcast semi-join of an id list. */
+  def s5SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Seq(0L, 7L, 42L, 99L, 123L, 256L, 404L, 499L).toDF("vec_id")
+    t(s, dir, "embeddings").join(broadcast(ids), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("label"))
+  }
+
+  /** S9 — KV delete batch as a left-anti join (the delete rewrite). */
+  def s9AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Seq(0L, 7L, 42L, 99L, 123L, 256L, 404L, 499L).toDF("vec_id")
+    t(s, dir, "embeddings").join(broadcast(ids), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
+
+  /** S10 — counts (Parquet footer metadata only). */
+  def s10Count(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq("customer", "documents", "embeddings", "events", "lineitem",
+      "nation", "orders", "part", "region", "supplier")
+      .map(n => (n, t(s, dir, n).count()))
+      .toDF("tbl", "cnt")
+  }
+
+  /** A2 — L2 normalization invariant (the engine's ingest transform). */
+  def a2Normalize(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val norm = l2Norm(col("embedding"))
+    val nvec = l2Normalize(col("embedding"))
+    e.select(col("vec_id"),
+      round(norm, 6).as("norm"),
+      round(element_at(nvec, 1), 6).as("e0"),
+      round(element_at(nvec, 64), 6).as("e63"))
+  }
+
+  /** A4 — sequential id assignment: row_number + max_id parity. */
+  def a4IdAssign(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"))
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("doc_id"))) + lit(1000L))
+      .select(col("id"), col("doc_id"))
+
+  // ---------------------------------------------------------------- vector
+
+  private def queryVector(s: SparkSession, dir: String, vecId: Long): Seq[Float] =
+    t(s, dir, "embeddings").filter(col("vec_id") === vecId)
+      .head().getSeq[Float](1)
+
+  /** Q3/Q6 — exact flat kNN: brute-force cosine top-20 for one query. */
+  def knnFlat(s: SparkSession, dir: String): DataFrame = {
+    val q = typedLit(queryVector(s, dir, 0L))
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), dot(col("embedding"), q).as("raw_sim"))
+      .orderBy(col("raw_sim").desc, col("vec_id"))
+      .limit(20)
+      .select(col("vec_id"), round(col("raw_sim"), 6).as("cosine_similarity"))
+  }
+
+  /** Q5 — batched per-query top-k via window ranking (the Spark-side
+    * throughput shape of the rerank stage).
+    */
+  def knnBatchTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("raw_sim").desc, col("vec_id"))
+    e.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        dot(col("embedding"), col("qvec")).as("raw_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id"), col("rank"),
+        round(col("raw_sim"), 6).as("cosine_similarity"))
+  }
+
+  /** Per-dimension mean vectors by label — the k-means update step (T11/T14
+    * inner loop) as d grouped aggregates, no explode.
+    */
+  private def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val dims = (0 until 64).map(i => avg(col("embedding")(i)).as(s"m$i"))
+    e.groupBy(col("label").as("cid")).agg(dims.head, dims.tail: _*)
+      .select(col("cid"), array((0 until 64).map(i => col(s"m$i")): _*).as("centroid"))
+  }
+
+  /** T12 — nearest-centroid assignment (centroids = label means). */
+  def t12CentroidAssign(s: SparkSession, dir: String): DataFrame = {
+    val c = labelCentroids(s, dir)
+    val e = t(s, dir, "embeddings")
+    val dist = l2DistSq(col("embedding"), col("centroid"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    e.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("cid"), dist.as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+  }
+
+  /** T13 — assignment histogram (`np.bincount` parity). */
+  def t13ClusterHist(s: SparkSession, dir: String): DataFrame =
+    t12CentroidAssign(s, dir).groupBy(col("cid")).agg(count(lit(1)).as("cnt"))
+
+  // ------------------------------------------------------------------ text
+
+  /** Exact dedup: group by content hash, keep lowest id (keeper policy). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+
+  /** Token counting (whitespace tokenizer). */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), "\\s+")).as("token_cnt"))
+
+  /** Document fingerprint: md5 over the sorted distinct token set —
+    * word-order-insensitive near-dup key.
+    */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          array_sort(array_distinct(split(lower(col("text")), "\\s+"))))).as("fp"))
+
+  // ---------------------------------------------------------------- events
+
+  /** Tumbling hourly window aggregation over the event stream table. */
+  def eventsHourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value")), 2).as("sum_value"))
+}
