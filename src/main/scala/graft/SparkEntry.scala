@@ -1,13 +1,173 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.queries.Queries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is a DataFrame pipeline over the
+  * `/root/testdata` parquet tables; [[oracleSql]] holds the equivalent
+  * ANSI SQL the driver runs in DuckDB over the same tables. Column names
+  * and float rounding match exactly on both sides (the driver's compare
+  * is column-name keyed and hash based).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"             -> (Queries.q1Agg _),
+    "q3_topk_join"       -> (Queries.q3TopkJoin _),
+    "s5_semi_join"       -> (Queries.s5SemiJoin _),
+    "s9_anti_join"       -> (Queries.s9AntiJoin _),
+    "s10_count"          -> (Queries.s10Count _),
+    "a2_normalize"       -> (Queries.a2Normalize _),
+    "a4_id_assign"       -> (Queries.a4IdAssign _),
+    "knn_flat"           -> (Queries.knnFlat _),
+    "knn_batch_topk"     -> (Queries.knnBatchTopk _),
+    "t12_centroid_assign" -> (Queries.t12CentroidAssign _),
+    "t13_cluster_hist"   -> (Queries.t13ClusterHist _),
+    "dedup_exact"        -> (Queries.dedupExact _),
+    "text_tokens"        -> (Queries.textTokens _),
+    "text_fingerprint"   -> (Queries.textFingerprint _),
+    "events_hourly"      -> (Queries.eventsHourly _)
+  )
+
+  /** DuckDB oracle SQL, one per SQL-expressible entry in [[queries]]. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_topk_join" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  round(raw_rev, 2) AS revenue
+        |FROM (
+        |  SELECT o.o_orderkey, o.o_orderdate,
+        |    sum(l.l_extendedprice * (1.0 - l.l_discount)) AS raw_rev
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY o.o_orderkey, o.o_orderdate)
+        |ORDER BY raw_rev DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "s5_semi_join" ->
+      """SELECT vec_id, label FROM embeddings
+        |WHERE vec_id IN (0, 7, 42, 99, 123, 256, 404, 499)""".stripMargin,
+
+    "s9_anti_join" ->
+      """SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (0, 7, 42, 99, 123, 256, 404, 499)""".stripMargin,
+
+    "s10_count" ->
+      """SELECT 'customer' AS tbl, count(*) AS cnt FROM customer
+        |UNION ALL SELECT 'documents', count(*) FROM documents
+        |UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+        |UNION ALL SELECT 'events', count(*) FROM events
+        |UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |UNION ALL SELECT 'nation', count(*) FROM nation
+        |UNION ALL SELECT 'orders', count(*) FROM orders
+        |UNION ALL SELECT 'part', count(*) FROM part
+        |UNION ALL SELECT 'region', count(*) FROM region
+        |UNION ALL SELECT 'supplier', count(*) FROM supplier""".stripMargin,
+
+    "a2_normalize" ->
+      """SELECT vec_id, round(n, 6) AS norm,
+        |  round(CASE WHEN n = 0 THEN 0 ELSE CAST(embedding[1] AS DOUBLE) / n END, 6) AS e0,
+        |  round(CASE WHEN n = 0 THEN 0 ELSE CAST(embedding[64] AS DOUBLE) / n END, 6) AS e63
+        |FROM (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+        |  FROM embeddings)""".stripMargin,
+
+    "a4_id_assign" ->
+      """SELECT row_number() OVER (ORDER BY doc_id) + 1000 AS id, doc_id
+        |FROM documents""".stripMargin,
+
+    "knn_flat" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS raw_sim
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT vec_id, round(raw_sim, 6) AS cosine_similarity
+        |FROM scored ORDER BY raw_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "knn_batch_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 4),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS raw_sim
+        |  FROM embeddings e CROSS JOIN q),
+        |ranked AS (
+        |  SELECT query_id, vec_id, raw_sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY raw_sim DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, rank, round(raw_sim, 6) AS cosine_similarity
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "t12_centroid_assign" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS cid, dim, avg(x) AS m FROM ex GROUP BY label, dim),
+        |dist AS (
+        |  SELECT e.vec_id, c.cid, sum((e.x - c.m) * (e.x - c.m)) AS d2
+        |  FROM ex e JOIN cent c ON e.dim = c.dim
+        |  GROUP BY e.vec_id, c.cid),
+        |best AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM dist)
+        |SELECT vec_id, cid FROM best WHERE rn = 1""".stripMargin,
+
+    "t13_cluster_hist" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS cid, dim, avg(x) AS m FROM ex GROUP BY label, dim),
+        |dist AS (
+        |  SELECT e.vec_id, c.cid, sum((e.x - c.m) * (e.x - c.m)) AS d2
+        |  FROM ex e JOIN cent c ON e.dim = c.dim
+        |  GROUP BY e.vec_id, c.cid),
+        |best AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM dist)
+        |SELECT cid, count(*) AS cnt FROM best WHERE rn = 1 GROUP BY cid""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id, n_chars,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS token_cnt
+        |FROM documents""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS fp
+        |FROM documents""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
 }

@@ -163,11 +163,14 @@ object Queries {
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
 
-  /** Token counting (whitespace tokenizer). */
+  /** Token counting (whitespace tokenizer). `trim` first: Spark's split
+    * drops trailing empty strings but DuckDB's regexp_split_to_array keeps
+    * them, so the oracle only matches on trimmed input.
+    */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), col("n_chars"),
-        size(split(col("text"), "\\s+")).as("token_cnt"))
+        size(split(trim(col("text")), "\\s+")).as("token_cnt"))
 
   /** Document fingerprint: md5 over the sorted distinct token set —
     * word-order-insensitive near-dup key.
@@ -176,15 +179,25 @@ object Queries {
     t(s, dir, "documents")
       .select(col("doc_id"),
         md5(concat_ws(" ",
-          array_sort(array_distinct(split(lower(col("text")), "\\s+"))))).as("fp"))
+          array_sort(array_distinct(split(trim(lower(col("text"))), "\\s+"))))).as("fp"))
 
   // ---------------------------------------------------------------- events
 
-  /** Tumbling hourly window aggregation over the event stream table. */
-  def eventsHourly(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
+  /** Tumbling hourly window aggregation over the event stream table.
+    * `ts` is TIMESTAMP(NANOS) in the parquet; with
+    * `spark.sql.legacy.parquet.nanosAsLong` it surfaces as long nanos and
+    * is converted here (integer `div` — a double division would lose
+    * precision above 2^53 ns).
+    */
+  def eventsHourly(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val tsCol = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+      case _ => col("ts")
+    }
+    ev.groupBy(date_format(date_trunc("hour", tsCol), "yyyy-MM-dd HH:00").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         round(sum(col("value")), 2).as("sum_value"))
+  }
 }
