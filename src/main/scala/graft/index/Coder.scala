@@ -1,0 +1,139 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+
+/** Broadcast-backed index-math columns for the hot full-table passes.
+  *
+  * The index artifacts (IVF centroids, PQ codebooks, PCA matrix, per-query
+  * ADC LUTs) must NOT enter the plan as literals: at the reference's own
+  * heuristic scale (nlist = 200k, pcaDim 256 — training_utils.py:5-9) a
+  * `typedLit` centroid array is ~400 MB serialized into every task binary.
+  * Here each artifact ships once per executor as a broadcast variable and
+  * the per-row math runs as a tight primitive loop — plan size O(1) in
+  * nlist/m/d, and the loops (early-exit argmin, fused
+  * assign+residual+encode) are faster than the equivalent boxed Catalyst
+  * array-lambda chain.
+  *
+  * Reference semantics: nearest-centroid assignment
+  * (two_level_clustering.py:11-21), residual PQ encode (Faiss IVFPQ
+  * add_with_ids, train.py:112-132), ADC scan (mindb.py:417).
+  */
+object Coder {
+
+  /** argmin_c ‖v − centroid_c‖² as a column (0-based id). */
+  def nearestCentroidCol(spark: SparkSession, centroids: Array[Array[Float]],
+                         vec: Column): Column = {
+    val bc = spark.sparkContext.broadcast(centroids)
+    val f = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      nearest(bc.value, arr)
+    }
+    f(vec)
+  }
+
+  /** Fused assign + residual + PQ-encode in one pass over the PCA-space
+    * vector: returns `struct(cluster_id int, code array<int>)`. One scan,
+    * no intermediate residual column materialized.
+    */
+  def assignEncodeCol(spark: SparkSession, centroids: Array[Array[Float]],
+                      pq: PqModel, vec: Column): Column = {
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcB = spark.sparkContext.broadcast(pq.codebooks)
+    val m = pq.m
+    val subDim = pq.subDim
+    val f = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      val cs = bcC.value
+      val cid = nearest(cs, arr)
+      val cc = cs(cid)
+      val cbs = bcB.value
+      val codes = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        val cb = cbs(j)
+        val off = j * subDim
+        var best = 0
+        var bestD = Double.MaxValue
+        var k = 0
+        while (k < cb.length) {
+          val e = cb(k)
+          var s = 0.0
+          var t = 0
+          while (t < subDim) {
+            val df = (arr(off + t) - cc(off + t)) - e(t)
+            s += df * df
+            t += 1
+          }
+          if (s < bestD) { bestD = s; best = k }
+          k += 1
+        }
+        codes(j) = best
+        j += 1
+      }
+      (cid, codes)
+    }
+    f(vec)
+  }
+
+  /** ADC distance for the probe-pruned scan: lut is per probed cluster
+    * (residual quantization → each cluster has its own table).
+    */
+  def adcDistCol(spark: SparkSession, luts: Map[Int, Array[Array[Double]]],
+                 clusterId: Column, code: Column): Column = {
+    val bc = spark.sparkContext.broadcast(luts)
+    val f = udf { (cid: Int, codes: Seq[Int]) =>
+      val lut = bc.value(cid)
+      var s = 0.0
+      var j = 0
+      while (j < lut.length) { s += lut(j)(codes(j)); j += 1 }
+      s
+    }
+    f(clusterId, code)
+  }
+
+  /** PCA apply y = W·(x−μ) as a broadcast-backed column (the full-pass
+    * projection in train/add; the d×p matrix never enters the plan).
+    */
+  def pcaApplyCol(spark: SparkSession, pca: PcaModel, vec: Column): Column = {
+    val bc = spark.sparkContext.broadcast((pca.mean, pca.components))
+    val f = udf { (v: Seq[Double]) =>
+      val (mean, comps) = bc.value
+      val c = new Array[Double](mean.length)
+      var i = 0
+      while (i < mean.length) { c(i) = v(i) - mean(i); i += 1 }
+      val out = new Array[Double](comps.length)
+      i = 0
+      while (i < comps.length) {
+        val row = comps(i)
+        var s = 0.0
+        var j = 0
+        while (j < row.length) { s += row(j) * c(j); j += 1 }
+        out(i) = s
+        i += 1
+      }
+      out
+    }
+    f(vec)
+  }
+
+  /** Early-exit argmin over the centroid matrix. */
+  private def nearest(cs: Array[Array[Float]], arr: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val cc = cs(c)
+      var s = 0.0
+      var j = 0
+      while (j < cc.length && s < bestD) {
+        val df = arr(j) - cc(j)
+        s += df * df
+        j += 1
+      }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+}

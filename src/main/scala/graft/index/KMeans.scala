@@ -108,23 +108,37 @@ object KMeansDF {
     * training sample exceeds driver memory: per-iteration, one map-side
     * partially-aggregated `groupBy(cluster)` with `avg` per dimension
     * (d agg expressions — no explode, one narrow shuffle of k·d partials).
+    * Centroids ship per-iteration as a broadcast (plan size O(1) in k).
+    * `vecCol` is `array<double>` (PCA space). Input is cached for the
+    * iteration loop and unpersisted on exit.
     */
   def fitDistributed(df: DataFrame, vecCol: String, d: Int, k: Int,
                      iters: Int = 25, seed: Long = 42L): Array[Array[Float]] = {
-    val init = df.select(vecCol).orderBy(rand(seed)).limit(k).collect()
-      .map(_.getSeq[Float](0).toArray)
-    var centroids = init
-    for (_ <- 0 until iters) {
-      val cl = nearestCentroid(col(vecCol), centroidsLit(centroids))
-      val aggs = (0 until d).map(i => avg(col(vecCol)(i)).as(s"c$i"))
-      val updated = df.select(cl.as("cluster"), col(vecCol))
-        .groupBy("cluster").agg(aggs.head, aggs.tail: _*)
-        .collect()
-        .map(r => r.getInt(0) -> Array.tabulate(d)(i => r.getDouble(i + 1).toFloat))
-        .toMap
-      centroids = Array.tabulate(centroids.length)(c =>
-        updated.getOrElse(c, centroids(c)))
-    }
-    centroids
+    val spark = df.sparkSession
+    val work = df.select(col(vecCol)).persist()
+    val n = work.count()
+    // init: a cheap sample pass, never a global sort-by-rand
+    val init = work
+      .sample(withReplacement = false, math.min(1.0, (k * 4.0 + 64.0) / math.max(1L, n)), seed)
+      .limit(k).collect()
+      .map(_.getSeq[Double](0).map(_.toFloat).toArray)
+    var centroids =
+      if (init.length >= k) init
+      else init ++ work.limit(k - init.length).collect()
+        .map(_.getSeq[Double](0).map(_.toFloat).toArray)
+    try {
+      for (_ <- 0 until iters) {
+        val cl = Coder.nearestCentroidCol(spark, centroids, col(vecCol))
+        val aggs = (0 until d).map(i => avg(col(vecCol)(i)).as(s"c$i"))
+        val updated = work.select(cl.as("cluster"), col(vecCol))
+          .groupBy("cluster").agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map(r => r.getInt(0) -> Array.tabulate(d)(i => r.getDouble(i + 1).toFloat))
+          .toMap
+        centroids = Array.tabulate(centroids.length)(c =>
+          updated.getOrElse(c, centroids(c)))
+      }
+      centroids
+    } finally work.unpersist()
   }
 }
