@@ -29,6 +29,7 @@ class Engine(val spark: SparkSession, val root: String) {
   import Engine._
 
   private val indexCache = TrieMap.empty[(String, Int), IndexModel]
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   // ---------------------------------------------------------------- schema
 
@@ -98,12 +99,17 @@ class Engine(val spark: SparkSession, val root: String) {
         col("metadata"))
 
     val base = doc.maxId + 1
+    // persist so the id-assigning zipWithIndex and the write see ONE
+    // materialization of the upstream — a re-executed non-deterministic
+    // source could otherwise diverge between written ids and counted ids
+    prepared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val added = prepared.count()
     val withIds = spark.createDataFrame(
       prepared.rdd.zipWithIndex.map { case (r, i) =>
         org.apache.spark.sql.Row(base + i, r.getSeq[Float](0), r.getString(1))
       }, dataSchema)
     withIds.write.mode("append").parquet(doc.dataPath(root))
-    val added = withIds.count()
+    prepared.unpersist()
 
     // A6 — incremental index insert for a live trained index
     if (doc.isTrained) {
@@ -117,6 +123,10 @@ class Engine(val spark: SparkSession, val root: String) {
       vectorDimension = d,
       numNewVectors = doc.numNewVectors + added)
     Catalog.save(root, doc)
+    // A10 — flat-index size warning (mindb.py:180-184)
+    if (!doc.isTrained && doc.maxId + 1 > Heuristics.FlatIndexWarnSize)
+      log.warn(s"database '${doc.name}' has ${doc.maxId + 1} vectors on an " +
+        "untrained flat index; queries are exact brute-force — train() is recommended")
     (base, base + added - 1)
   }
 
@@ -141,6 +151,7 @@ class Engine(val spark: SparkSession, val root: String) {
     * of rows actually deleted.
     */
   def remove(name: String, ids: Seq[Long]): Long = {
+    require(ids.forall(_ >= 0), "negative ids found; all ids must be non-negative")
     var doc = load(name)
     val idDf = spark.createDataFrame(ids.map(Tuple1(_))).toDF("id")
     val cur = spark.read.schema(dataSchema).parquet(doc.dataPath(root))
@@ -202,13 +213,12 @@ class Engine(val spark: SparkSession, val root: String) {
         val luts = probes.map(c => c -> model.pq.lut(residualLocal(qp, model.centroids(c)))).toMap
         val coded = spark.read.parquet(s"${doc.indexPath(root)}/coded")
           .filter(col("cluster_id").isin(probes.map(Integer.valueOf): _*))
-        val lutMap = typedLit(luts.map { case (c, l) => c -> l.map(_.toSeq).toSeq })
-        val adc = aggregate(
-          zip_with(col("code"), element_at(lutMap, col("cluster_id")),
-            (cd, l) => element_at(l, cd + 1)),
-          lit(0.0d), (acc, x) => acc + x)
+        // ADC LUTs ship as a broadcast (nprobe·m·256 doubles — at the
+        // reference's nprobe=6000/m=32 heuristic scale that is ~400 MB as a
+        // plan literal, O(1) plan size here)
+        val adc = Coder.adcDistCol(spark, luts, col("cluster_id"), col("code"))
         val candIds = coded.select(col("id"), adc.as("adc_dist"))
-          .orderBy(col("adc_dist")).limit(preliminaryTopK).select("id")
+          .orderBy(col("adc_dist"), col("id")).limit(preliminaryTopK).select("id")
         // Q4 — candidate fetch: broadcast join of the tiny candidate set
         table.join(broadcast(candIds), Seq("id"))
       }
@@ -252,6 +262,7 @@ class Engine(val spark: SparkSession, val root: String) {
             params: Option[IndexParams] = None,
             useTwoLevelClustering: Option[Boolean] = None,
             kmeansIters: Int = 25,
+            maxMemoryUsage: Long = Engine.DefaultMaxMemoryUsage,
             seed: Long = 42L): CatalogDoc = {
     var doc = load(name)
     val table = spark.read.schema(dataSchema).parquet(doc.dataPath(root))
@@ -260,8 +271,22 @@ class Engine(val spark: SparkSession, val root: String) {
     if (n < Heuristics.FlatIndexFloor) return doc // T3 small-db bypass
 
     val d = doc.vectorDimension
+    // T2 — train validation (input_validation.py:15-51)
+    require(d > 0, "no vectors have been added to the database")
     val p = params.getOrElse(Heuristics.defaultIndexParams(d))
-    require(p.pcaDimension <= d, "pca_dimension must be <= vector dimension")
+    require(p.pcaDimension >= 1, s"pca_dimension is not positive: ${p.pcaDimension}")
+    require(p.compressedVectorBytes >= 1,
+      s"compressed_vector_bytes is not positive: ${p.compressedVectorBytes}")
+    require(p.pcaDimension <= d,
+      s"pca_dimension ${p.pcaDimension} is larger than the vector dimension $d")
+    if (!p.omitOpq) {
+      require(p.opqDimension >= 1, s"opq_dimension is not positive: ${p.opqDimension}")
+      require(p.opqDimension <= p.pcaDimension,
+        s"opq_dimension ${p.opqDimension} is larger than pca_dimension ${p.pcaDimension}")
+      require(p.opqDimension % p.compressedVectorBytes == 0,
+        s"opq_dimension ${p.opqDimension} is not divisible by " +
+          s"compressed_vector_bytes ${p.compressedVectorBytes}")
+    }
     require(p.pcaDimension % p.compressedVectorBytes == 0,
       "pca_dimension must be divisible by compressed_vector_bytes")
     val nlist = math.max(1, Heuristics.numClusters(n))
@@ -272,12 +297,17 @@ class Engine(val spark: SparkSession, val root: String) {
     val pca =
       if (p.pcaDimension == d) Pca.identity(d)
       else Pca.fit(table, "vector", d, p.pcaDimension,
-        sampleSize = math.min(n, 100L * d).toInt, seed = seed)
-    val projected = table.select(col("id"), pca.applyCol(col("vector")).as("pvec"))
+        sampleSize = math.min(n, 100L * d).toInt, seed = seed, totalRows = n)
+    val projected = projectedView(table, pca)
 
-    // T7/T9/T11-T15 — centroids in PCA space
+    // T7 — strategy chooser (training_utils.py:75-88): two-level when the
+    // RAM-capped subsample would leave < 39 vectors/cluster
+    val twoLevel = useTwoLevelClustering.getOrElse(
+      Heuristics.isTwoLevelClusteringOptimal(maxMemoryUsage, d, n))
+
+    // T9/T11-T15 — centroids in PCA space
     val centroids: Array[Array[Float]] =
-      if (useTwoLevelClustering.getOrElse(n >= 2000000))
+      if (twoLevel)
         TwoLevelClustering.fit(projected, "pvec", p.pcaDimension, nlist,
           kmeansIters, seed)
       else {
@@ -288,13 +318,13 @@ class Engine(val spark: SparkSession, val root: String) {
           kmeansIters, seed)
       }
 
-    // T15 — PQ codebooks on a 64·256-row sample of residuals
-    val cLit = KMeansDF.centroidsLit(centroids)
+    // T15 — PQ codebooks on a 64·256-row sample of assigned residuals
+    // (one cheap sample() pass; residuals computed by the broadcast kernel)
+    val pqN = 64 * 256
     val pqSample = projected
-      .select(col("pvec"), KMeansDF.nearestCentroid(col("pvec"), cLit).as("cluster_id"))
-      .select(zip_with(col("pvec"), element_at(cLit, col("cluster_id") + 1),
-        (x, c) => x - c).as("res"))
-      .orderBy(rand(seed)).limit(64 * 256)
+      .sample(withReplacement = false, math.min(1.0, pqN * 1.1 / n), seed)
+      .limit(pqN)
+      .select(Coder.residualCol(spark, centroids, col("pvec")).as("res"))
       .collect().map(_.getSeq[Double](0).map(_.toFloat).toArray)
     val pq = ProductQuantizer.fit(pqSample, p.compressedVectorBytes,
       iters = kmeansIters, seed = seed)
@@ -317,29 +347,36 @@ class Engine(val spark: SparkSession, val root: String) {
     doc
   }
 
-  private def writeCoded(projected: DataFrame, model: IndexModel, path: String): Unit = {
-    val cLit = KMeansDF.centroidsLit(model.centroids)
-    val assigned = projected
-      .withColumn("cluster_id", KMeansDF.nearestCentroid(col("pvec"), cLit))
-      .withColumn("res", zip_with(col("pvec"),
-        element_at(cLit, col("cluster_id") + 1), (x, c) => x - c))
-      .select(col("id"), col("cluster_id"), model.pq.encodeCol(col("res")).as("code"))
-    assigned.repartition(col("cluster_id"))
+  /** `(id, pvec)` PCA-space view of `(id, vector)` rows. Identity PCA is a
+    * plain cast (no d×d matmul); otherwise the matrix ships as a broadcast.
+    */
+  private def projectedView(rows: DataFrame, pca: PcaModel): DataFrame =
+    if (pca.isIdentity)
+      rows.select(col("id"), col("vector").cast("array<double>").as("pvec"))
+    else
+      rows.select(col("id"), Coder.pcaApplyCol(spark, pca, col("vector")).as("pvec"))
+
+  /** T18 — one full pass: fused assign+residual+PQ-encode (broadcast
+    * kernel, plan size O(1) in nlist/m), written partitioned by
+    * `cluster_id` — the IVF inverted lists as partition pruning.
+    */
+  private def writeCoded(projected: DataFrame, model: IndexModel, path: String): Unit =
+    assignEncode(projected, model)
+      .repartition(col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
-  }
 
   private def appendToCodedTable(doc: CatalogDoc, model: IndexModel,
-                                 rows: DataFrame): Unit = {
-    val projected = rows.select(col("id"), model.pca.applyCol(col("vector")).as("pvec"))
-    val cLit = KMeansDF.centroidsLit(model.centroids)
-    val assigned = projected
-      .withColumn("cluster_id", KMeansDF.nearestCentroid(col("pvec"), cLit))
-      .withColumn("res", zip_with(col("pvec"),
-        element_at(cLit, col("cluster_id") + 1), (x, c) => x - c))
-      .select(col("id"), col("cluster_id"), model.pq.encodeCol(col("res")).as("code"))
-    assigned.write.mode("append").partitionBy("cluster_id")
+                                 rows: DataFrame): Unit =
+    assignEncode(projectedView(rows, model.pca), model)
+      .write.mode("append").partitionBy("cluster_id")
       .parquet(s"${doc.indexPath(root)}/coded")
-  }
+
+  private def assignEncode(projected: DataFrame, model: IndexModel): DataFrame =
+    projected
+      .select(col("id"),
+        Coder.assignEncodeCol(spark, model.centroids, model.pq, col("pvec")).as("ac"))
+      .select(col("id"), col("ac.cluster_id").as("cluster_id"),
+        col("ac.code").as("code"))
 
   // ------------------------------------------------------------- info/misc
 
@@ -403,6 +440,11 @@ class Engine(val spark: SparkSession, val root: String) {
 }
 
 object Engine {
+
+  /** Reference default `max_memory_usage` = 4 GiB (mindb.py:42). Drives the
+    * T7 strategy chooser only — Spark spills instead of enforcing it.
+    */
+  val DefaultMaxMemoryUsage: Long = 4L * 1024 * 1024 * 1024
 
   /** In-memory index artifact: PCA model + IVF centroids (PCA space) + PQ
     * codebooks. Total size O(d² + nlist·p + m·256·subdim) — driver/broadcast

@@ -1,5 +1,6 @@
 package graft.index
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.udf
 
@@ -21,16 +22,26 @@ import org.apache.spark.sql.functions.udf
   */
 object Coder {
 
-  /** argmin_c ‖v − centroid_c‖² as a column (0-based id). */
-  def nearestCentroidCol(spark: SparkSession, centroids: Array[Array[Float]],
-                         vec: Column): Column = {
-    val bc = spark.sparkContext.broadcast(centroids)
-    val f = udf { (v: Seq[Double]) =>
-      val arr = v.toArray
-      nearest(bc.value, arr)
-    }
+  /** Named struct for the fused assign+encode kernel (field names survive
+    * into the Catalyst schema, unlike a bare Tuple2's `_1`/`_2`).
+    */
+  final case class AssignedCode(cluster_id: Int, code: Array[Int])
+
+  /** argmin_c ‖v − centroid_c‖² as a column (0-based id), over an
+    * already-created broadcast. Caller owns the broadcast lifecycle —
+    * iterative fitters must `destroy()` it after the pass collects.
+    */
+  def nearestCentroidCol(bc: Broadcast[Array[Array[Float]]], vec: Column): Column = {
+    val f = udf { (v: Seq[Double]) => nearest(bc.value, v.toArray) }
     f(vec)
   }
+
+  /** One-shot convenience overload; the broadcast is cleaned up by Spark's
+    * ContextCleaner once the plan is GC'd.
+    */
+  def nearestCentroidCol(spark: SparkSession, centroids: Array[Array[Float]],
+                         vec: Column): Column =
+    nearestCentroidCol(spark.sparkContext.broadcast(centroids), vec)
 
   /** Fused assign + residual + PQ-encode in one pass over the PCA-space
     * vector: returns `struct(cluster_id int, code array<int>)`. One scan,
@@ -71,7 +82,24 @@ object Coder {
         codes(j) = best
         j += 1
       }
-      (cid, codes)
+      AssignedCode(cid, codes)
+    }
+    f(vec)
+  }
+
+  /** Assigned residual `v − centroid(argmin)` — the PQ-codebook training
+    * input (Faiss IVFPQ trains PQ on residuals; train.py:112-132).
+    */
+  def residualCol(spark: SparkSession, centroids: Array[Array[Float]],
+                  vec: Column): Column = {
+    val bc = spark.sparkContext.broadcast(centroids)
+    val f = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      val cc = bc.value(nearest(bc.value, arr))
+      val out = new Array[Double](arr.length)
+      var i = 0
+      while (i < arr.length) { out(i) = arr(i) - cc(i); i += 1 }
+      out
     }
     f(vec)
   }
@@ -83,7 +111,8 @@ object Coder {
                  clusterId: Column, code: Column): Column = {
     val bc = spark.sparkContext.broadcast(luts)
     val f = udf { (cid: Int, codes: Seq[Int]) =>
-      val lut = bc.value(cid)
+      val lut = bc.value.getOrElse(cid,
+        throw new NoSuchElementException(s"cluster $cid has no ADC LUT (not probed)"))
       var s = 0.0
       var j = 0
       while (j < lut.length) { s += lut(j)(codes(j)); j += 1 }

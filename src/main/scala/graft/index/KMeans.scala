@@ -117,24 +117,46 @@ object KMeansDF {
     val spark = df.sparkSession
     val work = df.select(col(vecCol)).persist()
     val n = work.count()
-    // init: a cheap sample pass, never a global sort-by-rand
-    val init = work
+    require(n > 0, "kmeans on empty input")
+    // init: a cheap sample pass (never a global sort-by-rand), made
+    // deterministic + duplicate-free by sorting the collected sample on a
+    // content hash and deduping — a duplicate initial centroid would stay
+    // degenerate forever (empty clusters keep their position).
+    val sampled = work
       .sample(withReplacement = false, math.min(1.0, (k * 4.0 + 64.0) / math.max(1L, n)), seed)
-      .limit(k).collect()
-      .map(_.getSeq[Double](0).map(_.toFloat).toArray)
-    var centroids =
-      if (init.length >= k) init
-      else init ++ work.limit(k - init.length).collect()
-        .map(_.getSeq[Double](0).map(_.toFloat).toArray)
+      .collect().map(_.getSeq[Double](0))
+    val distinctSorted = sampled.distinct
+      .sortBy(v => (v.hashCode(), v.mkString(",")))
+    var centroids: Array[Array[Float]] =
+      (if (distinctSorted.length >= k) distinctSorted.take(k)
+       else {
+         // underfilled sample (tiny n or unlucky fraction): pull the global
+         // distinct head by content hash — n is small on this path
+         work.distinct().orderBy(hash(col(vecCol)), col(vecCol).cast("string"))
+           .limit(k).collect().map(_.getSeq[Double](0))
+       }).map(_.map(_.toFloat).toArray).toArray
+    if (centroids.length < k) {
+      // fewer than k distinct vectors: pad with seeded-jitter copies so the
+      // centroid count (and downstream nlist) stays stable
+      val rnd = new Random(seed)
+      centroids = Array.tabulate(k) { i =>
+        if (i < centroids.length) centroids(i)
+        else centroids(i % math.max(1, centroids.length))
+          .map(x => x + (rnd.nextFloat() - 0.5f) * 1e-4f)
+      }
+    }
     try {
       for (_ <- 0 until iters) {
-        val cl = Coder.nearestCentroidCol(spark, centroids, col(vecCol))
+        val bc = spark.sparkContext.broadcast(centroids)
+        val cl = Coder.nearestCentroidCol(bc, col(vecCol))
         val aggs = (0 until d).map(i => avg(col(vecCol)(i)).as(s"c$i"))
-        val updated = work.select(cl.as("cluster"), col(vecCol))
-          .groupBy("cluster").agg(aggs.head, aggs.tail: _*)
-          .collect()
-          .map(r => r.getInt(0) -> Array.tabulate(d)(i => r.getDouble(i + 1).toFloat))
-          .toMap
+        val updated =
+          try work.select(cl.as("cluster"), col(vecCol))
+            .groupBy("cluster").agg(aggs.head, aggs.tail: _*)
+            .collect()
+            .map(r => r.getInt(0) -> Array.tabulate(d)(i => r.getDouble(i + 1).toFloat))
+            .toMap
+          finally bc.destroy() // don't accumulate k·d arrays on executors per iter
         centroids = Array.tabulate(centroids.length)(c =>
           updated.getOrElse(c, centroids(c)))
       }

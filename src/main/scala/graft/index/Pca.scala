@@ -21,6 +21,16 @@ final case class PcaModel(mean: Array[Double], components: Array[Array[Double]])
 
   def outputDim: Int = components.length
 
+  /** True for the no-reduction model (pcaDim == d): apply is a plain cast,
+    * not a matmul. Detected structurally so it survives IndexStore round-trips.
+    */
+  lazy val isIdentity: Boolean =
+    components.length == mean.length &&
+      mean.forall(_ == 0.0) &&
+      components.zipWithIndex.forall { case (row, i) =>
+        row.zipWithIndex.forall { case (x, j) => x == (if (i == j) 1.0 else 0.0) }
+      }
+
   /** y = W · (x − μ) as a Column over an array<float|double> vector. */
   def applyCol(vec: Column): Column = {
     val meanLit = typedLit(mean.toSeq)
@@ -49,10 +59,17 @@ object Pca {
     PcaModel(new Array[Double](d), Array.tabulate(d)(i =>
       Array.tabulate(d)(j => if (i == j) 1.0 else 0.0)))
 
-  /** Fit on `sampleSize` rows sampled from `df` (reference uses 100·d). */
+  /** Fit on ~`sampleSize` rows sampled from `df` (reference uses 100·d).
+    * One cheap `sample()` pass — never a global sort-by-rand. `totalRows`
+    * sizes the fraction without an extra count when the caller knows it.
+    */
   def fit(df: DataFrame, vecCol: String, d: Int, outDim: Int,
-          sampleSize: Int, seed: Long = 42L): PcaModel = {
-    val rows = df.select(vecCol).orderBy(rand(seed)).limit(sampleSize)
+          sampleSize: Int, seed: Long = 42L, totalRows: Long = -1L): PcaModel = {
+    val n = if (totalRows > 0) totalRows else df.count()
+    val frac = math.min(1.0, sampleSize * 1.1 / math.max(1L, n))
+    val rows = df.select(vecCol)
+      .sample(withReplacement = false, frac, seed)
+      .limit(sampleSize)
       .collect().map(_.getSeq[Float](0).toArray)
     fitLocal(rows, outDim)
   }

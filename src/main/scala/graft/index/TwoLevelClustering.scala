@@ -36,10 +36,11 @@ object TwoLevelClustering {
       .select(vecCol).collect().map(_.getSeq[Double](0).map(_.toFloat).toArray)
     val coarse = LocalKMeans.fit(coarseSample, kCoarse, iters, seed)
 
-    // 2. assign all → coarse_id (pure projection, no shuffle)
-    val cLit = KMeansDF.centroidsLit(coarse)
+    // 2. assign all → coarse_id (pure projection, no shuffle; coarse
+    // centroids ship as a broadcast, not a plan literal)
     val assigned = projected.select(
-      KMeansDF.nearestCentroid(col(vecCol), cLit).as("coarse_id"), col(vecCol))
+      Coder.nearestCentroidCol(spark, coarse, col(vecCol)).as("coarse_id"),
+      col(vecCol))
 
     // 3. histogram + proportional split of the nlist budget
     //    (two_level_clustering.py:95-107: cumsum * nlist // total, diffed)
@@ -77,8 +78,11 @@ object TwoLevelClustering {
       }
       .collect()
 
-    // deterministic order: by coarse id, then centroid content hash
-    val out = subCentroids.sortBy(_._1).map(_._2.toArray)
+    // deterministic order: by coarse id, then centroid content — a bare
+    // sortBy(cid) would leave within-group order at collect() arrival order
+    val out = subCentroids
+      .sortBy { case (cid, v) => (cid, v.mkString(",")) }
+      .map(_._2.toArray)
     // top up if rounding/empty groups produced fewer than nlist centroids
     if (out.length >= nlist) out.take(nlist)
     else out ++ coarse.take(nlist - out.length)

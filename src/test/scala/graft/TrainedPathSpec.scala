@@ -1,0 +1,165 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Engine
+import graft.index.IndexParams
+
+/** Trained-index path end-to-end — the port of the reference's golden eval
+  * (tests/integration/test_full_eval.py:57-116): train → save → load →
+  * two-stage query, gated on recall(50@500) > 0.97 against the exact flat
+  * answer; plus the add/remove-after-train counter parity of
+  * test_fastapi.py:102-152 (num_vectors=32000, coverage=0.9375) and a
+  * repeat-train determinism check (same data + seed → same centroids).
+  *
+  * Fixture: FIQA-shaped synthetic clustered Gaussians (FIXTURES.md §1) —
+  * 30k × 64-d so `sbt test` stays fast; ground truth computed by an
+  * independent driver-side brute force, never by the engine under test.
+  */
+class TrainedPathSpec extends SparkSpec {
+
+  private val D = 64
+  private val N = 30000
+  private val NumCenters = 60
+  private val Seed = 42L
+
+  lazy val engine = new Engine(spark, tmpDir("graft-trained"))
+
+  /** Clustered Gaussian corpus — ANN structure without real embeddings. */
+  private def mkCorpus(n: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new Random(seed)
+    val centers = Array.fill(NumCenters, D)(rnd.nextGaussian().toFloat)
+    Array.tabulate(n) { i =>
+      val c = centers(i % NumCenters)
+      Array.tabulate(D)(j => c(j) + 0.35f * rnd.nextGaussian().toFloat)
+    }
+  }
+
+  private def normalize(v: Array[Float]): Array[Float] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0) v else v.map(x => (x / n).toFloat)
+  }
+
+  /** Independent exact oracle: top-k ids by (dot desc, id asc) over the
+    * stored (already-normalized) corpus.
+    */
+  private def exactTopK(corpus: Array[(Long, Array[Float])], q: Array[Float],
+                        k: Int): Seq[Long] =
+    corpus.map { case (id, v) =>
+      var s = 0.0; var j = 0
+      while (j < v.length) { s += v(j).toDouble * q(j).toDouble; j += 1 }
+      (s, id)
+    }.sortBy { case (s, id) => (-s, id) }.take(k).map(_._2).toSeq
+
+  private lazy val queries: Array[Array[Float]] = {
+    val rnd = new Random(Seed + 7)
+    val corpus = mkCorpus(N, Seed)
+    Array.tabulate(16) { qi =>
+      val base = corpus((qi * 1357) % N)
+      normalize(base.map(x => x + 0.1f * rnd.nextGaussian().toFloat))
+    }
+  }
+
+  test("T9-T18: create, add 30k, coverage 0 -> train -> coverage 1") {
+    engine.create("tdb")
+    val (first, last) = engine.addLocal("tdb",
+      mkCorpus(N, Seed).toIndexedSeq,
+      (0 until N).map(i => s"""{"text":"doc-$i"}"""))
+    assert(first == 0L && last == N - 1L)
+    assert(engine.coverageRatio("tdb") == 0.0)
+
+    val doc = engine.train("tdb", kmeansIters = 8, seed = Seed)
+    assert(doc.isTrained)
+    assert(doc.numClusters == graft.index.Heuristics.numClusters(N))
+    assert(doc.nProbe == graft.index.Heuristics.nProbe(doc.numClusters))
+    assert(doc.numVectorsTrainedOn == N && doc.maxTrainedId == N - 1L)
+    assert(engine.coverageRatio("tdb") == 1.0)
+  }
+
+  test("Q2/Q4/Q5: trained recall(50@500) > 0.97 vs exact, result invariants") {
+    val stored = engine.data("tdb").select("id", "vector").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    var recallSum = 0.0
+    queries.foreach { q =>
+      val gt = exactTopK(stored, q, 50).toSet
+      val res = engine.query("tdb", q, preliminaryTopK = 500, finalTopK = 50).collect()
+      assert(res.length == 50)
+      val ids = res.map(_.getLong(1))
+      assert(ids.distinct.length == 50, "result ids must be unique")
+      assert(res.map(_.getInt(0)).toSeq == (1 to 50), "ranks must be 1..k")
+      val sims = res.map(_.getDouble(3)).toSeq
+      assert(sims == sims.sorted.reverse, "similarity must be descending")
+      assert(sims.forall(s => s <= 1.0 + 1e-6 && s >= -1.0 - 1e-6))
+      recallSum += ids.count(gt.contains).toDouble / 50.0
+    }
+    val recall = recallSum / queries.length
+    info(f"trained recall(50@500) = $recall%.4f")
+    assert(recall > 0.97, f"recall $recall%.4f below the 0.97 gate")
+    assert(recall <= 1.0)
+  }
+
+  test("S11/S2: a fresh engine loads the index from disk and matches") {
+    val fresh = new Engine(spark, engine.root)
+    val a = fresh.query("tdb", queries(0), 500, 20).collect().map(_.getLong(1)).toSeq
+    val b = engine.query("tdb", queries(0), 500, 20).collect().map(_.getLong(1)).toSeq
+    assert(a == b)
+  }
+
+  test("A6/M2: add 2000 after train -> exact counters (test_fastapi.py:149-152)") {
+    val rnd = new Random(Seed + 99)
+    val extra = Array.tabulate(2000)(i =>
+      Array.tabulate(D)(j => rnd.nextGaussian().toFloat))
+    // one distinctive direction so the incremental-index query is decisive
+    val marker = Array.tabulate(D)(j => if (j < 2) 10f else 0.001f * j)
+    extra(1999) = marker
+    val (first, last) = engine.addLocal("tdb", extra.toIndexedSeq,
+      (0 until 2000).map(i => s"""{"new":$i}"""))
+    assert(first == N.toLong && last == N + 1999L)
+    val info1 = engine.info("tdb")
+    assert(info1("num_vectors") == N + 2000L)
+    assert(info1("num_new_vectors") == 2000L)
+    assert(engine.coverageRatio("tdb") == N.toDouble / (N + 2000)) // 0.9375
+    // the post-train row must be findable through the trained two-stage path
+    val res = engine.query("tdb", marker, 500, 10).collect()
+    assert(res.head.getLong(1) == N + 1999L)
+    assert(math.abs(res.head.getDouble(3) - 1.0) < 1e-5)
+  }
+
+  test("D2-D5: remove trained+new ids -> counter split, queries exclude") {
+    val trainedIds = (0L until 500L).toSeq
+    val newIds = (N.toLong until N + 100L).toSeq
+    val deleted = engine.remove("tdb", trainedIds ++ newIds)
+    assert(deleted == 600L)
+    val doc = engine.load("tdb")
+    assert(doc.numTrainedVectorsRemoved == 500L)
+    assert(doc.numNewVectors == 1900L)
+    assert(engine.count("tdb") == N + 2000L - 600L)
+    assert(engine.coverageRatio("tdb") ==
+      (N - 500).toDouble / (N + 1900)) // (trained - removedTrained)/(trained + new)
+    val res = engine.query("tdb", queries(0), 500, 50).collect().map(_.getLong(1))
+    assert(!res.exists(id => id < 500L || (id >= N && id < N + 100L)))
+  }
+
+  test("T9 determinism: repeat train on identical data gives identical centroids") {
+    val eng2 = new Engine(spark, tmpDir("graft-det"))
+    eng2.create("det")
+    eng2.addLocal("det", mkCorpus(6000, Seed + 1).toIndexedSeq,
+      (0 until 6000).map(_ => "{}"))
+    def centroidsOf(): Map[Int, Seq[Float]] = {
+      val doc = eng2.train("det", kmeansIters = 5, seed = Seed)
+      spark.read.parquet(s"${doc.indexPath(eng2.root)}/centroids").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    }
+    val c1 = centroidsOf()
+    val c2 = centroidsOf()
+    assert(c1.keySet == c2.keySet)
+    val maxDiff = c1.keys.map { k =>
+      c1(k).zip(c2(k)).map { case (a, b) => math.abs(a - b) }.max
+    }.max
+    assert(maxDiff < 1e-5f, s"repeat-train centroid drift $maxDiff")
+  }
+}
