@@ -129,7 +129,7 @@ object SparkEntry {
         |  GROUP BY e.vec_id, c.cid),
         |best AS (
         |  SELECT vec_id, cid,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY round(d2, 9), cid) AS rn
         |  FROM dist)
         |SELECT vec_id, cid FROM best WHERE rn = 1""".stripMargin,
 
@@ -146,7 +146,7 @@ object SparkEntry {
         |  GROUP BY e.vec_id, c.cid),
         |best AS (
         |  SELECT vec_id, cid,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY round(d2, 9), cid) AS rn
         |  FROM dist)
         |SELECT cid, count(*) AS cnt FROM best WHERE rn = 1 GROUP BY cid""".stripMargin,
 

@@ -235,21 +235,25 @@ class Engine(val spark: SparkSession, val root: String) {
   }
 
   /** Batched exact query for throughput (the Spark-side win): many query
-    * vectors in one job, per-query top-k via window ranking.
-    * `queries`: (query_id long, qvec array<float>) — pre-normalized or not.
+    * vectors in one job, per-query top-k via bounded per-partition heaps
+    * ([[graft.operators.TopK]]) — shuffle is O(partitions·q·k) instead of
+    * the full n·q scored cross product a window-rank plan would move.
+    * `queries`: (query_id long, qvec array<float>) — pre-normalized or not,
+    * broadcast-small by contract (collected to the driver).
     */
   def queryBatchFlat(name: String, queries: DataFrame, finalTopK: Int): DataFrame = {
     val doc = load(name)
     val table = spark.read.schema(dataSchema).parquet(doc.dataPath(root))
-    val qn = broadcast(queries.select(col("query_id"),
-      transform(l2Normalize(col("qvec")), _.cast("float")).as("qvec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine_similarity").desc, col("id"))
-    table.join(qn) // broadcast nested-loop: score every (query, row) pair
+    val qs = queries
+      .select(col("query_id").cast("long"), col("qvec").cast("array<float>"))
+      .collect()
+      .map(r => r.getLong(0) -> normalizeLocal(r.getSeq[Float](1).toArray))
+    val topk = graft.operators.TopK.topKPerQuery(table, qs, finalTopK)
+    // metadata hydrate: broadcast the tiny q·k result against the table
+    table.select(col("id"), col("metadata"))
+      .join(broadcast(topk), Seq("id"))
       .select(col("query_id"), col("id"), col("metadata"),
-        dot(col("vector"), col("qvec")).as("cosine_similarity"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= finalTopK)
+        col("sim").as("cosine_similarity"), col("rank"))
   }
 
   // ----------------------------------------------------------------- train

@@ -110,22 +110,20 @@ object Queries {
       .select(col("vec_id"), round(col("raw_sim"), 6).as("cosine_similarity"))
   }
 
-  /** Q5 — batched per-query top-k via window ranking (the Spark-side
-    * throughput shape of the rerank stage).
+  /** Q5 — batched per-query top-k via bounded per-partition heaps
+    * ([[graft.operators.TopK]]): shuffle is O(partitions·q·k), never the
+    * n·q scored cross product. Same (sim desc, id asc) tie-break and
+    * left-to-right dot fold as the window plan — oracle unchanged.
     */
   def knnBatchTopk(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val queries = e.filter(col("vec_id") < 4)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("raw_sim").desc, col("vec_id"))
-    e.crossJoin(broadcast(queries))
-      .select(col("query_id"), col("vec_id"),
-        dot(col("embedding"), col("qvec")).as("raw_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
+    val qs = e.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    graft.operators.TopK.topKPerQuery(e, qs, 10, idCol = "vec_id", vecCol = "embedding")
       .select(col("query_id"), col("vec_id"), col("rank"),
-        round(col("raw_sim"), 6).as("cosine_similarity"))
+        round(col("sim"), 6).as("cosine_similarity"))
   }
 
   /** Per-dimension mean vectors by label — the k-means update step (T11/T14
@@ -138,17 +136,23 @@ object Queries {
       .select(col("cid"), array((0 until 64).map(i => col(s"m$i")): _*).as("centroid"))
   }
 
-  /** T12 — nearest-centroid assignment (centroids = label means). */
+  /** T12 — nearest-centroid assignment (centroids = label means) as a
+    * shuffle-free argmin projection: every row computes its own argmin
+    * over the collected centroid array — no n·k cross join, no per-vec_id
+    * window shuffle. Distances rounded to 9dp on both sides before the
+    * (dist, cid) tie-break so cross-engine float noise can't flip
+    * near-equidistant assignments.
+    */
   def t12CentroidAssign(s: SparkSession, dir: String): DataFrame = {
-    val c = labelCentroids(s, dir)
+    val cents = labelCentroids(s, dir).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1)
+    val cLit = typedLit(cents.map(_._2).toSeq)
+    val cidLit = typedLit(cents.map(_._1).toSeq)
     val e = t(s, dir, "embeddings")
-    val dist = l2DistSq(col("embedding"), col("centroid"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-    e.crossJoin(broadcast(c))
-      .select(col("vec_id"), col("cid"), dist.as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"))
+    val dists = transform(cLit, c => round(l2DistSq(c, col("embedding")), 9))
+    val idx = array_position(dists, array_min(dists)) // first min → lowest cid on ties
+    e.select(col("vec_id"), element_at(cidLit, idx.cast("int")).as("cid"))
   }
 
   /** T13 — assignment histogram (`np.bincount` parity). */
