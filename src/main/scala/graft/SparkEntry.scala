@@ -29,6 +29,8 @@ object SparkEntry {
     "knn_batch_topk"     -> (Queries.knnBatchTopk _),
     "t12_centroid_assign" -> (Queries.t12CentroidAssign _),
     "t13_cluster_hist"   -> (Queries.t13ClusterHist _),
+    "lifecycle_ids"      -> (Queries.lifecycleIds _),
+    "lifecycle_counters" -> (Queries.lifecycleCounters _),
     "dedup_exact"        -> (Queries.dedupExact _),
     "text_tokens"        -> (Queries.textTokens _),
     "text_fingerprint"   -> (Queries.textFingerprint _),
@@ -149,6 +151,20 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY round(d2, 9), cid) AS rn
         |  FROM dist)
         |SELECT cid, count(*) AS cnt FROM best WHERE rn = 1 GROUP BY cid""".stripMargin,
+
+    "lifecycle_ids" ->
+      """SELECT id, label FROM (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS id,
+        |    CAST(label AS VARCHAR) AS label
+        |  FROM embeddings)
+        |WHERE id NOT IN (0, 7, 42, 99, 123, 256, 404, 499)""".stripMargin,
+
+    "lifecycle_counters" ->
+      """SELECT 'num_vectors' AS metric, count(*) - 8 AS value FROM embeddings
+        |UNION ALL SELECT 'max_id', count(*) - 1 FROM embeddings
+        |UNION ALL SELECT 'num_new_vectors', count(*) - 8 FROM embeddings
+        |UNION ALL SELECT 'num_trained_vectors_removed', 0
+        |UNION ALL SELECT 'num_vectors_trained_on', 0""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n

@@ -159,6 +159,46 @@ object Queries {
   def t13ClusterHist(s: SparkSession, dir: String): DataFrame =
     t12CentroidAssign(s, dir).groupBy(col("cid")).agg(count(lit(1)).as("cnt"))
 
+  // ------------------------------------------------------------- lifecycle
+
+  /** Run the engine's add→remove lifecycle on a scratch db fed from the
+    * embeddings table: ids are assigned sequentially over vec_id order so
+    * the whole flow (S1 create, A1-A5 ingest, A4 id assign, D1-D3 remove,
+    * S8 scan) is predictable by a SQL oracle over the source table.
+    */
+  private def lifecycleDb(s: SparkSession, dir: String): (graft.core.Engine, String) = {
+    val root = java.nio.file.Files.createTempDirectory("graft-lc").toString
+    val eng = new graft.core.Engine(s, root)
+    eng.create("lc")
+    val rows = t(s, dir, "embeddings").orderBy("vec_id")
+      .select(col("embedding").as("vector"), col("label").cast("string").as("metadata"))
+    eng.add("lc", rows)
+    eng.remove("lc", Seq(0L, 7L, 42L, 99L, 123L, 256L, 404L, 499L))
+    (eng, "lc")
+  }
+
+  /** Surviving (id, metadata) rows after the lifecycle — the S8 full scan. */
+  def lifecycleIds(s: SparkSession, dir: String): DataFrame = {
+    val (eng, name) = lifecycleDb(s, dir)
+    eng.data(name).select(col("id"), col("metadata").as("label"))
+  }
+
+  /** Catalog counters after the lifecycle (A8/D5/M9 bookkeeping) —
+    * exact-count semantics of reference test_fastapi.py:102-152.
+    */
+  def lifecycleCounters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (eng, name) = lifecycleDb(s, dir)
+    val doc = eng.load(name)
+    Seq(
+      ("num_vectors", eng.count(name)),
+      ("max_id", doc.maxId),
+      ("num_new_vectors", doc.numNewVectors),
+      ("num_trained_vectors_removed", doc.numTrainedVectorsRemoved),
+      ("num_vectors_trained_on", doc.numVectorsTrainedOn)
+    ).toDF("metric", "value")
+  }
+
   // ------------------------------------------------------------------ text
 
   /** Exact dedup: group by content hash, keep lowest id (keeper policy). */
