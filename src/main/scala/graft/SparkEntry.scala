@@ -34,6 +34,15 @@ object SparkEntry {
     "dedup_exact"        -> (Queries.dedupExact _),
     "text_tokens"        -> (Queries.textTokens _),
     "text_fingerprint"   -> (Queries.textFingerprint _),
+    "minhash_lsh"        -> (Queries.minhashLsh _),
+    "near_dup_jaccard"   -> (Queries.nearDupJaccard _),
+    "simhash"            -> (Queries.simhashFp _),
+    "embed_near_dup"     -> (Queries.embedNearDup _),
+    "lang_id"            -> (Queries.langId _),
+    "quality_score"      -> (Queries.qualityScore _),
+    "bpe_tokens"         -> (Queries.bpeTokens _),
+    "char_shingle_min"   -> (Queries.charShingleMin _),
+    "multimodal_meta"    -> (Queries.multimodalMeta _),
     "events_hourly"      -> (Queries.eventsHourly _)
   )
 
@@ -180,6 +189,142 @@ object SparkEntry {
         |  md5(array_to_string(list_sort(list_distinct(
         |    regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS fp
         |FROM documents""".stripMargin,
+
+    "minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w)-2)]
+        |    ELSE [array_to_string(w, ' ')] END AS shingles
+        |  FROM toks),
+        |sig AS (
+        |  SELECT doc_id,
+        |    [list_min([md5(s::VARCHAR || ':' || x) for x in shingles])
+        |     for s in generate_series(0, 11)] AS sig
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b AS band_idx,
+        |    md5(array_to_string(sig[3*b+1:3*b+3], '')) AS band_key
+        |  FROM sig, generate_series(0, 3) t(b))
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b
+        |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        | AND a.doc_id < b.doc_id""".stripMargin,
+
+    "near_dup_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w)-2)]
+        |    ELSE [array_to_string(w, ' ')] END AS shingles
+        |  FROM toks),
+        |sig AS (
+        |  SELECT doc_id,
+        |    [list_min([md5(s::VARCHAR || ':' || x) for x in shingles])
+        |     for s in generate_series(0, 11)] AS sig
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b AS band_idx,
+        |    md5(array_to_string(sig[3*b+1:3*b+3], '')) AS band_key
+        |  FROM sig, generate_series(0, 3) t(b)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |   AND a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh),
+        |scored AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    round(CAST(len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS DOUBLE)
+        |      / (len(sa.sset) + len(sb.sset)
+        |         - len(list_filter(sa.sset, x -> list_contains(sb.sset, x)))), 9) AS j9
+        |  FROM pairs p
+        |  JOIN sets sa ON p.doc_a = sa.doc_id
+        |  JOIN sets sb ON p.doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, round(j9, 6) AS jaccard
+        |FROM scored WHERE j9 >= 0.1""".stripMargin,
+
+    "simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        |hs AS (
+        |  SELECT doc_id, [('0x' || substr(md5(t), 1, 8))::BIGINT for t in w] AS h FROM toks),
+        |votes AS (
+        |  SELECT doc_id,
+        |    [list_sum([2 * ((x // (2**i)::BIGINT) % 2) - 1 for x in h])
+        |     for i in generate_series(0, 31)] AS v
+        |  FROM hs)
+        |SELECT doc_id,
+        |  CAST(list_sum([CASE WHEN v[i+1] > 0 THEN (2**i)::BIGINT ELSE 0 END
+        |    for i in generate_series(0, 31)]) AS BIGINT) AS simhash
+        |FROM votes""".stripMargin,
+
+    "embed_near_dup" ->
+      """WITH sigs AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm,
+        |    CAST(list_sum([
+        |      CASE WHEN list_sum([CAST(embedding[j] AS DOUBLE) *
+        |        (CASE WHEN ('0x' || substr(md5(p || '-' || j), 1, 1))::INT % 2 = 0
+        |              THEN 1.0 ELSE -1.0 END)
+        |        for j in generate_series(1, 64)]) >= 0
+        |      THEN (2**p)::BIGINT ELSE 0 END
+        |      for p in generate_series(0, 7)]) AS BIGINT) AS sig
+        |  FROM embeddings)
+        |SELECT id_a, id_b, round(c9, 6) AS cos_sim FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_sum([CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE)
+        |      for j in generate_series(1, 64)]) / (a.nrm * b.nrm), 9) AS c9
+        |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+        |WHERE c9 >= 0.35""".stripMargin,
+
+    "lang_id" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(w, t -> t IN ('der','die','das','und','ist','von','nicht','ein'))) AS DOUBLE) / greatest(len(w), 1) AS s_de,
+        |    CAST(len(list_filter(w, t -> t IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE) / greatest(len(w), 1) AS s_en,
+        |    CAST(len(list_filter(w, t -> t IN ('el','los','las','y','es','que','un','una'))) AS DOUBLE) / greatest(len(w), 1) AS s_es,
+        |    CAST(len(list_filter(w, t -> t IN ('le','les','et','est','que','une','dans','pour'))) AS DOUBLE) / greatest(len(w), 1) AS s_fr,
+        |    CAST(len(list_filter(w, t -> t IN ('的','了','是','在','我','有'))) AS DOUBLE) / greatest(len(w), 1) AS s_zh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents))
+        |SELECT doc_id,
+        |  CASE WHEN m = 0 THEN 'und'
+        |       WHEN s_de = m THEN 'de' WHEN s_en = m THEN 'en'
+        |       WHEN s_es = m THEN 'es' WHEN s_fr = m THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang,
+        |  round(m, 6) AS score
+        |FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS m FROM sc)""".stripMargin,
+
+    "quality_score" ->
+      """SELECT doc_id, round(
+        |    0.4 * least(CAST(len(list_filter(w, t -> t IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE) / greatest(len(w), 1) * 4.0, 1.0)
+        |  + 0.4 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
+        |  + 0.2 * (1.0 - CAST(length(lt) - length(regexp_replace(lt, '[^a-z0-9\s]', '', 'g')) AS DOUBLE) / greatest(length(lt), 1))
+        |  , 6) AS quality
+        |FROM (SELECT doc_id, lower(text) AS lt,
+        |        regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |      FROM documents)""".stripMargin,
+
+    "bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(trim(lower(text)), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_cnt
+        |FROM documents""".stripMargin,
+
+    "char_shingle_min" ->
+      """SELECT doc_id, CASE WHEN length(t) >= 8 THEN
+        |    list_min([md5(substr(t, i, 8)) for i in generate_series(1, length(t) - 7)])
+        |  ELSE md5(t) END AS shingle_min
+        |FROM (SELECT doc_id, trim(lower(text)) AS t FROM documents)""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  16 * (1 + ('0x' || substr(h, 1, 2))::BIGINT % 64) AS width,
+        |  16 * (1 + ('0x' || substr(h, 3, 2))::BIGINT % 64) AS height,
+        |  1 + ('0x' || substr(h, 5, 2))::BIGINT % 32 AS n_frames,
+        |  strlen(text) AS n_bytes
+        |FROM (SELECT doc_id, md5(text) AS h, text FROM documents)""".stripMargin,
 
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,

@@ -225,6 +225,87 @@ object Queries {
         md5(concat_ws(" ",
           array_sort(array_distinct(split(trim(lower(col("text"))), "\\s+"))))).as("fp"))
 
+  // ----------------------------------------------- LLM-pipeline: near-dup
+
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      graft.operators.MinHashLSH.shingles(col("text")).as("shingles"))
+
+  /** MinHash+LSH candidate pairs: signature as a per-row projection, one
+    * equi-join shuffle on (band_idx, band_key) — never an n² cross join.
+    * H=12 hashes, bands of r=3.
+    */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = shingled(s, dir).select(col("doc_id"),
+      graft.operators.MinHashLSH.signature(col("shingles"), 12).as("sig"))
+    val bands = graft.operators.MinHashLSH.bands(sig, "doc_id", "sig", r = 3)
+    graft.operators.MinHashLSH.candidatePairs(bands, "doc_id")
+  }
+
+  /** LSH candidates verified by exact n-gram Jaccard over the distinct
+    * shingle sets (banding false-positives die here); threshold 0.1.
+    */
+  def nearDupJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sets = shingled(s, dir)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("sset"))
+    val pairs = minhashLsh(s, dir)
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(graft.operators.MinHashLSH.jaccard(col("sa"), col("sb")), 9).as("j9"))
+      .filter(col("j9") >= 0.1)
+      .select(col("doc_a"), col("doc_b"), round(col("j9"), 6).as("jaccard"))
+  }
+
+  /** 32-bit SimHash fingerprint per document (near-dup by Hamming key). */
+  def simhashFp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      graft.operators.SimHash.fingerprint(col("text")).as("simhash"))
+
+  /** Embedding-cosine near-dup via random-hyperplane LSH buckets (8 planes),
+    * cosine ≥ 0.35 within-bucket only — the n²-free scale path.
+    */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EmbeddingLSH.nearDupPairs(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      numPlanes = 8, dim = 64, tau = 0.35)
+      .select(col("id_a"), col("id_b"), round(col("cos9"), 6).as("cos_sim"))
+
+  // -------------------------------------------- LLM-pipeline: text analysis
+
+  /** Language-ID by stopword-profile argmax (n-gram heuristic). */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    val (pred, best) = graft.operators.TextAnalysis.langId(toks)
+    t(s, dir, "documents").select(col("doc_id"), pred.as("pred_lang"),
+      round(best, 6).as("score"))
+  }
+
+  /** Heuristic quality score (stopword coverage + length prior − punct). */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      round(graft.operators.TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+
+  /** BPE-ish regex token count (letter runs / digit runs / punct marks). */
+  def bpeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      graft.operators.TextAnalysis.bpeTokenCount(col("text")).as("bpe_cnt"))
+
+  /** Rolling 8-char-shingle min-hash fingerprint (winnowing-lite). */
+  def charShingleMin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      graft.operators.TextAnalysis.charShingleMin(col("text")).as("shingle_min"))
+
+  // ------------------------------------------------ LLM-pipeline: multimodal
+
+  /** Binary media column + stubbed decode (schema/batch plumbing is real;
+    * the codec is a deterministic md5-derived fake — see
+    * [[graft.operators.Multimodal.stubDecode]]).
+    */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.mediaMeta(t(s, dir, "documents"), "doc_id", "text")
+
   // ---------------------------------------------------------------- events
 
   /** Tumbling hourly window aggregation over the event stream table.
