@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.Locale
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -8,44 +12,94 @@ import org.apache.spark.sql.functions._
   * README.md:52; this is the §2-beyond operator for LLM pipelines).
   *
   * Shape, built for 100 TB:
-  *  - signatures are a pure per-row projection (no shuffle): shingle set →
-  *    H minhashes, each the array_min of a deterministic per-shingle hash
-  *    (md5 of `seed:shingle`, lexicographic min — cross-engine stable)
-  *  - banding explodes H/r band keys per doc and finds candidates with an
-  *    equi-join on (band_idx, band_key): one hash shuffle keyed by band,
-  *    NEVER an all-pairs cross join; cost tracks the number of colliding
-  *    docs per bucket, not n²
+  *  - signatures + band keys are a pure per-row kernel (no shuffle): the
+  *    text tokenizes once, shingles hash once per seed, and the H
+  *    minhashes reduce to H/r band keys — one tight JVM loop per row.
+  *    (A nested Catalyst higher-order-function formulation is semantically
+  *    identical but re-evaluates the tokenizer inside every lambda after
+  *    CollapseProject inlining — measured 100×+ slower; kernels keep the
+  *    per-row cost at exactly |shingles|·H md5 calls.)
+  *  - banding finds candidates with an equi-join on (band_idx, band_key):
+  *    one hash shuffle keyed by band, NEVER an all-pairs cross join; cost
+  *    tracks colliding docs per bucket, not n²
   *  - verification joins candidate pairs back to their exact shingle sets
-  *    and filters on true Jaccard — false positives from banding die here
+  *    and filters on true Jaccard — banding false-positives die here
+  *
+  * Every hash is md5-hex (lowercase) with lexicographic min, so the exact
+  * pipeline is reproducible in ANSI SQL for the oracle.
   */
 object MinHashLSH {
 
-  /** Word w-shingles of lower-cased, whitespace-split text; docs shorter
-    * than w shingle to their whole token string.
+  /** Word w-shingles of lower-cased, trimmed, whitespace-split text; docs
+    * shorter than w shingle to their whole token string. Matches
+    * `regexp_split_to_array(trim(lower(text)), '\s+')` semantics for
+    * trimmed input.
     */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val toks = split(trim(lower(text)), "\\s+")
-    when(size(toks) >= w,
-      transform(sequence(lit(1), size(toks) - (w - 1)), i =>
-        concat_ws(" ", (0 until w).map(o => element_at(toks, i + o)): _*)))
-      .otherwise(array(concat_ws(" ", toks)))
+  def shingleStrings(text: String, w: Int): Array[String] = {
+    val toks = text.toLowerCase(Locale.ROOT).trim.split("\\s+")
+    if (toks.length >= w)
+      Array.tabulate(toks.length - w + 1)(i => toks.slice(i, i + w).mkString(" "))
+    else Array(toks.mkString(" "))
   }
 
-  /** H-element MinHash signature (array<string>): element s is the
-    * lexicographic min of md5(s + ":" + shingle) over the shingle set.
-    */
-  def signature(shingleCol: Column, numHashes: Int = 12): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), s =>
-      array_min(transform(shingleCol, sh =>
-        md5(concat(s.cast("string"), lit(":"), sh)))))
+  // hot path: thread-local digest (getInstance does provider lookup) and
+  // table-based hex (String.format per byte costs more than the md5 itself)
+  private val digest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+  private val HexChars = "0123456789abcdef".toCharArray
 
-  /** (band_idx, band_key) rows, `numHashes / r` bands per doc. */
-  def bands(df: DataFrame, idCol: String, sigCol: String, r: Int = 3): DataFrame = {
-    val sig = col(sigCol)
-    val bandKeys = transform(sequence(lit(0), (size(sig) / r).cast("int") - 1), b =>
-      md5(concat_ws("", (0 until r).map(o => element_at(sig, b * r + o + 1)): _*)))
-    df.select(col(idCol), posexplode(bandKeys).as(Seq("band_idx", "band_key")))
+  private def md5hex(s: String): String = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
+
+  /** H-element MinHash signature: element s is the lexicographic min of
+    * md5(s + ":" + shingle) over the shingle set.
+    */
+  def signatureLocal(shingles: Array[String], numHashes: Int): Array[String] =
+    Array.tabulate(numHashes) { s =>
+      var min: String = null
+      var i = 0
+      while (i < shingles.length) {
+        val h = md5hex(s"$s:${shingles(i)}")
+        if (min == null || h.compareTo(min) < 0) min = h
+        i += 1
+      }
+      min
+    }
+
+  /** numHashes/r band keys: md5 of the concatenated signature slice. */
+  def bandKeysLocal(sig: Array[String], r: Int): Array[String] =
+    Array.tabulate(sig.length / r)(b => md5hex(sig.slice(b * r, b * r + r).mkString("")))
+
+  /** Band keys straight from text — the whole per-row kernel as a column. */
+  def bandKeys(text: Column, w: Int = 3, numHashes: Int = 12, r: Int = 3): Column = {
+    val f = udf { (t: String) =>
+      bandKeysLocal(signatureLocal(shingleStrings(t, w), numHashes), r)
+    }
+    f(text)
+  }
+
+  /** Distinct shingle set (for exact-Jaccard verification). */
+  def shingleSet(text: Column, w: Int = 3): Column = {
+    val f = udf { (t: String) => shingleStrings(t, w).distinct }
+    f(text)
+  }
+
+  /** (id, band_idx, band_key) rows, numHashes/r per doc. */
+  def bands(df: DataFrame, idCol: String, textCol: String,
+            w: Int = 3, numHashes: Int = 12, r: Int = 3): DataFrame =
+    df.select(col(idCol),
+      posexplode(bandKeys(col(textCol), w, numHashes, r)).as(Seq("band_idx", "band_key")))
 
   /** Distinct candidate pairs (a < b) sharing at least one band bucket —
     * a single equi-join shuffle on (band_idx, band_key).

@@ -227,18 +227,13 @@ object Queries {
 
   // ----------------------------------------------- LLM-pipeline: near-dup
 
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"),
-      graft.operators.MinHashLSH.shingles(col("text")).as("shingles"))
-
-  /** MinHash+LSH candidate pairs: signature as a per-row projection, one
-    * equi-join shuffle on (band_idx, band_key) — never an n² cross join.
-    * H=12 hashes, bands of r=3.
+  /** MinHash+LSH candidate pairs: signature + band keys as a per-row
+    * kernel, one equi-join shuffle on (band_idx, band_key) — never an n²
+    * cross join. H=12 hashes, bands of r=3.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = shingled(s, dir).select(col("doc_id"),
-      graft.operators.MinHashLSH.signature(col("shingles"), 12).as("sig"))
-    val bands = graft.operators.MinHashLSH.bands(sig, "doc_id", "sig", r = 3)
+    val bands = graft.operators.MinHashLSH.bands(
+      t(s, dir, "documents"), "doc_id", "text", w = 3, numHashes = 12, r = 3)
     graft.operators.MinHashLSH.candidatePairs(bands, "doc_id")
   }
 
@@ -246,8 +241,8 @@ object Queries {
     * shingle sets (banding false-positives die here); threshold 0.1.
     */
   def nearDupJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sets = shingled(s, dir)
-      .select(col("doc_id"), array_distinct(col("shingles")).as("sset"))
+    val sets = t(s, dir, "documents").select(col("doc_id"),
+      graft.operators.MinHashLSH.shingleSet(col("text")).as("sset"))
     val pairs = minhashLsh(s, dir)
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa")), Seq("doc_a"))

@@ -21,17 +21,15 @@ class NearDupSpec extends SparkSpec {
   ).toDF("doc_id", "text")
 
   test("minhash LSH: exact dup always pairs; jaccard(identical) = 1") {
-    val sig = docs.select(col("doc_id"),
-      MinHashLSH.signature(MinHashLSH.shingles(col("text")), 12).as("sig"))
     val pairs = MinHashLSH.candidatePairs(
-      MinHashLSH.bands(sig, "doc_id", "sig", r = 3), "doc_id")
+      MinHashLSH.bands(docs, "doc_id", "text"), "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 2L)), s"exact dup must collide in every band: $pairs")
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) },
       "unrelated doc must not pair")
 
     val sets = docs.select(col("doc_id"),
-      array_distinct(MinHashLSH.shingles(col("text"))).as("s"))
+      MinHashLSH.shingleSet(col("text")).as("s"))
     val j = sets.as("a").join(sets.as("b"),
         col("a.doc_id") === 0 && col("b.doc_id") === 2)
       .select(MinHashLSH.jaccard(col("a.s"), col("b.s"))).head().getDouble(0)
