@@ -29,6 +29,7 @@ object SparkEntry {
     "knn_batch_topk"     -> (Queries.knnBatchTopk _),
     "t12_centroid_assign" -> (Queries.t12CentroidAssign _),
     "t13_cluster_hist"   -> (Queries.t13ClusterHist _),
+    "knn_filtered"       -> (Queries.knnFiltered _),
     "lifecycle_ids"      -> (Queries.lifecycleIds _),
     "lifecycle_counters" -> (Queries.lifecycleCounters _),
     "dedup_exact"        -> (Queries.dedupExact _),
@@ -160,6 +161,24 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY round(d2, 9), cid) AS rn
         |  FROM dist)
         |SELECT cid, count(*) AS cnt FROM best WHERE rn = 1 GROUP BY cid""".stripMargin,
+
+    "knn_filtered" ->
+      """WITH nv AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS id, vec_id, label,
+        |    [CAST(CAST(x AS DOUBLE) / n AS REAL) for x in embedding] AS v
+        |  FROM (
+        |    SELECT vec_id, label, embedding,
+        |      sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS n
+        |    FROM embeddings)),
+        |q AS (SELECT v AS qv FROM nv WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT nv.id, nv.label,
+        |    list_sum([CAST(nv.v[j] AS DOUBLE) * CAST(q.qv[j] AS DOUBLE)
+        |      for j in generate_series(1, 64)]) AS sim
+        |  FROM nv, q WHERE nv.label IN (2, 5, 8))
+        |SELECT row_number() OVER (ORDER BY sim DESC, id) AS rank, id,
+        |  CAST(label AS VARCHAR) AS label, round(sim, 6) AS cosine_similarity
+        |FROM scored ORDER BY sim DESC, id LIMIT 15""".stripMargin,
 
     "lifecycle_ids" ->
       """SELECT id, label FROM (

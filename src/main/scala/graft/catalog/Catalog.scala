@@ -114,8 +114,10 @@ object Catalog {
 
   def delete(root: String, name: String): Unit = {
     def rm(p: Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(rm(_))
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.forEach(rm(_)) finally s.close()
+      }
       Files.deleteIfExists(p)
     }
     rm(Paths.get(root, name))

@@ -1,8 +1,6 @@
 package graft.core
 
-import scala.collection.concurrent.TrieMap
-
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -28,8 +26,16 @@ import graft.index._
 class Engine(val spark: SparkSession, val root: String) {
   import Engine._
 
-  private val indexCache = TrieMap.empty[(String, Int), IndexModel]
+  /** M7 — LRU over loaded index artifacts, bounded by their actual driver
+    * footprint (reference cache/cache.py:5-102; the M8 estimator backs the
+    * info endpoint, MemoryModel.scala).
+    */
+  private val indexCache = new LruCache[(String, Int), IndexModel](
+    Engine.DefaultMaxMemoryUsage, Engine.modelBytes)
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Cache-budget control (fastapi.py `update_max_memory_usage`). */
+  def updateMaxMemoryUsage(bytes: Long): Unit = indexCache.updateMaxMemory(bytes)
 
   // ---------------------------------------------------------------- schema
 
@@ -58,7 +64,7 @@ class Engine(val spark: SparkSession, val root: String) {
 
   /** S12 — drop db (mindb.py:549-551). */
   def delete(name: String): Unit = {
-    indexCache.filterInPlace { case ((n, _), _) => n != name }
+    indexCache.removeIf { case (n, _) => n == name }
     Catalog.delete(root, name)
   }
 
@@ -193,9 +199,16 @@ class Engine(val spark: SparkSession, val root: String) {
   /** Q1-Q9 — two-stage ANN query (mindb.py:368-442). Returns an ordered
     * DataFrame `(rank, id, metadata, cosine_similarity)` of `finalTopK`
     * rows. Untrained dbs use the exact flat path (mindb.py:396-415).
+    *
+    * `predicate` is the metadata filter the reference lists as its next
+    * major feature (README.md:52): a Column over (id, metadata), e.g.
+    * `get_json_object(col("metadata"), "$.lang") === "en"`. On the flat
+    * path it pushes into the scan (exact filtered kNN); on the trained
+    * path it post-filters the preliminary candidates (standard filtered-ANN
+    * semantics — widen preliminaryTopK for highly-selective predicates).
     */
   def query(name: String, q: Array[Float], preliminaryTopK: Int = 500,
-            finalTopK: Int = 100): DataFrame = {
+            finalTopK: Int = 100, predicate: Option[Column] = None): DataFrame = {
     val doc = load(name)
     require(doc.vectorDimension <= 0 || q.length == doc.vectorDimension,
       s"query dim ${q.length} != ${doc.vectorDimension}")
@@ -203,7 +216,7 @@ class Engine(val spark: SparkSession, val root: String) {
     val table = spark.read.schema(dataSchema).parquet(doc.dataPath(root))
 
     val candidates: DataFrame =
-      if (!doc.isTrained) table
+      if (!doc.isTrained) predicate.fold(table)(table.filter) // pushed into the scan
       else {
         // Q2 — coarse search: probe selection on the driver (O(nlist·p)),
         // partition-pruned ADC scan, top-preliminaryTopK
@@ -219,8 +232,10 @@ class Engine(val spark: SparkSession, val root: String) {
         val adc = Coder.adcDistCol(spark, luts, col("cluster_id"), col("code"))
         val candIds = coded.select(col("id"), adc.as("adc_dist"))
           .orderBy(col("adc_dist"), col("id")).limit(preliminaryTopK).select("id")
-        // Q4 — candidate fetch: broadcast join of the tiny candidate set
-        table.join(broadcast(candIds), Seq("id"))
+        // Q4 — candidate fetch: broadcast join of the tiny candidate set,
+        // metadata predicate applied on the fetched candidates
+        val fetched = table.join(broadcast(candIds), Seq("id"))
+        predicate.fold(fetched)(fetched.filter)
       }
 
     // Q5/Q6 — exact rerank by dot-product cosine (normalized vectors)
@@ -406,7 +421,12 @@ class Engine(val spark: SparkSession, val root: String) {
       "num_new_vectors" -> doc.numNewVectors,
       "coverage_ratio" -> coverageRatio(name),
       "num_clusters" -> doc.numClusters,
-      "n_probe" -> doc.nProbe)
+      "n_probe" -> doc.nProbe,
+      // M8 — reference memory-model estimate (cache/cache.py:105-138)
+      "index_memory_bytes" -> MemoryModel.estimate(
+        hasVectors = doc.maxId >= 0, isTrained = doc.isTrained,
+        nTotal = count(name), vectorDimension = doc.vectorDimension,
+        compressedVectorBytes = doc.compressedVectorBytes))
   }
 
   /** M3/M4 — auto-train triggers; runs `train` when due. Returns true if a
@@ -425,8 +445,9 @@ class Engine(val spark: SparkSession, val root: String) {
   // --------------------------------------------------------------- private
 
   private def indexModel(doc: CatalogDoc): IndexModel =
-    indexCache.getOrElseUpdate((doc.name, doc.indexVersion),
-      IndexStore.loadModel(spark, doc.indexPath(root)))
+    indexCache.getOrElseUpdate((doc.name, doc.indexVersion)) {
+      IndexStore.loadModel(spark, doc.indexPath(root))
+    }
 
   private def normalizeLocal(v: Array[Float]): Array[Float] = {
     var s = 0.0; var i = 0
@@ -449,6 +470,19 @@ object Engine {
     * T7 strategy chooser only — Spark spills instead of enforcing it.
     */
   val DefaultMaxMemoryUsage: Long = 4L * 1024 * 1024 * 1024
+
+  /** Actual driver bytes of a loaded IndexModel (centroids + codebooks +
+    * PCA matrix), the LRU eviction cost.
+    */
+  def modelBytes(m: IndexModel): Long = {
+    val centroids = m.centroids.length.toLong *
+      (if (m.centroids.isEmpty) 0 else m.centroids(0).length) * 4L
+    val codebooks = m.pq.m.toLong * 256L * m.pq.subDim * 4L
+    val pca = m.pca.mean.length.toLong * 8L +
+      m.pca.components.length.toLong *
+        (if (m.pca.components.isEmpty) 0 else m.pca.components(0).length) * 8L
+    centroids + codebooks + pca + 64L
+  }
 
   /** In-memory index artifact: PCA model + IVF centroids (PCA space) + PQ
     * codebooks. Total size O(d² + nlist·p + m·256·subdim) — driver/broadcast

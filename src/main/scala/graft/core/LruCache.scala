@@ -1,0 +1,73 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** M7 — memory-bounded LRU cache, the Spark-side port of the reference's
+  * `LRUCache` (cache/cache.py:5-102): insertion/access-ordered map,
+  * eviction by an estimated per-entry byte cost until under `maxMemory`,
+  * and a protection predicate standing in for the reference's "don't evict
+  * a db that is mid-training" operations check (cache.py:20-22, 58-60).
+  *
+  * Driver-local and synchronized — it caches small index artifacts
+  * (IndexModel: O(d² + nlist·p + m·256·sub) bytes), never data.
+  */
+final class LruCache[K, V](@volatile var maxMemory: Long,
+                           estimate: V => Long,
+                           isProtected: K => Boolean = (_: K) => false) {
+
+  private val entries = mutable.LinkedHashMap.empty[K, V]
+  private var currentMemory = 0L
+
+  def memoryUsage: Long = synchronized(currentMemory)
+  def size: Int = synchronized(entries.size)
+  def keys: Seq[K] = synchronized(entries.keys.toSeq)
+
+  def get(key: K): Option[V] = synchronized {
+    entries.remove(key).map { v =>
+      entries.put(key, v) // re-insert → most recently used
+      v
+    }
+  }
+
+  def getOrElseUpdate(key: K)(load: => V): V = synchronized {
+    get(key).getOrElse {
+      val v = load
+      put(key, v)
+      v
+    }
+  }
+
+  def put(key: K, value: V): Unit = synchronized {
+    entries.remove(key).foreach(old => currentMemory -= estimate(old))
+    val cost = estimate(value)
+    evictUntil(maxMemory - cost)
+    entries.put(key, value)
+    currentMemory += cost
+  }
+
+  def remove(key: K): Unit = synchronized {
+    entries.remove(key).foreach(v => currentMemory -= estimate(v))
+  }
+
+  def removeIf(p: K => Boolean): Unit = synchronized {
+    entries.keys.filter(p).toSeq.foreach(remove)
+  }
+
+  /** Shrink (or grow) the budget and evict to fit (cache.py:11-27). */
+  def updateMaxMemory(newMax: Long): Unit = synchronized {
+    maxMemory = newMax
+    evictUntil(maxMemory)
+  }
+
+  /** Evict least-recently-used unprotected entries until usage ≤ budget;
+    * stops early if only protected entries remain (cache.py:58-66).
+    */
+  private def evictUntil(budget: Long): Unit = {
+    var candidates = entries.keys.filterNot(isProtected).toList
+    while (currentMemory > budget && candidates.nonEmpty) {
+      val victim = candidates.head
+      candidates = candidates.tail
+      entries.remove(victim).foreach(v => currentMemory -= estimate(v))
+    }
+  }
+}

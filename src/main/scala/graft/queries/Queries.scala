@@ -199,6 +199,25 @@ object Queries {
     ).toDF("metric", "value")
   }
 
+  /** Metadata-filtered exact kNN through the real engine — the reference's
+    * own declared roadmap feature (README.md:52): predicate pushes into
+    * the flat scan before ranking. Ids are vec_id-rank assigned so the SQL
+    * oracle reproduces the whole flow.
+    */
+  def knnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-fk").toString
+    val eng = new graft.core.Engine(s, root)
+    eng.create("fk")
+    eng.add("fk", t(s, dir, "embeddings").orderBy("vec_id")
+      .select(col("embedding").as("vector"), col("label").cast("string").as("metadata")))
+    val q = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
+      .head().getSeq[Float](1).toArray
+    eng.query("fk", q, finalTopK = 15,
+      predicate = Some(col("metadata").isin("2", "5", "8")))
+      .select(col("rank"), col("id"), col("metadata").as("label"),
+        round(col("cosine_similarity"), 6).as("cosine_similarity"))
+  }
+
   // ------------------------------------------------------------------ text
 
   /** Exact dedup: group by content hash, keep lowest id (keeper policy). */
