@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.core.Engine
+import graft.streaming.{EventStream, StreamingIngest}
+
+/** Structured-Streaming behavior: watermarked windowed aggregation matches
+  * the batch plan on the same data, keyed custom state accumulates, and
+  * streaming ingest preserves the engine's sequential-id contract.
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+
+  test("watermarked hourly window agg matches the batch aggregation") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.startToMemory(
+      EventStream.hourlyCounts(events), "hourly_test")
+    try {
+      input.addData(
+        (ts(10, 5), "click", 1.0), (ts(10, 40), "click", 2.0),
+        (ts(10, 55), "view", 5.0), (ts(11, 10), "click", 4.0))
+      q.processAllAvailable()
+      val got = spark.table("hourly_test")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = EventStream.hourlyCounts(
+        Seq((ts(10, 5), "click", 1.0), (ts(10, 40), "click", 2.0),
+          (ts(10, 55), "view", 5.0), (ts(11, 10), "click", 4.0))
+          .toDF("ts", "event_type", "value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == batch)
+      assert(got.contains(("2026-01-01 10:00", "click", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-key running stats across batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventStream.EventRow]
+    val q = EventStream.runningStats(input.toDS())
+      .toDF().writeStream.format("memory").queryName("stats_test")
+      .outputMode("update").start()
+    try {
+      input.addData(EventStream.EventRow("a", 1.0), EventStream.EventRow("a", 2.0))
+      q.processAllAvailable()
+      input.addData(EventStream.EventRow("a", 3.0), EventStream.EventRow("b", 10.0))
+      q.processAllAvailable()
+      val last = spark.table("stats_test").groupBy("event_type")
+        .agg(max("n").as("n"), max("total").as("total"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(last("a") == (3L, 6.0)) // state carried across micro-batches
+      assert(last("b") == (1L, 10.0))
+    } finally q.stop()
+  }
+
+  test("streaming ingest: foreachBatch add keeps ids sequential across batches") {
+    implicit val sq = spark.sqlContext
+    val engine = new Engine(spark, tmpDir("graft-stream"))
+    engine.create("sdb")
+    val input = MemoryStream[(Seq[Float], String)]
+    val rows = input.toDF().toDF("vector", "metadata")
+    val q = StreamingIngest.start(engine, "sdb", rows, tmpDir("graft-ckpt"))
+    try {
+      input.addData((Seq(1.0f, 0.0f), """{"b":1}"""), (Seq(0.0f, 1.0f), """{"b":1}"""))
+      q.processAllAvailable()
+      input.addData((Seq(0.5f, 0.5f), """{"b":2}"""))
+      q.processAllAvailable()
+      assert(engine.count("sdb") == 3L)
+      val doc = engine.load("sdb")
+      assert(doc.maxId == 2L)
+      val ids = engine.data("sdb").select("id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(0L, 1L, 2L))
+      // the streamed rows are queryable through the normal path
+      val res = engine.query("sdb", Array(1.0f, 0.0f), finalTopK = 1).collect()
+      assert(res.head.getLong(1) == 0L)
+    } finally q.stop()
+  }
+}
