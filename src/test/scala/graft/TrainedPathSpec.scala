@@ -144,6 +144,47 @@ class TrainedPathSpec extends SparkSpec {
     assert(!res.exists(id => id < 500L || (id >= N && id < N + 100L)))
   }
 
+  test("T11-T14: two-level clustering trains and clears the recall gate") {
+    val eng2 = new Engine(spark, tmpDir("graft-2lvl"))
+    eng2.create("tl")
+    val corpus = mkCorpus(8000, Seed + 3)
+    eng2.addLocal("tl", corpus.toIndexedSeq,
+      (0 until 8000).map(i => s"""{"i":$i}"""))
+    val doc = eng2.train("tl", useTwoLevelClustering = Some(true),
+      kmeansIters = 6, seed = Seed)
+    assert(doc.isTrained)
+    // centroid table holds exactly nlist rows, deterministic order
+    val cents = spark.read.parquet(s"${doc.indexPath(eng2.root)}/centroids")
+    assert(cents.count() == doc.numClusters.toLong)
+
+    val stored = eng2.data("tl").select("id", "vector").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val rnd = new Random(Seed + 11)
+    var recallSum = 0.0
+    val qs = Array.tabulate(8) { qi =>
+      normalize(corpus((qi * 911) % 8000).map(x => x + 0.1f * rnd.nextGaussian().toFloat))
+    }
+    qs.foreach { q =>
+      val gt = exactTopK(stored, q, 50).toSet
+      val ids = eng2.query("tl", q, 500, 50).collect().map(_.getLong(1))
+      recallSum += ids.count(gt.contains).toDouble / 50.0
+    }
+    val recall = recallSum / qs.length
+    info(f"two-level recall(50@500) = $recall%.4f")
+    assert(recall > 0.97, f"two-level recall $recall%.4f below the 0.97 gate")
+  }
+
+  test("M3/M4: auto-train trigger wiring") {
+    // trained db with coverage 0.92 and n >= cutoff: no retrain due
+    assert(!engine.maybeAutoTrain("tdb"))
+    // small flat db below the 25k cutoff: no initial train due
+    val eng3 = new Engine(spark, tmpDir("graft-auto"))
+    eng3.create("small")
+    eng3.addLocal("small", Seq(Array.fill(8)(1.0f)), Seq("{}"))
+    assert(!eng3.maybeAutoTrain("small"))
+    assert(!eng3.load("small").isTrained)
+  }
+
   test("T9 determinism: repeat train on identical data gives identical centroids") {
     val eng2 = new Engine(spark, tmpDir("graft-det"))
     eng2.create("det")
