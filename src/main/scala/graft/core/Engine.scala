@@ -271,6 +271,33 @@ class Engine(val spark: SparkSession, val root: String) {
         col("sim").as("cosine_similarity"), col("rank"))
   }
 
+  /** Batched TRAINED two-stage query: q query vectors share one
+    * partition-pruned scan of the coded table ([[graft.operators.BatchANN]])
+    * and one candidate-rerank pass — the throughput shape where the Spark
+    * engine amortizes scan cost across queries. Results are identical to
+    * running [[query]] per query vector (same distances, same tie-breaks).
+    * `queries`: (query_id long, qvec array<float>), broadcast-small.
+    */
+  def queryBatchTrained(name: String, queries: DataFrame,
+                        preliminaryTopK: Int = 500, finalTopK: Int = 100): DataFrame = {
+    val doc = load(name)
+    require(doc.isTrained, s"'$name' has no trained index — use queryBatchFlat")
+    val model = indexModel(doc)
+    val qs = queries
+      .select(col("query_id").cast("long"), col("qvec").cast("array<float>"))
+      .collect()
+      .map(r => r.getLong(0) -> normalizeLocal(r.getSeq[Float](1).toArray))
+    val qsP = qs.map { case (qid, qn) => qid -> model.pca.applyLocal(qn) }
+    val probes = qsP.map { case (_, qp) => model.nearestClusters(qp, doc.nProbe) }
+    val probeUnion = probes.flatten.distinct
+    val coded = spark.read.parquet(s"${doc.indexPath(root)}/coded")
+      .filter(col("cluster_id").isin(probeUnion.map(Integer.valueOf): _*))
+    val candidates = graft.operators.BatchANN.coarseCandidates(
+      spark, coded, model, qsP, probes, preliminaryTopK)
+    val table = spark.read.schema(dataSchema).parquet(doc.dataPath(root))
+    graft.operators.BatchANN.rerank(spark, table, candidates, qs, finalTopK)
+  }
+
   // ----------------------------------------------------------------- train
 
   /** T1-T19 — build the PCA→IVF→PQ index over the current snapshot and

@@ -1,0 +1,133 @@
+package graft.operators
+
+import scala.collection.mutable.PriorityQueue
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Engine.IndexModel
+
+/** Batched trained-index ANN: the throughput form of the reference's
+  * two-stage search (mindb.py:368-442) — q query vectors share ONE
+  * partition-pruned scan of the PQ-coded table instead of q driver
+  * round-trips. This is where the Spark engine beats the single-node
+  * reference at scale: per-query cost amortizes to (rows scanned ×
+  * q_probing) kernel flops and a shuffle bounded by O(partitions·q·k).
+  *
+  * Stage 1 (coarse): scan only the union of all queries' probed clusters
+  * (partition pruning); per row, decode the PQ code once
+  * (centroid + codebook residual) and score ‖q_pca − reconstructed‖² for
+  * exactly the queries probing that cluster — the same value the
+  * single-query ADC LUT computes — into per-query bounded heaps of size
+  * preliminaryTopK. Stage 2 (rerank): exact dot over the fetched candidate
+  * vectors, per-query top-finalTopK. Both shuffles move candidate rows,
+  * never scored cross products.
+  */
+object BatchANN {
+
+  /** @param queriesP (query_id, PCA-projected normalized query) pairs
+    * @param probes   per-query probed cluster ids (same order as queriesP)
+    * @return (query_id, id, adc_dist) candidate rows, ≤ prelimK per query
+    */
+  def coarseCandidates(spark: SparkSession, coded: DataFrame,
+                       model: IndexModel,
+                       queriesP: Array[(Long, Array[Float])],
+                       probes: Array[Array[Int]],
+                       prelimK: Int): DataFrame = {
+    // invert probe sets: cluster -> indices of queries probing it
+    val clusterToQueries: Map[Int, Array[Int]] =
+      probes.zipWithIndex
+        .flatMap { case (cs, qi) => cs.map(c => c -> qi) }
+        .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val bc = spark.sparkContext.broadcast(
+      (model.centroids, model.pq.codebooks, model.pq.subDim,
+        queriesP.map(_._2), clusterToQueries))
+    val qIds = queriesP.map(_._1)
+
+    val src = coded.select(col("id").cast("long"), col("cluster_id").cast("int"),
+      col("code"))
+
+    val partialRdd = src.rdd.mapPartitions { it =>
+      val (centroids, codebooks, subDim, qvecs, c2q) = bc.value
+      val m = codebooks.length
+      val p = if (qvecs.isEmpty) 0 else qvecs(0).length
+      // max-heap on (dist, id): head = worst kept under (dist asc, id asc)
+      val heaps = Array.fill(qvecs.length)(
+        PriorityQueue.empty[(Double, Long)](Ordering.Tuple2[Double, Long]))
+      val recon = new Array[Double](p)
+      it.foreach { r =>
+        val cid = r.getInt(1)
+        c2q.get(cid).foreach { probing =>
+          val id = r.getLong(0)
+          val code = r.getSeq[Int](2)
+          val cc = centroids(cid)
+          var j = 0
+          while (j < m) {
+            val cb = codebooks(j)(code(j))
+            val off = j * subDim
+            var t = 0
+            while (t < subDim) { recon(off + t) = cc(off + t).toDouble + cb(t); t += 1 }
+            j += 1
+          }
+          var k = 0
+          while (k < probing.length) {
+            val qi = probing(k)
+            val q = qvecs(qi)
+            val h = heaps(qi)
+            val full = h.size >= prelimK
+            val bound = if (full) h.head._1 else Double.MaxValue
+            var d = 0.0
+            var x = 0
+            while (x < p && d <= bound) {
+              val df = q(x) - recon(x); d += df * df; x += 1
+            }
+            if (!full) h.enqueue((d, id))
+            else {
+              val (wd, wid) = h.head
+              if (d < wd || (d == wd && id < wid)) { h.dequeue(); h.enqueue((d, id)) }
+            }
+            k += 1
+          }
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (d, id) => Row(qIds(qi), id, d) }
+      }
+    }
+    val partial = spark.createDataFrame(partialRdd, StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("adc_dist", DoubleType, nullable = false))))
+    // exact global merge over ≤ partitions·q·prelimK rows
+    val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("id"))
+    partial.withColumn("rn", row_number().over(w)).filter(col("rn") <= prelimK)
+      .select("query_id", "id")
+  }
+
+  /** Exact rerank of per-query candidate id sets against the full-precision
+    * vectors: score only rows in a query's own candidate set.
+    * `table`: (id, vector, metadata); `qn`: normalized full-dim queries.
+    */
+  def rerank(spark: SparkSession, table: DataFrame, candidates: DataFrame,
+             qn: Array[(Long, Array[Float])], finalTopK: Int): DataFrame = {
+    val candIdSet = candidates.select("id").distinct()
+    val fetched = table.join(broadcast(candIdSet), Seq("id"))
+    val bcq = spark.sparkContext.broadcast(qn.toMap)
+    val simUdf = udf { (qid: Long, v: Seq[Float]) =>
+      val q = bcq.value(qid)
+      var s = 0.0; var j = 0
+      while (j < q.length) { s += v(j).toDouble * q(j).toDouble; j += 1 }
+      s
+    }
+    val scored = fetched.join(broadcast(candidates), Seq("id"))
+      .select(col("query_id"), col("id"), col("metadata"),
+        simUdf(col("query_id"), col("vector")).as("cosine_similarity"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_similarity").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= finalTopK)
+      .select("query_id", "id", "metadata", "cosine_similarity", "rank")
+  }
+}

@@ -174,6 +174,23 @@ class TrainedPathSpec extends SparkSpec {
     assert(recall > 0.97, f"two-level recall $recall%.4f below the 0.97 gate")
   }
 
+  test("batched trained query equals per-query two-stage results") {
+    import spark.implicits._
+    val qdf = queries.take(5).zipWithIndex
+      .map { case (q, i) => (i.toLong, q.toSeq) }.toSeq
+      .toDF("query_id", "qvec")
+    val batched = engine.queryBatchTrained("tdb", qdf, 500, 20).collect()
+      .map(r => (r.getLong(0), r.getInt(4), r.getLong(1),
+        math.round(r.getDouble(3) * 1e9)))
+      .sortBy(t => (t._1, t._2))
+    val singles = queries.take(5).zipWithIndex.flatMap { case (q, i) =>
+      engine.query("tdb", q, 500, 20).collect()
+        .map(r => (i.toLong, r.getInt(0), r.getLong(1),
+          math.round(r.getDouble(3) * 1e9)))
+    }.sortBy(t => (t._1, t._2))
+    assert(batched.toSeq == singles.toSeq)
+  }
+
   test("M3/M4: auto-train trigger wiring") {
     // trained db with coverage 0.92 and n >= cutoff: no retrain due
     assert(!engine.maybeAutoTrain("tdb"))
