@@ -32,25 +32,26 @@ object VectorFunctions {
     transform(v, x => when(n === 0.0d, 0.0d).otherwise(x.cast("double") / n))
   }
 
+  import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+
   /** Dot product Σ aᵢ·bᵢ in double (query_utils.py:3-8). On pre-normalized
     * vectors this IS the cosine similarity — the engine's ranking score.
+    * Native codegen expression (VectorExpressions) — bit-identical to the
+    * `aggregate(zip_with(...))` fold it replaced, minus the boxing.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, x) => acc + x)
+    toCol(DotProduct(toExpr(a), toExpr(b)))
 
   /** Cosine similarity for arbitrary (not necessarily normalized) vectors. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Squared L2 distance Σ (aᵢ-bᵢ)² — ranking-equivalent to L2 distance,
-    * cheaper (no sqrt). Used for centroid assignment (T12).
+    * cheaper (no sqrt). Used for centroid assignment (T12). Native codegen
+    * expression; same fold order as the lambda form.
     */
   def l2DistSq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => {
-      val d = x.cast("double") - y.cast("double")
-      d * d
-    }), lit(0.0d), (acc, x) => acc + x)
+    toCol(L2DistSq(toExpr(a), toExpr(b)))
 
   /** L2 distance. */
   def l2Dist(a: Column, b: Column): Column = sqrt(l2DistSq(a, b))
