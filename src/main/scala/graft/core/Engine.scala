@@ -74,6 +74,14 @@ class Engine(val spark: SparkSession, val root: String) {
     spark.read.schema(dataSchema).parquet(doc.dataPath(root))
   }
 
+  /** Typed view of the main table (API boundary; plans stay identical —
+    * the Encoder only applies at collect/map sites).
+    */
+  def dataTyped(name: String): org.apache.spark.sql.Dataset[graft.types.VectorRow] = {
+    import spark.implicits._
+    data(name).as[graft.types.VectorRow]
+  }
+
   /** S10 — count (Parquet-footer metadata only). */
   def count(name: String): Long = data(name).count()
 

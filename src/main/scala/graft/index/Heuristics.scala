@@ -59,7 +59,11 @@ object Heuristics {
     (maxNumVectors / k) < 39
   }
 
-  /** Per-dimension PCA / OPQ / PQ-bytes defaults (training_utils.py:90-129). */
+  /** Per-dimension PCA / OPQ / PQ-bytes defaults (training_utils.py:90-129).
+    * Parity note: for d < 64 the reference's own `max(64, d)` default
+    * yields pca > d, which its validator then rejects — we reproduce that
+    * behavior exactly; callers with tiny dims pass explicit IndexParams.
+    */
   def defaultIndexParams(vectorDimension: Int): IndexParams =
     if (vectorDimension < 150)
       IndexParams(math.max(64, vectorDimension), math.max(64, vectorDimension), 16)
