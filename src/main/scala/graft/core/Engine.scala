@@ -98,10 +98,15 @@ class Engine(val spark: SparkSession, val root: String) {
   def add(name: String, rows: DataFrame): (Long, Long) = {
     var doc = load(name)
     val d0 = doc.vectorDimension
-    val firstRow = rows.select("vector").head(1)
-    require(firstRow.nonEmpty, "add: empty input")
-    val inferredD = firstRow(0).getSeq[Float](0).length
-    val d = if (d0 > 0) d0 else inferredD
+    // A7 — dimension inference costs one extra driver job; only pay it on
+    // the first-ever add (declared or previously-inferred dims skip it)
+    val d =
+      if (d0 > 0) d0
+      else {
+        val firstRow = rows.select("vector").head(1)
+        require(firstRow.nonEmpty, "add: empty input")
+        firstRow(0).getSeq[Float](0).length
+      }
 
     // A1 dim check fails the job inside the scan (no extra pass) + A2 normalize
     val prepared = rows.select(
@@ -118,6 +123,7 @@ class Engine(val spark: SparkSession, val root: String) {
     // source could otherwise diverge between written ids and counted ids
     prepared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val added = prepared.count()
+    require(added > 0, "add: empty input")
     val withIds = spark.createDataFrame(
       prepared.rdd.zipWithIndex.map { case (r, i) =>
         org.apache.spark.sql.Row(base + i, r.getSeq[Float](0), r.getString(1))

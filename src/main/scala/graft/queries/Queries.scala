@@ -169,7 +169,7 @@ object Queries {
   private def lifecycleDb(s: SparkSession, dir: String): (graft.core.Engine, String) = {
     val root = java.nio.file.Files.createTempDirectory("graft-lc").toString
     val eng = new graft.core.Engine(s, root)
-    eng.create("lc")
+    eng.create("lc", vectorDimension = 64)
     val rows = t(s, dir, "embeddings").orderBy("vec_id")
       .select(col("embedding").as("vector"), col("label").cast("string").as("metadata"))
     eng.add("lc", rows)
@@ -207,7 +207,7 @@ object Queries {
   def knnFiltered(s: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-fk").toString
     val eng = new graft.core.Engine(s, root)
-    eng.create("fk")
+    eng.create("fk", vectorDimension = 64)
     eng.add("fk", t(s, dir, "embeddings").orderBy("vec_id")
       .select(col("embedding").as("vector"), col("label").cast("string").as("metadata")))
     val q = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
