@@ -347,17 +347,32 @@ class Engine(val spark: SparkSession, val root: String) {
         s"opq_dimension ${p.opqDimension} is not divisible by " +
           s"compressed_vector_bytes ${p.compressedVectorBytes}")
     }
-    require(p.pcaDimension % p.compressedVectorBytes == 0,
-      "pca_dimension must be divisible by compressed_vector_bytes")
+    if (p.omitOpq) // PQ trains directly on the PCA output
+      require(p.pcaDimension % p.compressedVectorBytes == 0,
+        "pca_dimension must be divisible by compressed_vector_bytes")
     val nlist = math.max(1, Heuristics.numClusters(n))
     val nprobe = math.max(1, Heuristics.nProbe(nlist))
     val snapshotMaxId = doc.maxId
 
-    // T10 — PCA fit on a 100·d sample
-    val pca =
+    // T10 — PCA fit on a 100·d sample; optional OPQ rotation fit in PCA
+    // space, composed into ONE effective projection matrix (Pca.compose)
+    val pcaBase =
       if (p.pcaDimension == d) Pca.identity(d)
       else Pca.fit(table, "vector", d, p.pcaDimension,
         sampleSize = math.min(n, 100L * d).toInt, seed = seed, totalRows = n)
+    val (pca, effDim) =
+      if (p.omitOpq) (pcaBase, p.pcaDimension)
+      else {
+        val sampleN = 64 * 256
+        val opqSample = projectedView(table, pcaBase)
+          .sample(withReplacement = false, math.min(1.0, sampleN * 1.1 / n), seed)
+          .limit(sampleN)
+          .select("pvec").collect()
+          .map(_.getSeq[Double](0).map(_.toFloat).toArray)
+        val r = Opq.fit(opqSample, p.opqDimension, p.compressedVectorBytes,
+          seed = seed)
+        (Pca.compose(pcaBase, r), p.opqDimension)
+      }
     val projected = projectedView(table, pca)
 
     // T7 — strategy chooser (training_utils.py:75-88): two-level when the
@@ -368,13 +383,13 @@ class Engine(val spark: SparkSession, val root: String) {
     // T9/T11-T15 — centroids in PCA space
     val centroids: Array[Array[Float]] =
       if (twoLevel)
-        TwoLevelClustering.fit(projected, "pvec", p.pcaDimension, nlist,
+        TwoLevelClustering.fit(projected, "pvec", effDim, nlist,
           kmeansIters, seed)
       else {
         val sampleN = math.min(n, 256L * nlist)
         val sample = projected.sample(withReplacement = false,
           math.min(1.0, sampleN.toDouble / n), seed)
-        KMeansDF.fitDistributed(sample, "pvec", p.pcaDimension, nlist,
+        KMeansDF.fitDistributed(sample, "pvec", effDim, nlist,
           kmeansIters, seed)
       }
 

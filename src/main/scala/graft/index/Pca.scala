@@ -54,6 +54,31 @@ final case class PcaModel(mean: Array[Double], components: Array[Array[Double]])
 
 object Pca {
 
+  /** Compose a learned OPQ rotation R (o×p) onto a PCA model W (p×d):
+    * z = R·W·(x−μ) — one effective projection matrix, so the whole
+    * PCA→OPQ chain stays a single mat-vec everywhere downstream (and
+    * IndexStore round-trips it with no new artifact).
+    */
+  def compose(base: PcaModel, r: Array[Array[Double]]): PcaModel = {
+    val w = base.components // p×d
+    val o = r.length
+    val dIn = if (w.isEmpty) 0 else w(0).length
+    val composed = Array.ofDim[Double](o, dIn)
+    var a = 0
+    while (a < o) {
+      var b = 0
+      while (b < dIn) {
+        var s = 0.0
+        var k = 0
+        while (k < w.length) { s += r(a)(k) * w(k)(b); k += 1 }
+        composed(a)(b) = s
+        b += 1
+      }
+      a += 1
+    }
+    PcaModel(base.mean, composed)
+  }
+
   /** Identity model (pcaDim == d and no reduction wanted). */
   def identity(d: Int): PcaModel =
     PcaModel(new Array[Double](d), Array.tabulate(d)(i =>

@@ -55,6 +55,30 @@ final case class PqModel(m: Int, subDim: Int,
       lit(0.0d), (acc, x) => acc + x)
   }
 
+  /** Driver-side encode (OPQ fit loop / tests): argmin per subspace. */
+  def encodeLocal(v: Array[Float]): Array[Int] = {
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val off = j * subDim
+      var best = 0
+      var bestD = Double.MaxValue
+      var k = 0
+      while (k < cb.length) {
+        val e = cb(k)
+        var s = 0.0
+        var t = 0
+        while (t < subDim) { val d = v(off + t) - e(t); s += d * d; t += 1 }
+        if (s < bestD) { bestD = s; best = k }
+        k += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    codes
+  }
+
   /** Driver-side decode (tests / debugging). */
   def decode(codes: Array[Int]): Array[Float] = {
     val out = new Array[Float](m * subDim)
