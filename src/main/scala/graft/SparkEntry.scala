@@ -27,6 +27,7 @@ object SparkEntry {
     "a4_id_assign"       -> (Queries.a4IdAssign _),
     "knn_flat"           -> (Queries.knnFlat _),
     "knn_batch_topk"     -> (Queries.knnBatchTopk _),
+    "ivf_probe_knn"      -> (Queries.ivfProbeKnn _),
     "t12_centroid_assign" -> (Queries.t12CentroidAssign _),
     "t13_cluster_hist"   -> (Queries.t13ClusterHist _),
     "knn_filtered"       -> (Queries.knnFiltered _),
@@ -127,6 +128,31 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, vec_id, rank, round(raw_sim, 6) AS cosine_similarity
         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    "ivf_probe_knn" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS cid, dim, avg(x) AS m FROM ex GROUP BY label, dim),
+        |q AS (
+        |  SELECT generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS qx
+        |  FROM embeddings WHERE vec_id = 0),
+        |cdist AS (
+        |  SELECT c.cid, round(sum((c.m - q.qx) * (c.m - q.qx)), 9) AS d2
+        |  FROM cent c JOIN q ON c.dim = q.dim GROUP BY c.cid),
+        |probes AS (SELECT cid FROM cdist ORDER BY d2, cid LIMIT 3),
+        |scored AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_sum([CAST(e.embedding[j] AS DOUBLE) * CAST(qq.emb[j] AS DOUBLE)
+        |      for j in generate_series(1, 64)]) AS raw_sim
+        |  FROM embeddings e,
+        |    (SELECT embedding AS emb FROM embeddings WHERE vec_id = 0) qq
+        |  WHERE e.label IN (SELECT cid FROM probes))
+        |SELECT vec_id, label, round(raw_sim, 6) AS cosine_similarity
+        |FROM scored ORDER BY raw_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "t12_centroid_assign" ->
       """WITH ex AS (

@@ -155,6 +155,36 @@ object Queries {
     e.select(col("vec_id"), element_at(cidLit, idx.cast("int")).as("cid"))
   }
 
+  /** Q2-shaped IVF probe search on the embeddings table: label centroids
+    * act as the coarse quantizer; score ONLY rows whose cluster (label) is
+    * among the query's 3 nearest centroids — the partition-pruned ANN scan
+    * pattern, expressed relationally so the oracle can replicate it.
+    * Reads ~3/k of the data instead of all of it.
+    */
+  def ivfProbeKnn(s: SparkSession, dir: String): DataFrame = {
+    val cents = labelCentroids(s, dir).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1)
+    val q = queryVector(s, dir, 0L)
+    // probe selection on the driver: 3 nearest centroids by (dist, cid)
+    def d2(c: Seq[Double]): Double =
+      c.zip(q).map { case (x, y) => val d = x - y.toDouble; d * d }.sum
+    // 9dp-rounded distances on both sides so cross-engine float noise
+    // can't flip near-equidistant probe picks
+    val probes = cents
+      .map { case (cid, c) =>
+        (BigDecimal(d2(c)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble, cid)
+      }
+      .sortBy(identity).take(3).map(_._2)
+    val qLit = typedLit(q)
+    t(s, dir, "embeddings")
+      .filter(col("label").isin(probes.map(Integer.valueOf): _*)) // pruned scan
+      .select(col("vec_id"), col("label"), dot(col("embedding"), qLit).as("raw_sim"))
+      .orderBy(col("raw_sim").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("label"), round(col("raw_sim"), 6).as("cosine_similarity"))
+  }
+
   /** T13 — assignment histogram (`np.bincount` parity). */
   def t13ClusterHist(s: SparkSession, dir: String): DataFrame =
     t12CentroidAssign(s, dir).groupBy(col("cid")).agg(count(lit(1)).as("cnt"))

@@ -50,6 +50,21 @@ object EventStream {
       }
   }
 
+  /** Streaming near-dup suppression: keep the first document per content
+    * fingerprint (token-set md5 — word-order-insensitive), with a
+    * watermark bounding the dedup state. The streaming face of the batch
+    * dedup pipelines: same fingerprint, state bounded by the watermark
+    * horizon instead of a full-history shuffle.
+    * Input columns: (ts timestamp, doc_id long, text string).
+    */
+  def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(concat_ws(" ",
+        array_sort(array_distinct(split(trim(lower(col("text"))), "\\s+"))))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("ts"), col("doc_id"), col("fp"))
+
   /** Streaming output helper: update-mode memory sink for tests/demos. */
   def startToMemory(df: DataFrame, queryName: String,
                     mode: OutputMode = OutputMode.Update()) =

@@ -63,6 +63,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first doc per fingerprint across batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStream.streamingDedup(
+      input.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts(10, 0), 1L, "the quick brown fox"),
+        (ts(10, 1), 2L, "fox brown quick the"), // same token set → dup
+        (ts(10, 2), 3L, "something else entirely"))
+      q.processAllAvailable()
+      input.addData((ts(10, 3), 4L, "THE QUICK brown fox")) // dup across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("streaming ingest: foreachBatch add keeps ids sequential across batches") {
     implicit val sq = spark.sqlContext
     val engine = new Engine(spark, tmpDir("graft-stream"))
