@@ -191,6 +191,27 @@ class TrainedPathSpec extends SparkSpec {
     assert(batched.toSeq == singles.toSeq)
   }
 
+  test("metadata predicate on the trained path post-filters candidates") {
+    import org.apache.spark.sql.functions._
+    // metadata is {"text":"doc-<i>"} for trained rows; filter to a suffix class
+    val pred = get_json_object(col("metadata"), "$.text").endsWith("7")
+    val res = engine.query("tdb", queries(1), 500, 20, predicate = Some(pred))
+      .collect()
+    assert(res.nonEmpty && res.length <= 20)
+    assert(res.forall(_.getString(2).stripSuffix("\"}").endsWith("7")))
+    // ranks stay contiguous after filtering
+    assert(res.map(_.getInt(0)).toSeq == (1 to res.length))
+  }
+
+  test("M7: index LRU evicts under a zero budget and reloads on demand") {
+    engine.query("tdb", queries(0), 500, 5).collect() // populate cache
+    engine.updateMaxMemoryUsage(0L) // evict everything
+    // next query must transparently reload the model from IndexStore
+    val res = engine.query("tdb", queries(0), 500, 5).collect()
+    assert(res.length == 5)
+    engine.updateMaxMemoryUsage(Engine.DefaultMaxMemoryUsage)
+  }
+
   test("M3/M4: auto-train trigger wiring") {
     // trained db with coverage 0.92 and n >= cutoff: no retrain due
     assert(!engine.maybeAutoTrain("tdb"))
