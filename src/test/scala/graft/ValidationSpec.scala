@@ -62,6 +62,25 @@ class ValidationSpec extends SparkSpec {
     }
   }
 
+  test("T20: a failing train leaves the catalog untrained (train.py:74-90)") {
+    engine.create("t20db")
+    val rnd = new Random(5L)
+    engine.addLocal("t20db",
+      IndexedSeq.fill(graft.index.Heuristics.FlatIndexFloor)(
+        Array.fill(16)(rnd.nextGaussian().toFloat)),
+      IndexedSeq.fill(graft.index.Heuristics.FlatIndexFloor)("{}"))
+    // destroy the data snapshot mid-lifecycle: training must fail, not
+    // corrupt the catalog
+    val doc = engine.load("t20db")
+    graft.catalog.Catalog.delete(engine.root, s"t20db/data")
+    intercept[Exception] {
+      engine.train("t20db", params = Some(IndexParams(16, 16, 8)), kmeansIters = 1)
+    }
+    val after = engine.load("t20db")
+    assert(!after.isTrained)
+    assert(after.indexVersion == doc.indexVersion)
+  }
+
   test("train: parameter matrix (input_validation.py:15-51)") {
     // a db big enough to clear the T3 flat bypass, small dim for speed
     engine.create("tvdb")
