@@ -196,16 +196,22 @@ object Queries {
     * the whole flow (S1 create, A1-A5 ingest, A4 id assign, D1-D3 remove,
     * S8 scan) is predictable by a SQL oracle over the source table.
     */
-  private def lifecycleDb(s: SparkSession, dir: String): (graft.core.Engine, String) = {
-    val root = java.nio.file.Files.createTempDirectory("graft-lc").toString
-    val eng = new graft.core.Engine(s, root)
-    eng.create("lc", vectorDimension = 64)
-    val rows = t(s, dir, "embeddings").orderBy("vec_id")
-      .select(col("embedding").as("vector"), col("label").cast("string").as("metadata"))
-    eng.add("lc", rows)
-    eng.remove("lc", Seq(0L, 7L, 42L, 99L, 123L, 256L, 404L, 499L))
-    (eng, "lc")
-  }
+  private val lifecycleDbs =
+    scala.collection.concurrent.TrieMap.empty[String, (graft.core.Engine, String)]
+
+  private def lifecycleDb(s: SparkSession, dir: String): (graft.core.Engine, String) =
+    // both lifecycle queries run the identical deterministic flow — build
+    // the scratch db once per (JVM, sf dir)
+    lifecycleDbs.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft-lc").toString
+      val eng = new graft.core.Engine(s, root)
+      eng.create("lc", vectorDimension = 64)
+      val rows = t(s, dir, "embeddings").orderBy("vec_id")
+        .select(col("embedding").as("vector"), col("label").cast("string").as("metadata"))
+      eng.add("lc", rows)
+      eng.remove("lc", Seq(0L, 7L, 42L, 99L, 123L, 256L, 404L, 499L))
+      (eng, "lc")
+    })
 
   /** Surviving (id, metadata) rows after the lifecycle — the S8 full scan. */
   def lifecycleIds(s: SparkSession, dir: String): DataFrame = {
