@@ -44,6 +44,14 @@ class Engine(val spark: SparkSession, val root: String) {
     StructField("vector", ArrayType(FloatType, containsNull = false), nullable = false),
     StructField("metadata", StringType, nullable = true)))
 
+  /** PQ-coded index table schema (explicit on every read — inference dies
+    * on a legitimately-empty index, e.g. after removing every row).
+    */
+  val codedSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("code", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("cluster_id", IntegerType, nullable = false)))
+
   // ------------------------------------------------------------- lifecycle
 
   /** S1 — create db (mindb.py:42-92). */
@@ -193,7 +201,7 @@ class Engine(val spark: SparkSession, val root: String) {
     if (doc.isTrained) {
       val model = indexModel(doc)
       val newIdxVersion = doc.indexVersion + 1
-      val coded = spark.read.parquet(s"${doc.indexPath(root)}/coded")
+      val coded = spark.read.schema(codedSchema).parquet(s"${doc.indexPath(root)}/coded")
       coded.join(broadcast(idDf), Seq("id"), "left_anti")
         .write.mode("overwrite").partitionBy("cluster_id")
         .parquet(s"$root/$name/index/v$newIdxVersion/coded")
@@ -238,7 +246,7 @@ class Engine(val spark: SparkSession, val root: String) {
         val qp = model.pca.applyLocal(qn)
         val probes = model.nearestClusters(qp, doc.nProbe)
         val luts = probes.map(c => c -> model.pq.lut(residualLocal(qp, model.centroids(c)))).toMap
-        val coded = spark.read.parquet(s"${doc.indexPath(root)}/coded")
+        val coded = spark.read.schema(codedSchema).parquet(s"${doc.indexPath(root)}/coded")
           .filter(col("cluster_id").isin(probes.map(Integer.valueOf): _*))
         // ADC LUTs ship as a broadcast (nprobe·m·256 doubles — at the
         // reference's nprobe=6000/m=32 heuristic scale that is ~400 MB as a
@@ -304,7 +312,7 @@ class Engine(val spark: SparkSession, val root: String) {
     val qsP = qs.map { case (qid, qn) => qid -> model.pca.applyLocal(qn) }
     val probes = qsP.map { case (_, qp) => model.nearestClusters(qp, doc.nProbe) }
     val probeUnion = probes.flatten.distinct
-    val coded = spark.read.parquet(s"${doc.indexPath(root)}/coded")
+    val coded = spark.read.schema(codedSchema).parquet(s"${doc.indexPath(root)}/coded")
       .filter(col("cluster_id").isin(probeUnion.map(Integer.valueOf): _*))
     val candidates = graft.operators.BatchANN.coarseCandidates(
       spark, coded, model, qsP, probes, preliminaryTopK)
