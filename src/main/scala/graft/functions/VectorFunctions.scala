@@ -56,14 +56,6 @@ object VectorFunctions {
   /** L2 distance. */
   def l2Dist(a: Column, b: Column): Column = sqrt(l2DistSq(a, b))
 
-  /** Element-wise sum of two vectors (double). */
-  def add(a: Column, b: Column): Column =
-    zip_with(a, b, (x, y) => x.cast("double") + y.cast("double"))
-
-  /** Scale a vector by a scalar column. */
-  def scale(v: Column, s: Column): Column =
-    transform(v, x => x.cast("double") * s)
-
   /** Dense mat-vec: rows is array<array<double>> (the PCA matrix, broadcast
     * as a literal/column), v the input vector. Result dim = len(rows).
     * Reference: PCA/OPQ chain apply, two_level_clustering.py:206-209.
@@ -71,9 +63,4 @@ object VectorFunctions {
   def matVec(rows: Column, v: Column): Column =
     transform(rows, r => dot(r, v))
 
-  /** Sub-vector slice for PQ subspaces: elements [start, start+len), 1-based
-    * `slice` semantics wrapped to 0-based args.
-    */
-  def subVec(v: Column, start0: Column, len: Column): Column =
-    slice(v, start0 + 1, len)
 }

@@ -81,29 +81,6 @@ object LocalKMeans {
 
 object KMeansDF {
 
-  /** Centroids as a plan literal: `array<array<double>>`. */
-  def centroidsLit(centroids: Array[Array[Float]]): Column =
-    typedLit(centroids.map(_.map(_.toDouble).toSeq).toSeq)
-
-  /** Nearest-centroid id for a vector column — a single codegen'd
-    * projection (reference T12, two_level_clustering.py:11-21). 0-based.
-    * No shuffle: every row computes argmin over the broadcast literal.
-    */
-  def nearestCentroid(vec: Column, centroids: Column): Column = {
-    val dists = transform(centroids, c => VectorFunctions.l2DistSq(c, vec))
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
-
-  /** Distances to the `nprobe` nearest centroids: returns the 0-based ids
-    * of the nprobe closest centroids as an array column (query-side IVF
-    * probe selection).
-    */
-  def nearestCentroids(vec: Column, centroids: Column, nprobe: Int): Column = {
-    val withIdx = transform(centroids, (c, i) =>
-      struct(VectorFunctions.l2DistSq(c, vec).as("dist"), i.as("cid")))
-    slice(transform(array_sort(withIdx), s => s.getField("cid")), 1, nprobe)
-  }
-
   /** Distributed Lloyd's over a DataFrame for cases where even the
     * training sample exceeds driver memory: per-iteration, one map-side
     * partially-aggregated `groupBy(cluster)` with `avg` per dimension

@@ -31,15 +31,9 @@ final case class PcaModel(mean: Array[Double], components: Array[Array[Double]])
         row.zipWithIndex.forall { case (x, j) => x == (if (i == j) 1.0 else 0.0) }
       }
 
-  /** y = W · (x − μ) as a Column over an array<float|double> vector. */
-  def applyCol(vec: Column): Column = {
-    val meanLit = typedLit(mean.toSeq)
-    val centered = zip_with(vec, meanLit, (x, m) => x.cast("double") - m)
-    val w = typedLit(components.map(_.toSeq).toSeq)
-    VectorFunctions.matVec(w, centered)
-  }
-
-  /** Driver-side apply for query vectors (O(d·p), no Spark job). */
+  /** Driver-side apply for query vectors (O(d·p), no Spark job); the
+    * full-pass column form is Coder.pcaApplyCol (broadcast, not literal).
+    */
   def applyLocal(x: Array[Float]): Array[Float] = {
     val c = new Array[Double](mean.length)
     var i = 0

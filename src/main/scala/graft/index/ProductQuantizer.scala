@@ -19,18 +19,6 @@ import graft.functions.VectorFunctions
 final case class PqModel(m: Int, subDim: Int,
                          codebooks: Array[Array[Array[Float]]]) { // [m][256][subDim]
 
-  /** Encode expression: for each subspace, argmin over its codebook.
-    * Input `vec` must already be in PCA space (length m·subDim).
-    */
-  def encodeCol(vec: Column): Column = {
-    val cbLit = typedLit(codebooks.map(_.map(_.map(_.toDouble).toSeq).toSeq).toSeq)
-    transform(cbLit, (cb, j) => {
-      val sub = slice(vec, j * lit(subDim) + 1, lit(subDim))
-      val dists = transform(cb, c => VectorFunctions.l2DistSq(c, sub))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    })
-  }
-
   /** Driver-side ADC lookup table for one query (already PCA-projected):
     * lut(j)(c) = ‖q_sub_j − codebook(j)(c)‖². O(m·256·subDim).
     */
@@ -44,16 +32,6 @@ final case class PqModel(m: Int, subDim: Int,
         s
       }
     }
-
-  /** ADC distance expression: sum over subspaces of lut[j][code[j]] —
-    * one array lookup per subspace per row, codegen'd.
-    */
-  def adcDistCol(codes: Column, lutValues: Array[Array[Double]]): Column = {
-    val lutLit = typedLit(lutValues.map(_.toSeq).toSeq)
-    aggregate(
-      zip_with(codes, lutLit, (c, l) => element_at(l, c + 1)),
-      lit(0.0d), (acc, x) => acc + x)
-  }
 
   /** Driver-side encode (OPQ fit loop / tests): argmin per subspace. */
   def encodeLocal(v: Array[Float]): Array[Int] = {

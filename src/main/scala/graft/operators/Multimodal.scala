@@ -18,13 +18,6 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Decoded-media metadata schema (what a real decoder would emit). */
-  val MediaMetaSchema: StructType = StructType(Seq(
-    StructField("width", LongType, nullable = false),
-    StructField("height", LongType, nullable = false),
-    StructField("n_frames", LongType, nullable = false),
-    StructField("n_bytes", LongType, nullable = false)))
-
   /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
     * Replace the body with a real codec; the signature (bytes in, struct
     * out, executed inside executors via a UDF over binary) is the
