@@ -28,6 +28,7 @@ final case class CatalogDoc(
     numVectorsTrainedOn: Long,
     numTrainedVectorsRemoved: Long,
     numNewVectors: Long,
+    numPendingDeletes: Long,       // soft-deleted ids awaiting compaction
     pcaDimension: Int,
     opqDimension: Int,
     compressedVectorBytes: Int,
@@ -45,6 +46,7 @@ object CatalogDoc {
     CatalogDoc(name, vectorDimension, maxId = -1L, dataVersion = 0,
       indexVersion = -1, maxTrainedId = -1L, numVectorsTrainedOn = 0L,
       numTrainedVectorsRemoved = 0L, numNewVectors = 0L,
+      numPendingDeletes = 0L,
       pcaDimension = -1, opqDimension = -1, compressedVectorBytes = -1,
       numClusters = -1, nProbe = -1)
 }
@@ -82,6 +84,7 @@ object Catalog {
          |  "numVectorsTrainedOn": ${doc.numVectorsTrainedOn},
          |  "numTrainedVectorsRemoved": ${doc.numTrainedVectorsRemoved},
          |  "numNewVectors": ${doc.numNewVectors},
+         |  "numPendingDeletes": ${doc.numPendingDeletes},
          |  "pcaDimension": ${doc.pcaDimension},
          |  "opqDimension": ${doc.opqDimension},
          |  "compressedVectorBytes": ${doc.compressedVectorBytes},
@@ -107,7 +110,8 @@ object Catalog {
     CatalogDoc(str("name"), num("vectorDimension").toInt, num("maxId"),
       num("dataVersion").toInt, num("indexVersion").toInt, num("maxTrainedId"),
       num("numVectorsTrainedOn"), num("numTrainedVectorsRemoved"),
-      num("numNewVectors"), num("pcaDimension").toInt,
+      num("numNewVectors"), num("numPendingDeletes"),
+      num("pcaDimension").toInt,
       num("opqDimension").toInt, num("compressedVectorBytes").toInt,
       num("numClusters").toInt, num("nProbe").toInt)
   }

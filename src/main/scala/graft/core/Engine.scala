@@ -76,11 +76,25 @@ class Engine(val spark: SparkSession, val root: String) {
     Catalog.delete(root, name)
   }
 
-  /** Main table of the current snapshot. */
-  def data(name: String): DataFrame = {
-    val doc = load(name)
-    spark.read.schema(dataSchema).parquet(doc.dataPath(root))
+  /** Main table of the current snapshot (deletion vectors applied). */
+  def data(name: String): DataFrame = snapshot(load(name))
+
+  /** The live rows: base Parquet minus pending soft-deletes. The deletes
+    * table is broadcast-small (bounded by the compaction threshold), so
+    * the filter is a broadcast anti-join — no shuffle of the big side.
+    */
+  private def snapshot(doc: CatalogDoc): DataFrame = {
+    val base = spark.read.schema(dataSchema).parquet(doc.dataPath(root))
+    if (doc.numPendingDeletes == 0) base
+    else base.join(broadcast(deletes(doc)), Seq("id"), "left_anti")
   }
+
+  private def deletesPath(doc: CatalogDoc): String =
+    s"$root/${doc.name}/deletes/d${doc.dataVersion}"
+
+  private def deletes(doc: CatalogDoc): DataFrame =
+    spark.read.schema(StructType(Seq(StructField("id", LongType, nullable = false))))
+      .parquet(deletesPath(doc))
 
   /** Typed view of the main table (API boundary; plans stay identical —
     * the Encoder only applies at collect/map sites).
@@ -90,7 +104,7 @@ class Engine(val spark: SparkSession, val root: String) {
     data(name).as[graft.types.VectorRow]
   }
 
-  /** S10 — count (Parquet-footer metadata only). */
+  /** S10 — count (footer-metadata-only when no deletes are pending). */
   def count(name: String): Long = data(name).count()
 
   // ----------------------------------------------------------------- add
@@ -174,46 +188,73 @@ class Engine(val spark: SparkSession, val root: String) {
 
   // ---------------------------------------------------------------- remove
 
-  /** D1-D5 — delete ids; anti-join snapshot rewrite + counter split by
-    * `id > maxTrainedId` (mindb.py:459-489, 529-540). Returns the number
-    * of rows actually deleted.
+  /** D1-D5 — delete ids with deletion vectors: one scan finds the present
+    * ids, which append to a broadcast-small deletes table; every reader
+    * anti-joins it (snapshot). Physical rewrite is deferred to [[compact]],
+    * triggered when pending deletes exceed `compactionThreshold` of the
+    * table — O(batch) per delete instead of O(n) rewrite amplification.
+    * Counters split by `id > maxTrainedId` exactly as the reference
+    * (mindb.py:459-489, 529-540); deletes are immediately invisible to
+    * queries (D2 semantics — the index only ever references live rows
+    * because candidate fetch goes through the snapshot).
+    * Returns the number of rows actually deleted.
     */
-  def remove(name: String, ids: Seq[Long]): Long = {
+  def remove(name: String, ids: Seq[Long],
+             compactionThreshold: Double = Engine.CompactionThreshold): Long = {
     require(ids.forall(_ >= 0), "negative ids found; all ids must be non-negative")
     var doc = load(name)
-    val idDf = spark.createDataFrame(ids.map(Tuple1(_))).toDF("id")
-    val cur = spark.read.schema(dataSchema).parquet(doc.dataPath(root))
+    val idDf = spark.createDataFrame(ids.distinct.map(Tuple1(_))).toDF("id")
 
-    // D5 bookkeeping — one tiny aggregate over the present ids
-    val present = cur.join(broadcast(idDf), Seq("id"), "left_semi")
-      .select(col("id"), (col("id") <= doc.maxTrainedId).as("trained"))
-      .groupBy("trained").count().collect()
-      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-    val removedTrained = present.getOrElse(true, 0L)
-    val removedNew = present.getOrElse(false, 0L)
-    if (removedTrained + removedNew == 0) return 0L
+    // one scan: which of the requested ids are live? (driver-bounded by
+    // the request batch size)
+    val present = snapshot(doc).join(broadcast(idDf), Seq("id"), "left_semi")
+      .select("id").collect().map(_.getLong(0))
+    if (present.isEmpty) return 0L
+    val removedTrained = present.count(_ <= doc.maxTrainedId).toLong
+    val removedNew = present.length - removedTrained
 
+    // soft delete: append the present ids to this data version's deletes
+    spark.createDataFrame(present.toSeq.map(Tuple1(_))).toDF("id")
+      .coalesce(1).write.mode("append").parquet(deletesPath(doc))
+
+    doc = doc.copy(
+      numPendingDeletes = doc.numPendingDeletes + present.length,
+      numTrainedVectorsRemoved = doc.numTrainedVectorsRemoved + removedTrained,
+      numNewVectors = doc.numNewVectors - removedNew)
+    Catalog.save(root, doc)
+
+    val physicalRows = doc.maxId + 1 // upper bound incl. already-deleted
+    if (physicalRows > 0 &&
+        doc.numPendingDeletes.toDouble / physicalRows >= compactionThreshold)
+      compact(name)
+    removedTrained + removedNew
+  }
+
+  /** Physically apply pending deletes: rewrite the data snapshot (and the
+    * coded index table when trained) without the deleted rows, bump the
+    * versions atomically, reset the deletes table. Idempotent no-op when
+    * nothing is pending.
+    */
+  def compact(name: String): CatalogDoc = {
+    var doc = load(name)
+    if (doc.numPendingDeletes == 0) return doc
     val newVersion = doc.dataVersion + 1
-    cur.join(broadcast(idDf), Seq("id"), "left_anti")
-      .write.mode("overwrite").parquet(s"$root/$name/data/v$newVersion")
+    snapshot(doc).write.mode("overwrite").parquet(s"$root/$name/data/v$newVersion")
 
-    // D2 — index delete (index never references missing rows)
     if (doc.isTrained) {
       val model = indexModel(doc)
       val newIdxVersion = doc.indexVersion + 1
-      val coded = spark.read.schema(codedSchema).parquet(s"${doc.indexPath(root)}/coded")
-      coded.join(broadcast(idDf), Seq("id"), "left_anti")
+      spark.read.schema(codedSchema).parquet(s"${doc.indexPath(root)}/coded")
+        .join(broadcast(deletes(doc)), Seq("id"), "left_anti")
         .write.mode("overwrite").partitionBy("cluster_id")
         .parquet(s"$root/$name/index/v$newIdxVersion/coded")
       IndexStore.saveModel(spark, s"$root/$name/index/v$newIdxVersion", model)
       doc = doc.copy(indexVersion = newIdxVersion)
     }
 
-    doc = doc.copy(dataVersion = newVersion,
-      numTrainedVectorsRemoved = doc.numTrainedVectorsRemoved + removedTrained,
-      numNewVectors = doc.numNewVectors - removedNew)
-    Catalog.save(root, doc)
-    removedTrained + removedNew
+    doc = doc.copy(dataVersion = newVersion, numPendingDeletes = 0L)
+    Catalog.save(root, doc) // atomic swap; old deletes dir is now unreferenced
+    doc
   }
 
   // ----------------------------------------------------------------- query
@@ -235,7 +276,7 @@ class Engine(val spark: SparkSession, val root: String) {
     require(doc.vectorDimension <= 0 || q.length == doc.vectorDimension,
       s"query dim ${q.length} != ${doc.vectorDimension}")
     val qn = normalizeLocal(q)
-    val table = spark.read.schema(dataSchema).parquet(doc.dataPath(root))
+    val table = snapshot(doc)
 
     val candidates: DataFrame =
       if (!doc.isTrained) predicate.fold(table)(table.filter) // pushed into the scan
@@ -280,7 +321,7 @@ class Engine(val spark: SparkSession, val root: String) {
     */
   def queryBatchFlat(name: String, queries: DataFrame, finalTopK: Int): DataFrame = {
     val doc = load(name)
-    val table = spark.read.schema(dataSchema).parquet(doc.dataPath(root))
+    val table = snapshot(doc)
     val qs = queries
       .select(col("query_id").cast("long"), col("qvec").cast("array<float>"))
       .collect()
@@ -316,7 +357,7 @@ class Engine(val spark: SparkSession, val root: String) {
       .filter(col("cluster_id").isin(probeUnion.map(Integer.valueOf): _*))
     val candidates = graft.operators.BatchANN.coarseCandidates(
       spark, coded, model, qsP, probes, preliminaryTopK)
-    val table = spark.read.schema(dataSchema).parquet(doc.dataPath(root))
+    val table = snapshot(doc)
     graft.operators.BatchANN.rerank(spark, table, candidates, qs, finalTopK)
   }
 
@@ -333,7 +374,7 @@ class Engine(val spark: SparkSession, val root: String) {
             maxMemoryUsage: Long = Engine.DefaultMaxMemoryUsage,
             seed: Long = 42L): CatalogDoc = {
     var doc = load(name)
-    val table = spark.read.schema(dataSchema).parquet(doc.dataPath(root))
+    val table = snapshot(doc)
       .select("id", "vector")
     val n = table.count()
     if (n < Heuristics.FlatIndexFloor) return doc // T3 small-db bypass
@@ -483,6 +524,7 @@ class Engine(val spark: SparkSession, val root: String) {
       "num_vectors_trained_on" -> doc.numVectorsTrainedOn,
       "num_trained_vectors_removed" -> doc.numTrainedVectorsRemoved,
       "num_new_vectors" -> doc.numNewVectors,
+      "num_pending_deletes" -> doc.numPendingDeletes,
       "coverage_ratio" -> coverageRatio(name),
       "num_clusters" -> doc.numClusters,
       "n_probe" -> doc.nProbe,
@@ -534,6 +576,12 @@ object Engine {
     * T7 strategy chooser only — Spark spills instead of enforcing it.
     */
   val DefaultMaxMemoryUsage: Long = 4L * 1024 * 1024 * 1024
+
+  /** Compact (physical rewrite) once pending soft-deletes exceed this
+    * fraction of the table — bounds both query-side anti-join size and
+    * candidate shrinkage in the trained path.
+    */
+  val CompactionThreshold: Double = 0.1
 
   /** Actual driver bytes of a loaded IndexModel (centroids + codebooks +
     * PCA matrix), the LRU eviction cost.

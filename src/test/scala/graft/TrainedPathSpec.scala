@@ -191,6 +191,25 @@ class TrainedPathSpec extends SparkSpec {
     assert(batched.toSeq == singles.toSeq)
   }
 
+  test("D4: deletes are soft until compaction; compact preserves results") {
+    val doc0 = engine.load("tdb")
+    assert(doc0.numPendingDeletes == 600L) // from the previous remove batch
+    val before = engine.query("tdb", queries(2), 500, 30).collect()
+      .map(r => (r.getLong(1), math.round(r.getDouble(3) * 1e9)))
+    val liveCount = engine.count("tdb")
+    val doc = engine.compact("tdb")
+    assert(doc.numPendingDeletes == 0L)
+    assert(doc.dataVersion == doc0.dataVersion + 1)
+    assert(doc.indexVersion == doc0.indexVersion + 1)
+    // physical row count now equals the live count; results unchanged
+    assert(spark.read.parquet(doc.dataPath(engine.root)).count() == liveCount)
+    assert(engine.count("tdb") == liveCount)
+    val after = engine.query("tdb", queries(2), 500, 30).collect()
+      .map(r => (r.getLong(1), math.round(r.getDouble(3) * 1e9)))
+    assert(before.toSeq == after.toSeq)
+    assert(engine.compact("tdb").numPendingDeletes == 0L) // idempotent no-op
+  }
+
   test("metadata predicate on the trained path post-filters candidates") {
     import org.apache.spark.sql.functions._
     // metadata is {"text":"doc-<i>"} for trained rows; filter to a suffix class
