@@ -116,15 +116,16 @@ object Catalog {
       num("numClusters").toInt, num("nProbe").toInt)
   }
 
-  def delete(root: String, name: String): Unit = {
-    def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) {
-        val s = Files.list(p)
-        try s.forEach(rm(_)) finally s.close()
-      }
-      Files.deleteIfExists(p)
+  def delete(root: String, name: String): Unit =
+    deletePath(Paths.get(root, name))
+
+  /** Recursive delete (stream-safe). */
+  def deletePath(path: Path): Unit = {
+    if (Files.isDirectory(path)) {
+      val s = Files.list(path)
+      try s.forEach(deletePath(_)) finally s.close()
     }
-    rm(Paths.get(root, name))
+    Files.deleteIfExists(path)
   }
 
   def withParams(doc: CatalogDoc, p: IndexParams, nlist: Int, nprobe: Int): CatalogDoc =

@@ -1,5 +1,7 @@
 package graft.core
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -501,6 +503,34 @@ class Engine(val spark: SparkSession, val root: String) {
         Coder.assignEncodeCol(spark, model.centroids, model.pq, col("pvec")).as("ac"))
       .select(col("id"), col("ac.cluster_id").as("cluster_id"),
         col("ac.code").as("code"))
+
+  /** Drop unreferenced snapshot/index/deletes versions (everything below
+    * the catalog's current pointers). Safe at any time: readers resolve
+    * paths through the catalog, and the pointer swap is atomic — only
+    * queries planned against an already-replaced version could still want
+    * the old files (caller controls the timing, as with any table vacuum).
+    * Returns the number of version directories removed.
+    */
+  def vacuum(name: String): Int = {
+    val doc = load(name)
+    def sweep(parent: java.nio.file.Path, prefix: String, current: Int): Int = {
+      if (!java.nio.file.Files.isDirectory(parent)) return 0
+      val s = java.nio.file.Files.list(parent)
+      try {
+        s.iterator().asScala.count { p =>
+          val n = p.getFileName.toString
+          val stale = n.startsWith(prefix) &&
+            n.stripPrefix(prefix).toIntOption.exists(_ < current)
+          if (stale) Catalog.deletePath(p)
+          stale
+        }
+      } finally s.close()
+    }
+    val base = java.nio.file.Paths.get(root, name)
+    sweep(base.resolve("data"), "v", doc.dataVersion) +
+      sweep(base.resolve("index"), "v", doc.indexVersion) +
+      sweep(base.resolve("deletes"), "d", doc.dataVersion)
+  }
 
   // ------------------------------------------------------------- info/misc
 

@@ -208,6 +208,11 @@ class TrainedPathSpec extends SparkSpec {
       .map(r => (r.getLong(1), math.round(r.getDouble(3) * 1e9)))
     assert(before.toSeq == after.toSeq)
     assert(engine.compact("tdb").numPendingDeletes == 0L) // idempotent no-op
+    // vacuum drops the superseded version dirs; current state still serves
+    val swept = engine.vacuum("tdb")
+    assert(swept >= 2, s"expected stale data+index versions, swept $swept")
+    assert(engine.query("tdb", queries(2), 500, 5).collect().length == 5)
+    assert(engine.vacuum("tdb") == 0)
   }
 
   test("metadata predicate on the trained path post-filters candidates") {
