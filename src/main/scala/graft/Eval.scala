@@ -1,0 +1,96 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.Engine
+
+/** Reproducible port of the reference's golden eval
+  * (tests/integration/test_full_eval.py + eval notebook): build a
+  * clustered-Gaussian corpus, train the PCA→IVF→PQ index, run single and
+  * batched two-stage queries, and print ONE JSON line with
+  * recall(50@500) and latency stats. Configure with env:
+  * GRAFT_EVAL_N (corpus size, default 30000), GRAFT_EVAL_D (dim, 64),
+  * GRAFT_EVAL_Q (queries, 32), GRAFT_EVAL_TWOLEVEL (false).
+  */
+object Eval {
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("GRAFT_EVAL_N", "30000").toInt
+    val d = sys.env.getOrElse("GRAFT_EVAL_D", "64").toInt
+    val nQ = sys.env.getOrElse("GRAFT_EVAL_Q", "32").toInt
+    val twoLevel = sys.env.getOrElse("GRAFT_EVAL_TWOLEVEL", "false").toBoolean
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val seed = 42L
+    val rnd = new Random(seed)
+    val centers = Array.fill(math.max(10, n / 500), d)(rnd.nextGaussian().toFloat)
+    val corpus = Array.tabulate(n) { i =>
+      val c = centers(i % centers.length)
+      Array.tabulate(d)(j => c(j) + 0.35f * rnd.nextGaussian().toFloat)
+    }
+
+    val root = java.nio.file.Files.createTempDirectory("graft-eval").toString
+    val engine = new Engine(spark, root)
+    engine.create("eval", vectorDimension = d)
+    engine.addLocal("eval", corpus.toIndexedSeq,
+      (0 until n).map(i => s"""{"i":$i}"""))
+
+    val t0 = System.nanoTime()
+    engine.train("eval", useTwoLevelClustering = Some(twoLevel), seed = seed)
+    val trainSec = (System.nanoTime() - t0) / 1e9
+
+    def normalize(v: Array[Float]): Array[Float] = {
+      val nn = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (nn == 0) v else v.map(x => (x / nn).toFloat)
+    }
+    val queries = Array.tabulate(nQ) { qi =>
+      normalize(corpus((qi * 977) % n).map(x => x + 0.1f * rnd.nextGaussian().toFloat))
+    }
+    val stored = engine.data("eval").select("id", "vector").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+
+    var recallSum = 0.0
+    val latencies = queries.map { q =>
+      val gt = stored.map { case (id, v) =>
+        var s = 0.0; var j = 0
+        while (j < v.length) { s += v(j).toDouble * q(j).toDouble; j += 1 }
+        (s, id)
+      }.sortBy { case (s, id) => (-s, id) }.take(50).map(_._2).toSet
+      val q0 = System.nanoTime()
+      val ids = engine.query("eval", q, 500, 50).collect().map(_.getLong(1))
+      val ms = (System.nanoTime() - q0) / 1e6
+      recallSum += ids.count(gt.contains).toDouble / 50.0
+      ms
+    }.sorted
+    val recall = recallSum / nQ
+
+    // batched form: all queries in one pipeline
+    import spark.implicits._
+    val qdf = queries.zipWithIndex.map { case (q, i) => (i.toLong, q.toSeq) }
+      .toSeq.toDF("query_id", "qvec")
+    val b0 = System.nanoTime()
+    val batchRows = engine.queryBatchTrained("eval", qdf, 500, 50).count()
+    val batchSec = (System.nanoTime() - b0) / 1e9
+
+    val doc = engine.load("eval")
+    println(
+      s"""{"n":$n,"d":$d,"queries":$nQ,"two_level":$twoLevel,""" +
+        s""""nlist":${doc.numClusters},"nprobe":${doc.nProbe},""" +
+        s""""recall_50_at_500":${"%.4f".format(recall)},""" +
+        s""""train_sec":${"%.1f".format(trainSec)},""" +
+        s""""query_ms_p50":${"%.0f".format(latencies(nQ / 2))},""" +
+        s""""query_ms_p95":${"%.0f".format(latencies((nQ * 95) / 100))},""" +
+        s""""batch_total_sec":${"%.2f".format(batchSec)},""" +
+        s""""batch_per_query_ms":${"%.0f".format(batchSec * 1000 / nQ)},""" +
+        s""""batch_rows":$batchRows}""")
+    spark.stop()
+  }
+}
