@@ -149,7 +149,7 @@ class Engine(val spark: SparkSession, val root: String) {
     val added = prepared.count()
     require(added > 0, "add: empty input")
     val withIds = spark.createDataFrame(
-      prepared.rdd.zipWithIndex.map { case (r, i) =>
+      prepared.rdd.zipWithIndex().map { case (r, i) =>
         org.apache.spark.sql.Row(base + i, r.getSeq[Float](0), r.getString(1))
       }, dataSchema)
     withIds.write.mode("append").parquet(doc.dataPath(root))
@@ -290,7 +290,7 @@ class Engine(val spark: SparkSession, val root: String) {
         val probes = model.nearestClusters(qp, doc.nProbe)
         val luts = probes.map(c => c -> model.pq.lut(residualLocal(qp, model.centroids(c)))).toMap
         val coded = spark.read.schema(codedSchema).parquet(s"${doc.indexPath(root)}/coded")
-          .filter(col("cluster_id").isin(probes.map(Integer.valueOf): _*))
+          .filter(col("cluster_id").isin(probes.toIndexedSeq.map(Integer.valueOf): _*))
         // ADC LUTs ship as a broadcast (nprobe·m·256 doubles — at the
         // reference's nprobe=6000/m=32 heuristic scale that is ~400 MB as a
         // plan literal, O(1) plan size here)
@@ -356,7 +356,7 @@ class Engine(val spark: SparkSession, val root: String) {
     val probes = qsP.map { case (_, qp) => model.nearestClusters(qp, doc.nProbe) }
     val probeUnion = probes.flatten.distinct
     val coded = spark.read.schema(codedSchema).parquet(s"${doc.indexPath(root)}/coded")
-      .filter(col("cluster_id").isin(probeUnion.map(Integer.valueOf): _*))
+      .filter(col("cluster_id").isin(probeUnion.toIndexedSeq.map(Integer.valueOf): _*))
     val candidates = graft.operators.BatchANN.coarseCandidates(
       spark, coded, model, qsP, probes, preliminaryTopK)
     val table = snapshot(doc)

@@ -178,7 +178,7 @@ object Queries {
       .sortBy(identity).take(3).map(_._2)
     val qLit = typedLit(q)
     t(s, dir, "embeddings")
-      .filter(col("label").isin(probes.map(Integer.valueOf): _*)) // pruned scan
+      .filter(col("label").isin(probes.toIndexedSeq.map(Integer.valueOf): _*)) // pruned scan
       .select(col("vec_id"), col("label"), dot(col("embedding"), qLit).as("raw_sim"))
       .orderBy(col("raw_sim").desc, col("vec_id"))
       .limit(10)
