@@ -247,6 +247,22 @@ class TrainedPathSpec extends SparkSpec {
     assert(!eng3.load("small").isTrained)
   }
 
+  test("concurrent queries on one engine are safe (test_fastapi_threading port)") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futures = (0 until 6).map { i =>
+      Future {
+        engine.query("tdb", queries(i % 3), 500, 10)
+          .collect().map(_.getLong(1)).toSeq
+      }
+    }
+    val results = Await.result(Future.sequence(futures), 5.minutes)
+    assert(results.forall(_.length == 10))
+    // the same query issued from two threads gives identical results
+    assert(results(0) == results(3) && results(1) == results(4))
+  }
+
   test("T9 determinism: repeat train on identical data gives identical centroids") {
     val eng2 = new Engine(spark, tmpDir("graft-det"))
     eng2.create("det")
