@@ -34,6 +34,17 @@ class Engine(val spark: SparkSession, val root: String) {
     */
   private val indexCache = new LruCache[(String, Int), IndexModel](
     Engine.DefaultMaxMemoryUsage, Engine.modelBytes)
+
+  /** One executor-side broadcast of the index artifacts per (db, version),
+    * reused by every query against that version — the serving path never
+    * ships anything whose size depends on nprobe or q per query (the
+    * round-4 scale-killer: per-query ADC LUT broadcasts of nprobe·m·256
+    * doubles ≈ 400 MB at the reference's nlist=200k heuristic scale).
+    * Stale versions are unpersisted (not destroyed — in-flight queries
+    * planned against them may still re-fetch lazily).
+    */
+  private val modelBcCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), org.apache.spark.broadcast.Broadcast[IndexModel]]
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Cache-budget control (fastapi.py `update_max_memory_usage`). */
@@ -75,6 +86,7 @@ class Engine(val spark: SparkSession, val root: String) {
   /** S12 — drop db (mindb.py:549-551). */
   def delete(name: String): Unit = {
     indexCache.removeIf { case (n, _) => n == name }
+    dropModelBroadcasts(name, keepVersion = -1)
     Catalog.delete(root, name)
   }
 
@@ -284,19 +296,18 @@ class Engine(val spark: SparkSession, val root: String) {
       if (!doc.isTrained) predicate.fold(table)(table.filter) // pushed into the scan
       else {
         // Q2 — coarse search: probe selection on the driver (O(nlist·p)),
-        // partition-pruned ADC scan, top-preliminaryTopK
+        // partition-pruned scan scored by the BatchANN reconstruction
+        // kernel (q=1). ADC math runs executor-side from the per-version
+        // model broadcast — nothing nprobe-sized ships per query (the
+        // per-call push is just the projected query vector + probe list).
         val model = indexModel(doc)
         val qp = model.pca.applyLocal(qn)
         val probes = model.nearestClusters(qp, doc.nProbe)
-        val luts = probes.map(c => c -> model.pq.lut(residualLocal(qp, model.centroids(c)))).toMap
         val coded = spark.read.schema(codedSchema).parquet(s"${doc.indexPath(root)}/coded")
           .filter(col("cluster_id").isin(probes.toIndexedSeq.map(Integer.valueOf): _*))
-        // ADC LUTs ship as a broadcast (nprobe·m·256 doubles — at the
-        // reference's nprobe=6000/m=32 heuristic scale that is ~400 MB as a
-        // plan literal, O(1) plan size here)
-        val adc = Coder.adcDistCol(spark, luts, col("cluster_id"), col("code"))
-        val candIds = coded.select(col("id"), adc.as("adc_dist"))
-          .orderBy(col("adc_dist"), col("id")).limit(preliminaryTopK).select("id")
+        val candIds = graft.operators.BatchANN.coarseCandidates(
+          spark, coded, modelBroadcast(doc), Array(0L -> qp), Array(probes),
+          preliminaryTopK).select("id")
         // Q4 — candidate fetch: broadcast join of the tiny candidate set,
         // metadata predicate applied on the fetched candidates
         val fetched = table.join(broadcast(candIds), Seq("id"))
@@ -358,7 +369,7 @@ class Engine(val spark: SparkSession, val root: String) {
     val coded = spark.read.schema(codedSchema).parquet(s"${doc.indexPath(root)}/coded")
       .filter(col("cluster_id").isin(probeUnion.toIndexedSeq.map(Integer.valueOf): _*))
     val candidates = graft.operators.BatchANN.coarseCandidates(
-      spark, coded, model, qsP, probes, preliminaryTopK)
+      spark, coded, modelBroadcast(doc), qsP, probes, preliminaryTopK)
     val table = snapshot(doc)
     graft.operators.BatchANN.rerank(spark, table, candidates, qs, finalTopK)
   }
@@ -585,6 +596,26 @@ class Engine(val spark: SparkSession, val root: String) {
       IndexStore.loadModel(spark, doc.indexPath(root))
     }
 
+  /** The reusable per-version model broadcast for the serving path; stale
+    * versions of the same db are unpersisted when a newer one is first
+    * queried (train/compact bump the version).
+    */
+  private def modelBroadcast(
+      doc: CatalogDoc): org.apache.spark.broadcast.Broadcast[IndexModel] = {
+    val bc = modelBcCache.getOrElseUpdate((doc.name, doc.indexVersion),
+      spark.sparkContext.broadcast(indexModel(doc)))
+    dropModelBroadcasts(doc.name, keepVersion = doc.indexVersion)
+    bc
+  }
+
+  /** Unpersist (not destroy — lazily re-fetchable by in-flight plans)
+    * cached model broadcasts for `name` other than `keepVersion`.
+    */
+  private def dropModelBroadcasts(name: String, keepVersion: Int): Unit =
+    modelBcCache.keys
+      .filter { case (n, v) => n == name && v != keepVersion }
+      .foreach(k => modelBcCache.remove(k).foreach(_.unpersist(false)))
+
   private def normalizeLocal(v: Array[Float]): Array[Float] = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
@@ -592,12 +623,6 @@ class Engine(val spark: SparkSession, val root: String) {
     if (n == 0) v else v.map(x => (x / n).toFloat)
   }
 
-  private def residualLocal(q: Array[Float], c: Array[Float]): Array[Float] = {
-    val out = new Array[Float](q.length)
-    var i = 0
-    while (i < q.length) { out(i) = q(i) - c(i); i += 1 }
-    out
-  }
 }
 
 object Engine {

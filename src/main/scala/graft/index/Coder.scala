@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions.udf
 
 /** Broadcast-backed index-math columns for the hot full-table passes.
   *
-  * The index artifacts (IVF centroids, PQ codebooks, PCA matrix, per-query
-  * ADC LUTs) must NOT enter the plan as literals: at the reference's own
-  * heuristic scale (nlist = 200k, pcaDim 256 — training_utils.py:5-9) a
+  * The index artifacts (IVF centroids, PQ codebooks, PCA matrix) must NOT
+  * enter the plan as literals: at the reference's own heuristic scale
+  * (nlist = 200k, pcaDim 256 — training_utils.py:5-9) a
   * `typedLit` centroid array is ~400 MB serialized into every task binary.
   * Here each artifact ships once per executor as a broadcast variable and
   * the per-row math runs as a tight primitive loop — plan size O(1) in
@@ -102,23 +102,6 @@ object Coder {
       out
     }
     f(vec)
-  }
-
-  /** ADC distance for the probe-pruned scan: lut is per probed cluster
-    * (residual quantization → each cluster has its own table).
-    */
-  def adcDistCol(spark: SparkSession, luts: Map[Int, Array[Array[Double]]],
-                 clusterId: Column, code: Column): Column = {
-    val bc = spark.sparkContext.broadcast(luts)
-    val f = udf { (cid: Int, codes: Seq[Int]) =>
-      val lut = bc.value.getOrElse(cid,
-        throw new NoSuchElementException(s"cluster $cid has no ADC LUT (not probed)"))
-      var s = 0.0
-      var j = 0
-      while (j < lut.length) { s += lut(j)(codes(j)); j += 1 }
-      s
-    }
-    f(clusterId, code)
   }
 
   /** PCA apply y = W·(x−μ) as a broadcast-backed column (the full-pass

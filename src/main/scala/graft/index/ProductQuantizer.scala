@@ -7,9 +7,10 @@ import graft.functions.VectorFunctions
 
 /** Product quantization: split a p-dim vector into `m` subspaces of
   * `subDim = p/m`, k-means each subspace to 256 centroids, store each
-  * vector as `m` one-byte codes; query-time distance via an
-  * asymmetric-distance (ADC) lookup table (reference: the Faiss PQ{m}
-  * stage, training_utils.py:50-51; codebooks fit on a 64·256-row sample,
+  * vector as `m` one-byte codes; query-time asymmetric distance (ADC) is
+  * computed executor-side by [[graft.operators.BatchANN]] from the
+  * broadcast codebooks (reference: the Faiss PQ{m} stage,
+  * training_utils.py:50-51; codebooks fit on a 64·256-row sample,
   * two_level_clustering.py:171-181).
   *
   * Codes are stored as `array<int>` (one 0..255 entry per subspace) so the
@@ -18,20 +19,6 @@ import graft.functions.VectorFunctions
   */
 final case class PqModel(m: Int, subDim: Int,
                          codebooks: Array[Array[Array[Float]]]) { // [m][256][subDim]
-
-  /** Driver-side ADC lookup table for one query (already PCA-projected):
-    * lut(j)(c) = ‖q_sub_j − codebook(j)(c)‖². O(m·256·subDim).
-    */
-  def lut(q: Array[Float]): Array[Array[Double]] =
-    Array.tabulate(m) { j =>
-      val off = j * subDim
-      Array.tabulate(256) { c =>
-        val cb = codebooks(j)(c)
-        var s = 0.0; var t = 0
-        while (t < subDim) { val df = q(off + t) - cb(t); s += df * df; t += 1 }
-        s
-      }
-    }
 
   /** Driver-side encode (OPQ fit loop / tests): argmin per subspace. */
   def encodeLocal(v: Array[Float]): Array[Int] = {

@@ -2,12 +2,14 @@ package graft.operators
 
 import scala.collection.mutable.PriorityQueue
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Engine.IndexModel
+import graft.functions.VectorFunctions
 
 /** Batched trained-index ANN: the throughput form of the reference's
   * two-stage search (mindb.py:368-442) — q query vectors share ONE
@@ -24,33 +26,44 @@ import graft.core.Engine.IndexModel
   * preliminaryTopK. Stage 2 (rerank): exact dot over the fetched candidate
   * vectors, per-query top-finalTopK. Both shuffles move candidate rows,
   * never scored cross products.
+  *
+  * The index model ships as a CALLER-OWNED broadcast reused across queries
+  * (size O(nlist·p + m·256·sub), independent of nprobe and of q); only the
+  * per-call query vectors + probe map are shipped per invocation — at the
+  * reference's own nlist=200k heuristic scale that is KBs per query, not
+  * the ~400 MB per-query LUT push a driver-built ADC table would cost.
   */
 object BatchANN {
 
-  /** @param queriesP (query_id, PCA-projected normalized query) pairs
+  /** @param bcModel  caller-owned broadcast of the index artifacts (reused
+    *                 across queries; the caller manages its lifecycle)
+    * @param queriesP (query_id, PCA-projected normalized query) pairs
     * @param probes   per-query probed cluster ids (same order as queriesP)
     * @return (query_id, id, adc_dist) candidate rows, ≤ prelimK per query
     */
   def coarseCandidates(spark: SparkSession, coded: DataFrame,
-                       model: IndexModel,
+                       bcModel: Broadcast[IndexModel],
                        queriesP: Array[(Long, Array[Float])],
                        probes: Array[Array[Int]],
                        prelimK: Int): DataFrame = {
-    // invert probe sets: cluster -> indices of queries probing it
+    // invert probe sets: cluster -> indices of queries probing it.
+    // Per-call broadcast is O(q·(p + nprobe)) — small — while the heavy
+    // model artifacts ride the reusable bcModel.
     val clusterToQueries: Map[Int, Array[Int]] =
       probes.zipWithIndex
         .flatMap { case (cs, qi) => cs.map(c => c -> qi) }
         .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
-    val bc = spark.sparkContext.broadcast(
-      (model.centroids, model.pq.codebooks, model.pq.subDim,
-        queriesP.map(_._2), clusterToQueries))
+    val bcQ = spark.sparkContext.broadcast((queriesP.map(_._2), clusterToQueries))
     val qIds = queriesP.map(_._1)
 
     val src = coded.select(col("id").cast("long"), col("cluster_id").cast("int"),
       col("code"))
 
     val partialRdd = src.rdd.mapPartitions { it =>
-      val (centroids, codebooks, subDim, qvecs, c2q) = bc.value
+      val model = bcModel.value
+      val (centroids, codebooks, subDim) =
+        (model.centroids, model.pq.codebooks, model.pq.subDim)
+      val (qvecs, c2q) = bcQ.value
       val m = codebooks.length
       val p = if (qvecs.isEmpty) 0 else qvecs(0).length
       // max-heap on (dist, id): head = worst kept under (dist asc, id asc)
@@ -107,23 +120,24 @@ object BatchANN {
   }
 
   /** Exact rerank of per-query candidate id sets against the full-precision
-    * vectors: score only rows in a query's own candidate set.
+    * vectors: score only rows in a query's own candidate set. No UDF — the
+    * query vectors join in as a broadcast-small column and scoring is the
+    * native codegen `dot`, so the whole stage stays in whole-stage codegen.
     * `table`: (id, vector, metadata); `qn`: normalized full-dim queries.
     */
   def rerank(spark: SparkSession, table: DataFrame, candidates: DataFrame,
              qn: Array[(Long, Array[Float])], finalTopK: Int): DataFrame = {
-    val candIdSet = candidates.select("id").distinct()
-    val fetched = table.join(broadcast(candIdSet), Seq("id"))
-    val bcq = spark.sparkContext.broadcast(qn.toMap)
-    val simUdf = udf { (qid: Long, v: Seq[Float]) =>
-      val q = bcq.value(qid)
-      var s = 0.0; var j = 0
-      while (j < q.length) { s += v(j).toDouble * q(j).toDouble; j += 1 }
-      s
-    }
-    val scored = fetched.join(broadcast(candidates), Seq("id"))
+    val qSchema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("qvec", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val qDf = spark.createDataFrame(
+      java.util.Arrays.asList(qn.map { case (qid, v) => Row(qid, v.toSeq) }: _*), qSchema)
+    // candidates (query_id, id) are ≤ q·prelimK rows: broadcast both tiny
+    // sides; the big table is scanned once, never shuffled
+    val scored = table.join(broadcast(candidates), Seq("id"))
+      .join(broadcast(qDf), Seq("query_id"))
       .select(col("query_id"), col("id"), col("metadata"),
-        simUdf(col("query_id"), col("vector")).as("cosine_similarity"))
+        VectorFunctions.dot(col("vector"), col("qvec")).as("cosine_similarity"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine_similarity").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
