@@ -307,22 +307,32 @@ object SparkEntry {
         |FROM votes""".stripMargin,
 
     "embed_near_dup" ->
-      """WITH sigs AS (
+      """WITH nv AS (
         |  SELECT vec_id, embedding,
-        |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm,
+        |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
+        |  FROM embeddings),
+        |bands AS (
+        |  SELECT vec_id, b AS band_idx,
         |    CAST(list_sum([
         |      CASE WHEN list_sum([CAST(embedding[j] AS DOUBLE) *
-        |        (CASE WHEN ('0x' || substr(md5(p || '-' || j), 1, 1))::INT % 2 = 0
+        |        (CASE WHEN ('0x' || substr(md5((b*4+p) || '-' || j), 1, 1))::INT % 2 = 0
         |              THEN 1.0 ELSE -1.0 END)
         |        for j in generate_series(1, 64)]) >= 0
         |      THEN (2**p)::BIGINT ELSE 0 END
-        |      for p in generate_series(0, 7)]) AS BIGINT) AS sig
-        |  FROM embeddings)
+        |      for p in generate_series(0, 3)]) AS BIGINT) AS band_key
+        |  FROM embeddings, generate_series(0, 7) t(b)),
+        |pairs AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |   AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(c9, 6) AS cos_sim FROM (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  SELECT p.id_a, p.id_b,
         |    round(list_sum([CAST(a.embedding[j] AS DOUBLE) * CAST(b.embedding[j] AS DOUBLE)
         |      for j in generate_series(1, 64)]) / (a.nrm * b.nrm), 9) AS c9
-        |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+        |  FROM pairs p
+        |  JOIN nv a ON p.id_a = a.vec_id
+        |  JOIN nv b ON p.id_b = b.vec_id)
         |WHERE c9 >= 0.35""".stripMargin,
 
     "lang_id" ->
@@ -365,11 +375,15 @@ object SparkEntry {
 
     "multimodal_meta" ->
       """SELECT doc_id,
-        |  16 * (1 + ('0x' || substr(h, 1, 2))::BIGINT % 64) AS width,
-        |  16 * (1 + ('0x' || substr(h, 3, 2))::BIGINT % 64) AS height,
-        |  1 + ('0x' || substr(h, 5, 2))::BIGINT % 32 AS n_frames,
-        |  strlen(text) AS n_bytes
-        |FROM (SELECT doc_id, md5(text) AS h, text FROM documents)""".stripMargin,
+        |  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+        |       WHEN 3 THEN 'bmp' ELSE 'wav' END AS format,
+        |  CASE WHEN doc_id % 5 = 4 THEN 8000 * (1 + ('0x' || substr(h, 1, 2))::BIGINT % 4)
+        |       ELSE 8 * (1 + ('0x' || substr(h, 1, 2))::BIGINT % 32) END AS width,
+        |  CASE WHEN doc_id % 5 = 4 THEN 1 + ('0x' || substr(h, 3, 2))::BIGINT % 2
+        |       ELSE 8 * (1 + ('0x' || substr(h, 3, 2))::BIGINT % 32) END AS height,
+        |  CASE WHEN doc_id % 5 = 4 THEN 100 + ('0x' || substr(h, 5, 2))::BIGINT
+        |       ELSE 1 END AS n_frames
+        |FROM (SELECT doc_id, md5(text) AS h FROM documents)""".stripMargin,
 
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,

@@ -9,19 +9,26 @@ import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 
 /** Random-hyperplane LSH over an embedding column — the scale path for
-  * embedding-cosine near-duplicate detection: bucket by the sign pattern
-  * of P hyperplane projections, then score cosine only within buckets.
-  * One equi-join shuffle keyed by signature; never an n² cross join.
-  * Two vectors with cosine ≈ 1 agree on every hyperplane sign with high
-  * probability, so true near-dups share a bucket.
+  * embedding-cosine near-duplicate detection, with the standard
+  * OR-of-ANDs banding construction: `b` bands of `r` hyperplanes each; a
+  * pair is a candidate iff it agrees on ALL `r` signs of SOME band. AND
+  * within a band keeps buckets selective; OR across bands recovers recall
+  * for mid-similarity pairs (a pair at cosine 0.8 agrees on one 4-plane
+  * band with p≈0.40, but on at least one of 8 bands with p≈0.98 — a
+  * single 8-plane AND would find it with only p≈0.16).
   *
-  * Hyperplanes are ±1 vectors derived from md5 ("p-j" per plane/dim) so
-  * the exact same planes are reproducible in the SQL oracle.
+  * Candidates come from one equi-join shuffle keyed by
+  * (band_idx, band_key) — never an n² cross join — then exact cosine
+  * verification kills banding false-positives, mirroring
+  * [[MinHashLSH.candidatePairs]].
+  *
+  * Hyperplanes are ±1 vectors derived from md5 ("g-j" per global plane
+  * index/dim) so the exact same planes are reproducible in the SQL oracle.
   */
 object EmbeddingLSH {
 
   /** Deterministic ±1 hyperplane weights: +1 iff the first hex digit of
-    * md5("p-j") is even (p = plane, j = 1-based dimension).
+    * md5("g-j") is even (g = global plane index, j = 1-based dimension).
     */
   def planes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
     val md = MessageDigest.getInstance("MD5")
@@ -34,28 +41,49 @@ object EmbeddingLSH {
     }
   }
 
-  /** Signature = Σ_p 2^p · [dot(v, plane_p) ≥ 0], as a long column. */
-  def signature(vec: Column, planes: Array[Array[Double]]): Column = {
-    val terms = planes.zipWithIndex.map { case (plane, p) =>
-      val dp = VectorFunctions.dot(vec, typedLit(plane.toSeq))
-      when(dp >= 0.0, lit(1L << p)).otherwise(lit(0L))
+  /** Per-band signature keys: array of `b` longs where band i packs the
+    * sign bits of planes [i·r, (i+1)·r) as Σ_p 2^p · [dot(v, plane) ≥ 0].
+    */
+  def bandKeys(vec: Column, planes: Array[Array[Double]], r: Int): Column = {
+    require(planes.length % r == 0, s"${planes.length} planes not divisible by r=$r")
+    val bands = (0 until planes.length / r).map { i =>
+      (0 until r).map { p =>
+        val dp = VectorFunctions.dot(vec, typedLit(planes(i * r + p).toSeq))
+        when(dp >= 0.0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
     }
-    terms.reduce(_ + _)
+    array(bands: _*)
   }
 
-  /** Near-dup pairs (a < b) within a signature bucket with cosine ≥ tau.
-    * Cosine is rounded to 9dp before the threshold compare so a last-ulp
+  /** Distinct candidate pairs (a < b) sharing at least one band bucket —
+    * a single equi-join shuffle on (band_idx, band_key).
+    */
+  def candidatePairs(df: DataFrame, idCol: String, vecCol: String,
+                     numBands: Int, planesPerBand: Int, dim: Int): DataFrame = {
+    val pl = planes(numBands * planesPerBand, dim)
+    val sigs = df.select(col(idCol),
+      posexplode(bandKeys(col(vecCol), pl, planesPerBand)).as(Seq("band_idx", "band_key")))
+    val a = sigs.select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
+    val b = sigs.select(col(idCol).as("id_b"), col("band_idx"), col("band_key"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Near-dup pairs (a < b) from the banded buckets with cosine ≥ tau
+    * (exact verification over vectors joined back by id — pairs are small
+    * post-banding, the vector table is never shuffled twice). Cosine is
+    * rounded to 9dp before the threshold compare so a last-ulp
     * cross-engine difference cannot flip membership.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                   numPlanes: Int, dim: Int, tau: Double): DataFrame = {
-    val pl = planes(numPlanes, dim)
-    val sigs = df.select(col(idCol), col(vecCol),
-      signature(col(vecCol), pl).as("sig"))
-    val a = sigs.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("sig"))
-    val b = sigs.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("sig"))
-    a.join(b, Seq("sig"))
-      .filter(col("id_a") < col("id_b"))
+                   numBands: Int, planesPerBand: Int, dim: Int,
+                   tau: Double): DataFrame = {
+    val pairs = candidatePairs(df, idCol, vecCol, numBands, planesPerBand, dim)
+    val vecs = df.select(col(idCol), col(vecCol))
+    pairs
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("va")), Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(VectorFunctions.cosine(col("va"), col("vb")), 9).as("cos9"))
       .filter(col("cos9") >= tau)

@@ -321,13 +321,14 @@ object Queries {
     t(s, dir, "documents").select(col("doc_id"),
       graft.operators.SimHash.fingerprint(col("text")).as("simhash"))
 
-  /** Embedding-cosine near-dup via random-hyperplane LSH buckets (8 planes),
-    * cosine ≥ 0.35 within-bucket only — the n²-free scale path.
+  /** Embedding-cosine near-dup via OR-banded random-hyperplane LSH
+    * (8 bands × 4 planes), cosine ≥ 0.35 within-bucket only — the n²-free
+    * scale path with recall that survives mid-similarity pairs.
     */
   def embedNearDup(s: SparkSession, dir: String): DataFrame =
     graft.operators.EmbeddingLSH.nearDupPairs(
       t(s, dir, "embeddings"), "vec_id", "embedding",
-      numPlanes = 8, dim = 64, tau = 0.35)
+      numBands = 8, planesPerBand = 4, dim = 64, tau = 0.35)
       .select(col("id_a"), col("id_b"), round(col("cos9"), 6).as("cos_sim"))
 
   // -------------------------------------------- LLM-pipeline: text analysis
@@ -357,9 +358,11 @@ object Queries {
 
   // ------------------------------------------------ LLM-pipeline: multimodal
 
-  /** Binary media column + stubbed decode (schema/batch plumbing is real;
-    * the codec is a deterministic md5-derived fake — see
-    * [[graft.operators.Multimodal.stubDecode]]).
+  /** Binary media columns decoded by a REAL container parser: each doc
+    * synthesizes genuine PNG/JPEG/GIF/BMP/WAV bytes (real encoders,
+    * dimensions derived from md5(text) so the oracle can predict them)
+    * and [[graft.operators.Multimodal.decodeMeta]] parses the actual
+    * format headers back executor-side.
     */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     graft.operators.Multimodal.mediaMeta(t(s, dir, "documents"), "doc_id", "text")

@@ -55,10 +55,45 @@ class NearDupSpec extends SparkSpec {
       (2L, Seq(-1.0f, 3.0f, 0.25f, -2.0f))
     ).toDF("vec_id", "embedding")
     val pairs = EmbeddingLSH.nearDupPairs(vecs, "vec_id", "embedding",
-      numPlanes = 6, dim = 4, tau = 0.9).collect()
+      numBands = 3, planesPerBand = 2, dim = 4, tau = 0.9).collect()
     assert(pairs.length == 1)
     assert(pairs.head.getLong(0) == 0L && pairs.head.getLong(1) == 1L)
     assert(math.abs(pairs.head.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("embedding LSH OR-banding: recall >= 0.9 for cosine >= 0.8 pairs vs brute force") {
+    // synthetic corpus: 200 random unit-ish vectors, 50 of them with a
+    // planted near-dup at high-but-not-identical cosine. Ground truth =
+    // brute-force all-pairs cosine >= 0.8 (independent of the operator).
+    val d = 32
+    val rnd = new scala.util.Random(7L)
+    def unit(v: Array[Float]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val base = Array.fill(200)(Array.fill(d)(rnd.nextGaussian().toFloat))
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, unit(v)) } ++
+      base.take(50).zipWithIndex.map { case (v, i) =>
+        // perturbation small enough that cosine stays ≥ ~0.8
+        (200L + i, unit(v.map(x => x + 0.25f * rnd.nextGaussian().toFloat)))
+      }
+    val df = rows.toSeq.toDF("vec_id", "embedding")
+
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val truth = (for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      if cos(rows(i)._2, rows(j)._2) >= 0.8
+    } yield (math.min(rows(i)._1, rows(j)._1), math.max(rows(i)._1, rows(j)._1))).toSet
+    assert(truth.size >= 40, s"fixture should plant >=40 true pairs, got ${truth.size}")
+
+    val found = EmbeddingLSH.nearDupPairs(df, "vec_id", "embedding",
+      numBands = 8, planesPerBand = 4, dim = d, tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(found.contains).toDouble / truth.size
+    info(f"OR-banded embedding LSH recall = $recall%.3f over ${truth.size} true pairs")
+    assert(recall >= 0.9, f"recall $recall%.3f below 0.9 gate")
+    assert(found.forall { case (a, b) => a < b })
   }
 
   test("text analysis: langId picks profile language; quality in [0,1]") {
@@ -77,16 +112,52 @@ class NearDupSpec extends SparkSpec {
     assert(q.forall(x => x >= 0.0 && x <= 1.0))
   }
 
-  test("multimodal stub decode: deterministic, byte-length preserved") {
+  test("multimodal decode: real container headers parse to exact metadata") {
+    // real encoder bytes with known dimensions, parsed back by the operator
+    for (fmt <- Seq("png", "jpg", "gif", "bmp")) {
+      val bytes = Multimodal.imageBytes(123, 57, 0x336699, fmt)
+      val m = Multimodal.decodeLocal(bytes)
+      val expected = if (fmt == "jpg") "jpeg" else fmt
+      assert(m.format == expected, s"$fmt sniffed as ${m.format}")
+      assert(m.width == 123L && m.height == 57L, s"$fmt parsed ${m.width}x${m.height}")
+      assert(m.n_frames == 1L)
+    }
+    val wav = Multimodal.decodeLocal(Multimodal.wavBytes(16000, 2, 777))
+    assert(wav == Multimodal.MediaMeta("wav", 16000L, 2L, 777L))
+    // garbage and truncated payloads degrade to unknown, never throw
+    assert(Multimodal.decodeLocal("not media".getBytes("UTF-8")).format == "unknown")
+    assert(Multimodal.decodeLocal(Array[Byte](0x42, 0x4d)).format == "unknown")
+  }
+
+  test("multimodal decode: animated GIF frame count from the block walk") {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val buf = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until 3).foreach { i =>
+      val img = new java.awt.image.BufferedImage(20, 10,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close()
+    val m = Multimodal.decodeLocal(buf.toByteArray)
+    assert(m.format == "gif" && m.width == 20L && m.height == 10L)
+    assert(m.n_frames == 3L, s"expected 3 frames, parsed ${m.n_frames}")
+  }
+
+  test("multimodal pipeline: per-doc payload decodes deterministically") {
     val out = Multimodal.mediaMeta(docs, "doc_id", "text").collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
-    assert(out(0L) == out(2L), "same payload -> same decoded metadata")
-    assert(out(4L)._4 == "short".getBytes("UTF-8").length.toLong)
-    assert(out.values.forall { case (w, h, f, _) =>
-      w >= 16 && w <= 1024 && h >= 16 && h <= 1024 && f >= 1 && f <= 32 })
-    // determinism across evaluation
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // format rotates by id; ids 0 and 2 share text -> same dims, both images
+    assert(out(0L)._1 == "png" && out(1L)._1 == "jpeg" && out(2L)._1 == "gif")
+    assert(out(3L)._1 == "bmp" && out(4L)._1 == "wav")
+    assert((out(0L)._2, out(0L)._3) == (out(2L)._2, out(2L)._3),
+      "same text -> same derived dimensions")
+    assert(out.values.filter(_._1 != "wav").forall { case (_, w, h, f) =>
+      w >= 8 && w <= 256 && h >= 8 && h <= 256 && f == 1L })
     val again = Multimodal.mediaMeta(docs, "doc_id", "text").collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(out == again)
   }
 }
