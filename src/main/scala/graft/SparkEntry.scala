@@ -45,10 +45,16 @@ object SparkEntry {
     "bpe_tokens"         -> (Queries.bpeTokens _),
     "char_shingle_min"   -> (Queries.charShingleMin _),
     "multimodal_meta"    -> (Queries.multimodalMeta _),
-    "events_hourly"      -> (Queries.eventsHourly _)
+    "events_hourly"      -> (Queries.eventsHourly _),
+    "trained_adc_topk"   -> (Queries.trainedAdcTopk _),
+    "trained_knn"        -> (Queries.trainedKnn _)
   )
 
-  /** DuckDB oracle SQL, one per SQL-expressible entry in [[queries]]. */
+  /** DuckDB oracle SQL, one per SQL-expressible entry in [[queries]].
+    * The trained-fixture rows append theirs at the end: their SQL inlines
+    * the actually-trained centroids/codebooks, so it is generated when the
+    * fixture builds (Verify runs every query before dumping this map).
+    */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -315,12 +321,12 @@ object SparkEntry {
         |  SELECT vec_id, b AS band_idx,
         |    CAST(list_sum([
         |      CASE WHEN list_sum([CAST(embedding[j] AS DOUBLE) *
-        |        (CASE WHEN ('0x' || substr(md5((b*4+p) || '-' || j), 1, 1))::INT % 2 = 0
+        |        (CASE WHEN ('0x' || substr(md5((b*8+p) || '-' || j), 1, 1))::INT % 2 = 0
         |              THEN 1.0 ELSE -1.0 END)
         |        for j in generate_series(1, 64)]) >= 0
         |      THEN (2**p)::BIGINT ELSE 0 END
-        |      for p in generate_series(0, 3)]) AS BIGINT) AS band_key
-        |  FROM embeddings, generate_series(0, 7) t(b)),
+        |      for p in generate_series(0, 7)]) AS BIGINT) AS band_key
+        |  FROM embeddings, generate_series(0, 15) t(b)),
         |pairs AS (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM bands a JOIN bands b
@@ -389,5 +395,5 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
         |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin
-  )
+  ) ++ graft.queries.TrainedFixture.oracleSql.toMap
 }

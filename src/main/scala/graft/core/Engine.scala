@@ -252,6 +252,7 @@ class Engine(val spark: SparkSession, val root: String) {
   def compact(name: String): CatalogDoc = {
     var doc = load(name)
     if (doc.numPendingDeletes == 0) return doc
+    val old = doc
     val newVersion = doc.dataVersion + 1
     snapshot(doc).write.mode("overwrite").parquet(s"$root/$name/data/v$newVersion")
 
@@ -268,6 +269,8 @@ class Engine(val spark: SparkSession, val root: String) {
 
     doc = doc.copy(dataVersion = newVersion, numPendingDeletes = 0L)
     Catalog.save(root, doc) // atomic swap; old deletes dir is now unreferenced
+    markSuperseded((Seq(old.dataPath(root), deletesPath(old)) ++
+      (if (old.isTrained) Seq(old.indexPath(root)) else Nil)): _*)
     doc
   }
 
@@ -378,19 +381,22 @@ class Engine(val spark: SparkSession, val root: String) {
 
   /** T1-T19 — build the PCA→IVF→PQ index over the current snapshot and
     * swap it in (mindb.py:231-344). Residual PQ encoding, matching Faiss
-    * IVFPQ. No-op below the flat floor (T3, mindb.py:276-287).
+    * IVFPQ. No-op below the flat floor (T3, mindb.py:276-287);
+    * `minTrainRows` lowers that floor for fixtures/tests only — the
+    * reference default stands for real callers.
     */
   def train(name: String,
             params: Option[IndexParams] = None,
             useTwoLevelClustering: Option[Boolean] = None,
             kmeansIters: Int = 25,
             maxMemoryUsage: Long = Engine.DefaultMaxMemoryUsage,
-            seed: Long = 42L): CatalogDoc = {
+            seed: Long = 42L,
+            minTrainRows: Int = Heuristics.FlatIndexFloor): CatalogDoc = {
     var doc = load(name)
     val table = snapshot(doc)
       .select("id", "vector")
     val n = table.count()
-    if (n < Heuristics.FlatIndexFloor) return doc // T3 small-db bypass
+    if (n < minTrainRows) return doc // T3 small-db bypass
 
     val d = doc.vectorDimension
     // T2 — train validation (input_validation.py:15-51)
@@ -446,7 +452,7 @@ class Engine(val spark: SparkSession, val root: String) {
     val centroids: Array[Array[Float]] =
       if (twoLevel)
         TwoLevelClustering.fit(projected, "pvec", effDim, nlist,
-          kmeansIters, seed)
+          kmeansIters, seed, totalRows = n)
       else {
         val sampleN = math.min(n, 256L * nlist)
         val sample = projected.sample(withReplacement = false,
@@ -474,6 +480,7 @@ class Engine(val spark: SparkSession, val root: String) {
     IndexStore.saveModel(spark, indexDir, model)
 
     // T19 — atomic swap + counter reset
+    val oldIndexPath = if (doc.isTrained) Some(doc.indexPath(root)) else None
     doc = Catalog.withParams(doc, p, nlist, nprobe).copy(
       indexVersion = newVersion,
       maxTrainedId = snapshotMaxId,
@@ -481,6 +488,7 @@ class Engine(val spark: SparkSession, val root: String) {
       numTrainedVectorsRemoved = 0L,
       numNewVectors = math.max(0L, doc.maxId - snapshotMaxId))
     Catalog.save(root, doc)
+    oldIndexPath.foreach(markSuperseded(_))
     doc
   }
 
@@ -516,14 +524,19 @@ class Engine(val spark: SparkSession, val root: String) {
         col("ac.code").as("code"))
 
   /** Drop unreferenced snapshot/index/deletes versions (everything below
-    * the catalog's current pointers). Safe at any time: readers resolve
-    * paths through the catalog, and the pointer swap is atomic — only
-    * queries planned against an already-replaced version could still want
-    * the old files (caller controls the timing, as with any table vacuum).
-    * Returns the number of version directories removed.
+    * the catalog's current pointers). Readers resolve paths through the
+    * catalog and the pointer swap is atomic, so only queries PLANNED
+    * against an already-replaced version could still want the old files —
+    * `graceMillis` protects exactly those: a version directory superseded
+    * less recently than the grace window is swept, one replaced within it
+    * is retained for in-flight readers (a maintenance scheduler should
+    * pass a grace ≥ its longest query). Supersession time is the dir's
+    * mtime — [[markSuperseded]] touches the outgoing version at every
+    * pointer swap. Returns the number of version directories removed.
     */
-  def vacuum(name: String): Int = {
+  def vacuum(name: String, graceMillis: Long = 0L): Int = {
     val doc = load(name)
+    val cutoff = System.currentTimeMillis() - graceMillis
     def sweep(parent: java.nio.file.Path, prefix: String, current: Int): Int = {
       if (!java.nio.file.Files.isDirectory(parent)) return 0
       val s = java.nio.file.Files.list(parent)
@@ -531,7 +544,8 @@ class Engine(val spark: SparkSession, val root: String) {
         s.iterator().asScala.count { p =>
           val n = p.getFileName.toString
           val stale = n.startsWith(prefix) &&
-            n.stripPrefix(prefix).toIntOption.exists(_ < current)
+            n.stripPrefix(prefix).toIntOption.exists(_ < current) &&
+            java.nio.file.Files.getLastModifiedTime(p).toMillis <= cutoff
           if (stale) Catalog.deletePath(p)
           stale
         }
@@ -541,6 +555,16 @@ class Engine(val spark: SparkSession, val root: String) {
     sweep(base.resolve("data"), "v", doc.dataVersion) +
       sweep(base.resolve("index"), "v", doc.indexVersion) +
       sweep(base.resolve("deletes"), "d", doc.dataVersion)
+  }
+
+  /** Stamp a just-replaced version dir's mtime = the supersession moment
+    * (the vacuum grace clock).
+    */
+  private def markSuperseded(paths: String*): Unit = paths.foreach { p =>
+    val path = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(path))
+      java.nio.file.Files.setLastModifiedTime(path,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
   }
 
   // ------------------------------------------------------------- info/misc

@@ -17,6 +17,11 @@ final class LruCache[K, V](@volatile var maxMemory: Long,
 
   private val entries = mutable.LinkedHashMap.empty[K, V]
   private var currentMemory = 0L
+  // per-key load monitors: concurrent loads of DIFFERENT keys proceed in
+  // parallel (an index-model load takes seconds — holding the global lock
+  // through it would stall every query on every other db), while loads of
+  // the SAME key serialize so the loader runs once.
+  private val loaders = scala.collection.concurrent.TrieMap.empty[K, Object]
 
   def memoryUsage: Long = synchronized(currentMemory)
   def size: Int = synchronized(entries.size)
@@ -29,13 +34,20 @@ final class LruCache[K, V](@volatile var maxMemory: Long,
     }
   }
 
-  def getOrElseUpdate(key: K)(load: => V): V = synchronized {
+  /** Cached value or `load` it — the load runs OUTSIDE the global lock,
+    * guarded by a per-key monitor (double-checked after acquiring it).
+    */
+  def getOrElseUpdate(key: K)(load: => V): V =
     get(key).getOrElse {
-      val v = load
-      put(key, v)
-      v
+      val mon = loaders.getOrElseUpdate(key, new Object)
+      try mon.synchronized {
+        get(key).getOrElse {
+          val v = load
+          put(key, v)
+          v
+        }
+      } finally loaders.remove(key)
     }
-  }
 
   def put(key: K, value: V): Unit = synchronized {
     entries.remove(key).foreach(old => currentMemory -= estimate(old))

@@ -39,7 +39,8 @@ object BatchANN {
     *                 across queries; the caller manages its lifecycle)
     * @param queriesP (query_id, PCA-projected normalized query) pairs
     * @param probes   per-query probed cluster ids (same order as queriesP)
-    * @return (query_id, id, adc_dist) candidate rows, ≤ prelimK per query
+    * @return (query_id, id, adc_dist) candidate rows, ≤ prelimK per query,
+    *         smallest (adc_dist, id) first within each query
     */
   def coarseCandidates(spark: SparkSession, coded: DataFrame,
                        bcModel: Broadcast[IndexModel],
@@ -116,7 +117,7 @@ object BatchANN {
     // exact global merge over ≤ partitions·q·prelimK rows
     val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("id"))
     partial.withColumn("rn", row_number().over(w)).filter(col("rn") <= prelimK)
-      .select("query_id", "id")
+      .select("query_id", "id", "adc_dist")
   }
 
   /** Exact rerank of per-query candidate id sets against the full-precision

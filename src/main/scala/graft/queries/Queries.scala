@@ -22,6 +22,16 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Build the memoized scratch engine dbs (lifecycle, filtered-kNN,
+    * trained fixture) outside any timed region — the bench warm-up calls
+    * this so its measurements cover the OPERATORS, not one-time setup.
+    */
+  def prewarm(s: SparkSession, dir: String): Unit = {
+    lifecycleDb(s, dir)
+    filteredDb(s, dir)
+    TrainedFixture.get(s, dir)
+  }
+
   // ------------------------------------------------------------ relational
 
   /** Aggregation baseline (§2.7 aggregations; TPC-H Q1 shape). */
@@ -243,10 +253,8 @@ object Queries {
   private val filteredDbs =
     scala.collection.concurrent.TrieMap.empty[String, graft.core.Engine]
 
-  def knnFiltered(s: SparkSession, dir: String): DataFrame = {
-    // the measured operator is the filtered query; the scratch-db build is
-    // setup, memoized per (JVM, sf dir) like the lifecycle probes
-    val eng = filteredDbs.getOrElseUpdate(dir, {
+  private def filteredDb(s: SparkSession, dir: String): graft.core.Engine =
+    filteredDbs.getOrElseUpdate(dir, {
       val root = java.nio.file.Files.createTempDirectory("graft-fk").toString
       val e = new graft.core.Engine(s, root)
       e.create("fk", vectorDimension = 64)
@@ -254,6 +262,11 @@ object Queries {
         .select(col("embedding").as("vector"), col("label").cast("string").as("metadata")))
       e
     })
+
+  def knnFiltered(s: SparkSession, dir: String): DataFrame = {
+    // the measured operator is the filtered query; the scratch-db build is
+    // setup, memoized per (JVM, sf dir) like the lifecycle probes
+    val eng = filteredDb(s, dir)
     val q = t(s, dir, "embeddings").filter(col("vec_id") === 0L)
       .head().getSeq[Float](1).toArray
     eng.query("fk", q, finalTopK = 15,
@@ -322,13 +335,16 @@ object Queries {
       graft.operators.SimHash.fingerprint(col("text")).as("simhash"))
 
   /** Embedding-cosine near-dup via OR-banded random-hyperplane LSH
-    * (8 bands × 4 planes), cosine ≥ 0.35 within-bucket only — the n²-free
-    * scale path with recall that survives mid-similarity pairs.
+    * (16 bands × 8 planes), cosine ≥ 0.35 within-bucket only — the
+    * n²-free scale path. r=8 keeps each band's buckets 256-way selective
+    * (candidate pairs ∝ n²/2^r per band — a shorter band key is the
+    * quadratic cost driver at scale); b=16 OR-bands restore recall for
+    * mid-similarity pairs (cos 0.8 → ≥0.93 collision probability).
     */
   def embedNearDup(s: SparkSession, dir: String): DataFrame =
     graft.operators.EmbeddingLSH.nearDupPairs(
       t(s, dir, "embeddings"), "vec_id", "embedding",
-      numBands = 8, planesPerBand = 4, dim = 64, tau = 0.35)
+      numBands = 16, planesPerBand = 8, dim = 64, tau = 0.35)
       .select(col("id_a"), col("id_b"), round(col("cos9"), 6).as("cos_sim"))
 
   // -------------------------------------------- LLM-pipeline: text analysis
@@ -355,6 +371,20 @@ object Queries {
   def charShingleMin(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       graft.operators.TextAnalysis.charShingleMin(col("text")).as("shingle_min"))
+
+  // ------------------------------------------------------- trained fixture
+
+  /** Q2/T15 — the real coarse ADC stage over a really-trained index (see
+    * [[TrainedFixture]]): probed coded-table scan + reconstruction
+    * distances, top-50. The oracle replays assignment/encode/ADC from the
+    * trained centroids+codebooks inlined as literals.
+    */
+  def trainedAdcTopk(s: SparkSession, dir: String): DataFrame =
+    TrainedFixture.adcTopK(s, dir)
+
+  /** Q1-Q9 — the full two-stage trained `Engine.query` on the fixture. */
+  def trainedKnn(s: SparkSession, dir: String): DataFrame =
+    TrainedFixture.knn(s, dir)
 
   // ------------------------------------------------ LLM-pipeline: multimodal
 

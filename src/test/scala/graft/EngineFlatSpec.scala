@@ -69,6 +69,18 @@ class EngineFlatSpec extends SparkSpec {
     engine.addLocal("flatdb", Seq(q), Seq("""{"restored":true}"""))
   }
 
+  test("vacuum grace window retains freshly superseded versions") {
+    engine.remove("flatdb", Seq(42L))
+    val live = engine.count("flatdb")
+    engine.compact("flatdb") // bumps dataVersion; old version marked superseded now
+    // superseded moments ago → a 1h grace refuses to sweep anything
+    assert(engine.vacuum("flatdb", graceMillis = 60L * 60 * 1000) == 0)
+    // grace 0 sweeps the stale data version (+ its deletes dir)
+    assert(engine.vacuum("flatdb") >= 1)
+    assert(engine.count("flatdb") == live)
+    engine.addLocal("flatdb", Seq(Array.fill(64)(0.3f)), Seq("{}")) // restore count
+  }
+
   test("batched flat query: per-query top-k") {
     import spark.implicits._
     val queries = embeddings.filter(col("vec_id") < 3)

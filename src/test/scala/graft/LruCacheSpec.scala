@@ -54,6 +54,25 @@ class LruCacheSpec extends AnyFunSuite {
     assert(c.memoryUsage == 0L && c.size == 0)
   }
 
+  test("loads of different keys run in parallel; same key loads once") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val c = cache(1000L)
+    val loads = new java.util.concurrent.atomic.AtomicInteger(0)
+    def slowLoad(v: Long): Long = { Thread.sleep(400); loads.incrementAndGet(); v }
+    val t0 = System.nanoTime()
+    val results = Await.result(Future.sequence(
+      Seq("a" -> 10L, "b" -> 20L, "c" -> 30L, "a" -> 10L).map { case (k, v) =>
+        Future(c.getOrElseUpdate(k)(slowLoad(v)))
+      }), 30.seconds)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(results == Seq(10L, 20L, 30L, 10L))
+    // serial loading would take ≥ 1200 ms; parallel per-key loading ~400
+    assert(elapsedMs < 1100, s"loads serialized: ${elapsedMs}ms")
+    assert(loads.get() == 3, s"same-key concurrent load must run once, ran ${loads.get()}")
+  }
+
   test("memory model golden values (cache.py:105-138)") {
     assert(MemoryModel.estimate(hasVectors = false, isTrained = false, 0, -1, -1) == 48L)
     assert(MemoryModel.flatIndexBytes(30000, 768) == 30000L * 768 * 4 + 240090L)

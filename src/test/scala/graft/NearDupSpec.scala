@@ -74,8 +74,9 @@ class NearDupSpec extends SparkSpec {
     val base = Array.fill(200)(Array.fill(d)(rnd.nextGaussian().toFloat))
     val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, unit(v)) } ++
       base.take(50).zipWithIndex.map { case (v, i) =>
-        // perturbation small enough that cosine stays ≥ ~0.8
-        (200L + i, unit(v.map(x => x + 0.25f * rnd.nextGaussian().toFloat)))
+        // perturbation sized to land planted pairs near cos ≈ 0.82-0.92 —
+        // the mid-similarity region single-band LSH loses
+        (200L + i, unit(v.map(x => x + 0.55f * rnd.nextGaussian().toFloat)))
       }
     val df = rows.toSeq.toDF("vec_id", "embedding")
 
@@ -88,7 +89,7 @@ class NearDupSpec extends SparkSpec {
     assert(truth.size >= 40, s"fixture should plant >=40 true pairs, got ${truth.size}")
 
     val found = EmbeddingLSH.nearDupPairs(df, "vec_id", "embedding",
-      numBands = 8, planesPerBand = 4, dim = d, tau = 0.8)
+      numBands = 16, planesPerBand = 8, dim = d, tau = 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = truth.count(found.contains).toDouble / truth.size
     info(f"OR-banded embedding LSH recall = $recall%.3f over ${truth.size} true pairs")
