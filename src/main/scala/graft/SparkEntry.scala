@@ -39,6 +39,7 @@ object SparkEntry {
     "minhash_lsh"        -> (Queries.minhashLsh _),
     "near_dup_jaccard"   -> (Queries.nearDupJaccard _),
     "simhash"            -> (Queries.simhashFp _),
+    "simhash_near_dup"   -> (Queries.simhashNearDup _),
     "embed_near_dup"     -> (Queries.embedNearDup _),
     "lang_id"            -> (Queries.langId _),
     "quality_score"      -> (Queries.qualityScore _),
@@ -311,6 +312,38 @@ object SparkEntry {
         |  CAST(list_sum([CASE WHEN v[i+1] > 0 THEN (2**i)::BIGINT ELSE 0 END
         |    for i in generate_series(0, 31)]) AS BIGINT) AS simhash
         |FROM votes""".stripMargin,
+
+    "simhash_near_dup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        |hs AS (
+        |  SELECT doc_id, [('0x' || substr(md5(t), 1, 8))::BIGINT for t in w] AS h FROM toks),
+        |votes AS (
+        |  SELECT doc_id,
+        |    [list_sum([2 * ((x // (2**i)::BIGINT) % 2) - 1 for x in h])
+        |     for i in generate_series(0, 31)] AS v
+        |  FROM hs),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([CASE WHEN v[i+1] > 0 THEN (2**i)::BIGINT ELSE 0 END
+        |      for i in generate_series(0, 31)]) AS BIGINT) AS simhash
+        |  FROM votes),
+        |bands AS (
+        |  SELECT doc_id, simhash, b AS band_idx,
+        |    (simhash // (256**b)::BIGINT) % 256 AS band_value
+        |  FROM fp, generate_series(0, 3) t(b)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.simhash AS fa, b.simhash AS fb
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_value = b.band_value
+        |   AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(list_sum([(xor(fa, fb) // (2**i)::BIGINT) % 2
+        |      for i in generate_series(0, 31)]) AS BIGINT) AS hamming
+        |  FROM pairs)
+        |WHERE hamming <= 3""".stripMargin,
 
     "embed_near_dup" ->
       """WITH nv AS (

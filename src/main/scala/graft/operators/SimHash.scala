@@ -42,4 +42,37 @@ object SimHash {
     aggregate(sequence(lit(0), lit(Bits - 1)), lit(0L), (acc, i) =>
       acc + (x / pow(lit(2.0), i).cast("long")).cast("long") % 2L)
   }
+
+  /** Near-dup pairs within Hamming distance `maxHamming` of each other —
+    * the pigeonhole-banded scale construction: split the 32-bit
+    * fingerprint into `maxHamming + 1` byte-ish bands; ≤ maxHamming bit
+    * flips cannot touch every band, so every true pair shares at least
+    * one exact band value. Candidates come from ONE equi-join on
+    * (band_idx, band_value) — never an n² cross join — and the exact
+    * Hamming check kills band false-positives. Complete (recall 1.0) by
+    * construction for maxHamming < numBands.
+    *
+    * `df` must carry (idCol, fpCol) with the fingerprint as a long.
+    */
+  def nearDupPairs(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   fpCol: String, maxHamming: Int): org.apache.spark.sql.DataFrame = {
+    val numBands = maxHamming + 1
+    val bandBits = Bits / numBands // 32/4 = 8 for the default maxHamming=3
+    require(Bits % numBands == 0, s"$Bits bits not divisible by $numBands bands")
+    val bandSize = math.pow(2.0, bandBits).toLong
+    val bands = df.select(col(idCol), col(fpCol),
+      posexplode(array((0 until numBands).map { b =>
+        (col(fpCol) / lit(math.pow(2.0, b * bandBits).toLong)).cast("long") % bandSize
+      }: _*)).as(Seq("band_idx", "band_value")))
+    val a = bands.select(col(idCol).as("doc_a"), col(fpCol).as("fp_a"),
+      col("band_idx"), col("band_value"))
+    val b = bands.select(col(idCol).as("doc_b"), col(fpCol).as("fp_b"),
+      col("band_idx"), col("band_value"))
+    a.join(b, Seq("band_idx", "band_value"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hamming(col("fp_a"), col("fp_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -76,13 +76,20 @@ object Queries {
       .select(col("vec_id"), col("label"))
   }
 
-  /** S10 — counts (Parquet footer metadata only). */
+  /** S10 — counts (Parquet footer metadata only), submitted concurrently:
+    * ten independent metadata jobs have no reason to queue behind each
+    * other on the driver.
+    */
   def s10Count(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Seq("customer", "documents", "embeddings", "events", "lineitem",
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val names = Seq("customer", "documents", "embeddings", "events", "lineitem",
       "nation", "orders", "part", "region", "supplier")
-      .map(n => (n, t(s, dir, n).count()))
-      .toDF("tbl", "cnt")
+    Await.result(
+      Future.sequence(names.map(n => Future(n -> t(s, dir, n).count()))),
+      10.minutes).toDF("tbl", "cnt")
   }
 
   /** A2 — L2 normalization invariant (the engine's ingest transform). */
@@ -333,6 +340,14 @@ object Queries {
   def simhashFp(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       graft.operators.SimHash.fingerprint(col("text")).as("simhash"))
+
+  /** SimHash near-dup pairs within Hamming ≤ 3 via pigeonhole banding
+    * (4 byte-bands, one equi-join, exact Hamming verify — recall 1.0 by
+    * construction, never n²).
+    */
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SimHash.nearDupPairs(
+      simhashFp(s, dir), "doc_id", "simhash", maxHamming = 3)
 
   /** Embedding-cosine near-dup via OR-banded random-hyperplane LSH
     * (16 bands × 8 planes), cosine ≥ 0.35 within-bucket only — the

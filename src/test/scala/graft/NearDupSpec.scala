@@ -97,6 +97,31 @@ class NearDupSpec extends SparkSpec {
     assert(found.forall { case (a, b) => a < b })
   }
 
+  test("simhash pigeonhole banding: exact equivalence to brute-force hamming <= 3") {
+    // random 32-bit fingerprints plus planted 1-3-bit-flip neighbors;
+    // pigeonhole banding must be EXACT (complete + precise) vs brute force
+    val rnd = new scala.util.Random(11L)
+    val baseFps = Array.fill(80)(rnd.nextLong().abs % (1L << 32))
+    val planted = baseFps.take(20).zipWithIndex.map { case (fp, i) =>
+      var f = fp
+      (0 to i % 3).foreach(_ => f = f ^ (1L << rnd.nextInt(32)))
+      f
+    }
+    val all = (baseFps ++ planted).zipWithIndex.map { case (fp, i) => (i.toLong, fp) }
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val truth = (for {
+      i <- all.indices; j <- (i + 1) until all.length
+      if ham(all(i)._2, all(j)._2) <= 3
+    } yield (all(i)._1, all(j)._1, ham(all(i)._2, all(j)._2).toLong)).toSet
+    assert(truth.size >= 15, s"fixture should plant >=15 close pairs, got ${truth.size}")
+
+    val df = all.toSeq.toDF("doc_id", "simhash")
+    val found = SimHash.nearDupPairs(df, "doc_id", "simhash", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(found == truth,
+      s"banded != brute force: missing ${truth -- found}, extra ${found -- truth}")
+  }
+
   test("text analysis: langId picks profile language; quality in [0,1]") {
     val d = Seq(
       (0L, "the cat is a friend of the dog and it is fine"),
