@@ -43,16 +43,33 @@ object EmbeddingLSH {
 
   /** Per-band signature keys: array of `b` longs where band i packs the
     * sign bits of planes [i·r, (i+1)·r) as Σ_p 2^p · [dot(v, plane) ≥ 0].
+    * One per-row JVM kernel computes all b·r projections in a tight loop
+    * (the same kernel-over-HOF choice as MinHashLSH.bandKeys: b·r
+    * separate Catalyst dot expressions each codegen their own d-element
+    * literal loop, and a shared-subexpression formulation re-evaluates
+    * after CollapseProject inlining). Double math in the same
+    * left-to-right fold order as the SQL oracle.
     */
   def bandKeys(vec: Column, planes: Array[Array[Double]], r: Int): Column = {
     require(planes.length % r == 0, s"${planes.length} planes not divisible by r=$r")
-    val bands = (0 until planes.length / r).map { i =>
-      (0 until r).map { p =>
-        val dp = VectorFunctions.dot(vec, typedLit(planes(i * r + p).toSeq))
-        when(dp >= 0.0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
+    val b = planes.length / r
+    val f = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      Array.tabulate(b) { i =>
+        var key = 0L
+        var p = 0
+        while (p < r) {
+          val plane = planes(i * r + p)
+          var s = 0.0
+          var j = 0
+          while (j < arr.length) { s += arr(j) * plane(j); j += 1 }
+          if (s >= 0) key |= (1L << p)
+          p += 1
+        }
+        key
+      }
     }
-    array(bands: _*)
+    f(vec.cast("array<double>"))
   }
 
   /** Distinct candidate pairs (a < b) sharing at least one band bucket —

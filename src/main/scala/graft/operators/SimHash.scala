@@ -1,46 +1,77 @@
 package graft.operators
 
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.Locale
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** 32-bit SimHash fingerprint over the token multiset — near-dup keying by
-  * Hamming distance on a single long. Computed as a pure per-row
-  * projection: each token hashes to 32 bits (first 8 hex chars of md5, a
+  * Hamming distance on a single long. Computed as a pure per-row kernel:
+  * each token hashes to 32 bits (first 8 hex chars of md5, a
   * cross-engine-stable hash), each bit position accumulates ±1 votes over
-  * all tokens, the fingerprint sets bit i iff votes(i) > 0.
+  * all tokens, the fingerprint sets bit i iff votes(i) > 0. All-integer
+  * math, so the DuckDB oracle reproduces it exactly.
   *
-  * Bit extraction uses integer divide/mod (h < 2³² so doubles are exact)
-  * rather than shift builtins so the exact same arithmetic is expressible
-  * in the DuckDB oracle.
+  * Kernel-over-HOF for the same reason as [[MinHashLSH]]: a Catalyst
+  * formulation (aggregate of zip_with over 32 bit positions) re-evaluates
+  * the whole fold wherever CollapseProject inlines the column — measured
+  * as the dominant cost of the banded near-dup self-join. The kernel
+  * hashes each token once, total cost |tokens| md5 calls per row.
   */
 object SimHash {
 
   val Bits = 32
 
-  def tokenHashes(toks: Column): Column =
-    transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+  private val digest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+  private val HexChars = "0123456789abcdef".toCharArray
 
-  /** votes(i) = Σ_tokens (2·bit_i − 1), i = 0..31, as array<long>. */
-  def bitVotes(hashes: Column): Column =
-    aggregate(hashes,
-      array_repeat(lit(0L), Bits),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(Bits - 1)), (a, i) =>
-        a + lit(2L) * ((h.cast("long") / pow(lit(2.0), i).cast("long")).cast("long") % 2L) - 1L))
+  /** First 32 bits of md5(token) — same value as
+    * `conv(substring(md5(t), 1, 8), 16, 10)`.
+    */
+  private def tokenHash32(s: String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 4) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** Whitespace tokens of lower-cased trimmed text (the
+    * TextAnalysis.tokens contract: `split(trim(lower(text)), '\\s+')`).
+    */
+  def fingerprintLocal(text: String): Long = {
+    val toks = text.toLowerCase(Locale.ROOT).trim.split("\\s+")
+    val votes = new Array[Int](Bits)
+    var t = 0
+    while (t < toks.length) {
+      val h = tokenHash32(toks(t))
+      var i = 0
+      while (i < Bits) {
+        votes(i) += (if (((h >> i) & 1L) == 1L) 1 else -1)
+        i += 1
+      }
+      t += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < Bits) { if (votes(i) > 0) fp |= (1L << i); i += 1 }
+    fp
+  }
 
   def fingerprint(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val votes = bitVotes(tokenHashes(toks))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(Bits - 1)), (v, i) =>
-        when(v > 0, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+    val f = udf { (t: String) => fingerprintLocal(t) }
+    f(text)
   }
 
   /** Hamming distance between two fingerprints (bit-count of xor). */
   def hamming(a: Column, b: Column): Column = {
-    val x = a.bitwiseXOR(b)
-    aggregate(sequence(lit(0), lit(Bits - 1)), lit(0L), (acc, i) =>
-      acc + (x / pow(lit(2.0), i).cast("long")).cast("long") % 2L)
+    val f = udf { (x: Long, y: Long) => java.lang.Long.bitCount(x ^ y).toLong }
+    f(a, b)
   }
 
   /** Near-dup pairs within Hamming distance `maxHamming` of each other —
@@ -48,9 +79,14 @@ object SimHash {
     * fingerprint into `maxHamming + 1` byte-ish bands; ≤ maxHamming bit
     * flips cannot touch every band, so every true pair shares at least
     * one exact band value. Candidates come from ONE equi-join on
-    * (band_idx, band_value) — never an n² cross join — and the exact
-    * Hamming check kills band false-positives. Complete (recall 1.0) by
-    * construction for maxHamming < numBands.
+    * (band_idx, band_value) — never an n² cross join. Complete
+    * (recall 1.0) by construction for maxHamming < numBands.
+    *
+    * Verify order matters at scale: popcount(xor) is one integer op per
+    * joined row and cuts the candidate stream first; the dedup then keeps
+    * a pair only in its FIRST colliding band — a per-row filter over the
+    * carried band arrays instead of a multi-million-row DISTINCT shuffle
+    * (same result set: exactly one row per true pair).
     *
     * `df` must carry (idCol, fpCol) with the fingerprint as a long.
     */
@@ -59,20 +95,23 @@ object SimHash {
     val numBands = maxHamming + 1
     val bandBits = Bits / numBands // 32/4 = 8 for the default maxHamming=3
     require(Bits % numBands == 0, s"$Bits bits not divisible by $numBands bands")
-    val bandSize = math.pow(2.0, bandBits).toLong
-    val bands = df.select(col(idCol), col(fpCol),
-      posexplode(array((0 until numBands).map { b =>
-        (col(fpCol) / lit(math.pow(2.0, b * bandBits).toLong)).cast("long") % bandSize
-      }: _*)).as(Seq("band_idx", "band_value")))
+    val mask = (1L << bandBits) - 1
+    val bandsUdf = udf { (fp: Long) =>
+      Array.tabulate(numBands)(b => (fp >> (b * bandBits)) & mask)
+    }
+    val bands = df.select(col(idCol), col(fpCol), bandsUdf(col(fpCol)).as("bands"))
+      .select(col(idCol), col(fpCol), col("bands"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_value")))
     val a = bands.select(col(idCol).as("doc_a"), col(fpCol).as("fp_a"),
-      col("band_idx"), col("band_value"))
+      col("bands").as("bands_a"), col("band_idx"), col("band_value"))
     val b = bands.select(col(idCol).as("doc_b"), col(fpCol).as("fp_b"),
-      col("band_idx"), col("band_value"))
+      col("bands").as("bands_b"), col("band_idx"), col("band_value"))
     a.join(b, Seq("band_idx", "band_value"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        hamming(col("fp_a"), col("fp_b")).as("hamming"))
+      .withColumn("hamming", hamming(col("fp_a"), col("fp_b")))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+      .filter(expr("NOT exists(zip_with(slice(bands_a, 1, band_idx), " +
+        "slice(bands_b, 1, band_idx), (x, y) -> x = y), p -> p)"))
+      .select("doc_a", "doc_b", "hamming")
   }
 }

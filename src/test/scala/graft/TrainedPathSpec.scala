@@ -179,6 +179,12 @@ class TrainedPathSpec extends SparkSpec {
     val qdf = queries.take(5).zipWithIndex
       .map { case (q, i) => (i.toLong, q.toSeq) }.toSeq
       .toDF("query_id", "qvec")
+    // the rerank stage scores with the codegen dot — no Scala UDF anywhere
+    // in the batched plan (round-4 finding: rerank went through a per-row
+    // UDF with a boxed Map lookup)
+    val plan = engine.queryBatchTrained("tdb", qdf, 500, 20)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"batched trained plan contains a UDF:\n$plan")
     val batched = engine.queryBatchTrained("tdb", qdf, 500, 20).collect()
       .map(r => (r.getLong(0), r.getInt(4), r.getLong(1),
         math.round(r.getDouble(3) * 1e9)))
