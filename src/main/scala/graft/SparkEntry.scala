@@ -48,7 +48,10 @@ object SparkEntry {
     "multimodal_meta"    -> (Queries.multimodalMeta _),
     "events_hourly"      -> (Queries.eventsHourly _),
     "trained_adc_topk"   -> (Queries.trainedAdcTopk _),
-    "trained_knn"        -> (Queries.trainedKnn _)
+    "trained_knn"        -> (Queries.trainedKnn _),
+    "dataset_split"      -> (Queries.datasetSplit _),
+    "repetition_score"   -> (Queries.repetitionScore _),
+    "embed_quantize"     -> (Queries.embedQuantize _)
   )
 
   /** DuckDB oracle SQL, one per SQL-expressible entry in [[queries]].
@@ -427,6 +430,49 @@ object SparkEntry {
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
         |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "dataset_split" ->
+      """SELECT doc_id, b AS bucket,
+        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b
+        |      FROM documents)""".stripMargin,
+
+    "repetition_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |dup AS (
+        |  SELECT doc_id,
+        |    round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / greatest(len(w), 1), 6)
+        |      AS dup_word_frac
+        |  FROM toks),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest([w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)]) AS g
+        |  FROM toks WHERE len(w) >= 2),
+        |cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+        |top AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM cnt GROUP BY doc_id)
+        |SELECT d.doc_id, d.dup_word_frac,
+        |  round(coalesce(CAST(t.mx AS DOUBLE) / t.tot, 0), 6) AS top_bigram_frac
+        |FROM dup d LEFT JOIN top t ON d.doc_id = t.doc_id""".stripMargin,
+
+    "embed_quantize" ->
+      """SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(list_sum([CAST(round(CASE WHEN scale = 0 THEN 0
+        |      ELSE CAST(x AS DOUBLE) * 127.0 / scale END) AS BIGINT)
+        |    for x in embedding]) AS BIGINT) AS q_sum,
+        |  CAST(list_sum([abs(CAST(round(CASE WHEN scale = 0 THEN 0
+        |      ELSE CAST(x AS DOUBLE) * 127.0 / scale END) AS BIGINT))
+        |    for x in embedding]) AS BIGINT) AS q_abs_sum,
+        |  CAST(round(CASE WHEN scale = 0 THEN 0
+        |      ELSE CAST(embedding[1] AS DOUBLE) * 127.0 / scale END) AS BIGINT) AS q_first,
+        |  CAST(round(CASE WHEN scale = 0 THEN 0
+        |      ELSE CAST(embedding[64] AS DOUBLE) * 127.0 / scale END) AS BIGINT) AS q_last
+        |FROM (SELECT vec_id, embedding,
+        |        list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS scale
+        |      FROM embeddings)""".stripMargin
   ) ++ graft.queries.TrainedFixture.oracleSql.toMap
 }

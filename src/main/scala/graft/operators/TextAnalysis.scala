@@ -78,4 +78,43 @@ object TextAnalysis {
         md5(t.substr(i, lit(k))))))
       .otherwise(md5(t))
   }
+
+  /** Deterministic content-addressed train/validation/test assignment:
+    * bucket = first 32 md5 bits of the text mod 100 → 90/5/5 split.
+    * Content-addressed on purpose — exact duplicates always land in the
+    * SAME split (id-keyed splits leak dup pairs across train/test), and
+    * the assignment is stable across runs, partitionings and engines.
+    */
+  def datasetSplit(text: Column): (Column, Column) = {
+    val bucket = conv(substring(md5(text), 1, 8), 16, 10).cast("long") % 100
+    val split = when(bucket < 90, "train")
+      .when(bucket < 95, "validation").otherwise("test")
+    (bucket, split)
+  }
+
+  /** Repetition scores (the Gopher-rule family, arXiv:2112.11446 §A1.1,
+    * adapted to single-line docs): `dup_word_frac` = fraction of tokens
+    * that are repeats of an earlier token; `top_bigram_frac` = fraction
+    * of all word-bigrams taken by the single most frequent bigram. High
+    * values flag boilerplate/spam for pipeline filtering. One explode +
+    * two grouped aggregations — no self-joins.
+    */
+  def repetitionScores(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol), tokens(col(textCol)).as("w"))
+    val dup = base.select(col(idCol),
+      round(lit(1.0) - size(array_distinct(col("w"))).cast("double") /
+        greatest(size(col("w")), lit(1)), 6).as("dup_word_frac"))
+    val bigrams = base
+      .filter(size(col("w")) >= 2)
+      .select(col(idCol), explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => concat(element_at(col("w"), i), lit(" "),
+          element_at(col("w"), i + 1)))).as("g"))
+    val top = bigrams.groupBy(idCol, "g").count()
+      .groupBy(idCol).agg(max("count").as("mx"), sum("count").as("tot"))
+    dup.join(top, Seq(idCol), "left")
+      .select(col(idCol), col("dup_word_frac"),
+        round(coalesce(col("mx").cast("double") / col("tot"), lit(0.0)), 6)
+          .as("top_bigram_frac"))
+  }
 }

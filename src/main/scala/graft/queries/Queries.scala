@@ -387,6 +387,29 @@ object Queries {
     t(s, dir, "documents").select(col("doc_id"),
       graft.operators.TextAnalysis.charShingleMin(col("text")).as("shingle_min"))
 
+  /** Deterministic content-addressed train/val/test split (90/5/5):
+    * exact duplicates land in the same split, assignment stable across
+    * engines and runs.
+    */
+  def datasetSplit(s: SparkSession, dir: String): DataFrame = {
+    val (bucket, split) = graft.operators.TextAnalysis.datasetSplit(col("text"))
+    t(s, dir, "documents").select(col("doc_id"), bucket.as("bucket"), split.as("split"))
+  }
+
+  /** Gopher-style repetition scores: repeated-token fraction + top-bigram
+    * mass per doc — boilerplate/spam signals for pipeline filtering.
+    */
+  def repetitionScore(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.repetitionScores(
+      t(s, dir, "documents"), "doc_id", "text")
+
+  /** Per-vector max-abs int8 quantization stats over the embedding column
+    * (integer-exact codes; the 4× storage format for hot corpora).
+    */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantization.int8Stats(
+      t(s, dir, "embeddings"), "vec_id", "embedding")
+
   // ------------------------------------------------------- trained fixture
 
   /** Q2/T15 — the real coarse ADC stage over a really-trained index (see

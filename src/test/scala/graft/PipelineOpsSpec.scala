@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Quantization, TextAnalysis}
+
+/** Behavioral invariants of the dataset-curation operators (split /
+  * repetition / quantization); cross-engine value parity is covered by
+  * their DuckDB oracle rows.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("dataset split: deterministic, content-addressed, ~90/5/5") {
+    val docs = (0 until 2000).map(i => (i.toLong, s"document number $i body"))
+      .toDF("doc_id", "text")
+    val (bucket, split) = TextAnalysis.datasetSplit(col("text"))
+    val out = docs.select(col("doc_id"), col("text"), bucket.as("b"), split.as("s"))
+    val frac = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / 2000).toMap
+    assert(math.abs(frac("train") - 0.90) < 0.03, s"train frac ${frac("train")}")
+    assert(frac("validation") > 0.02 && frac("test") > 0.02)
+    // content-addressed: an exact duplicate text lands in the same split
+    val dup = Seq((9000L, "document number 7 body")).toDF("doc_id", "text")
+      .select(split.as("s")).head().getString(0)
+    val orig = out.filter(col("doc_id") === 7L).head().getString(3)
+    assert(dup == orig, "duplicate content must not straddle splits")
+    // stable across evaluations
+    assert(out.select("doc_id", "s").collect().toSeq ==
+      docs.select(col("doc_id"), split.as("s")).collect().toSeq)
+  }
+
+  test("repetition scores: known values on crafted docs") {
+    val docs = Seq(
+      (0L, "spam spam spam spam"),          // all repeats of one token
+      (1L, "alpha beta gamma delta"),       // no repetition
+      (2L, "one")                           // single token, no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionScores(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(0L) == (0.75, 1.0), s"got ${out(0L)}") // 3/4 dup tokens; bigram 'spam spam' = 3/3
+    assert(out(1L)._1 == 0.0, s"no dup tokens expected: ${out(1L)}")
+    assert(math.abs(out(1L)._2 - 0.333333) < 1e-6) // each bigram once, max 1 of 3
+    assert(out(2L) == (0.0, 0.0), "no bigrams -> zero top-bigram mass")
+  }
+
+  test("int8 quantization: exact codes, reconstruction within half a step") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f)) // zero vector must not divide by zero
+    ).toDF("vec_id", "embedding")
+    val out = Quantization.int8Stats(vecs, "vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // scale 1.0 -> q = [127, -64, 32, 0] (round half away from zero)
+    assert(out(0L) == (1.0, 95L, 223L, 127L, 0L), s"got ${out(0L)}")
+    assert(out(1L) == (0.0, 0L, 0L, 0L, 0L), s"zero vector: ${out(1L)}")
+
+    // codes stay in [-127, 127] and reconstruct within scale/254 per element
+    val e = sf("sf0.001", "embeddings")
+    val scale = Quantization.maxAbsScale(col("embedding"))
+    val q = Quantization.int8Codes(col("embedding"), scale)
+    val checked = e.select(
+      aggregate(q, lit(true), (acc, x) => acc && x >= -127L && x <= 127L).as("in_range"),
+      aggregate(zip_with(col("embedding"), q, (x, qi) =>
+          abs(x.cast("double") - qi * scale / 127.0)),
+        lit(0.0), (acc, d) => greatest(acc, d)).as("max_err"),
+      (scale / 254.0 + lit(1e-12)).as("half_step"))
+    val rows = checked.collect()
+    assert(rows.forall(_.getBoolean(0)), "a code left [-127, 127]")
+    assert(rows.forall(r => r.getDouble(1) <= r.getDouble(2)),
+      "reconstruction error exceeded half a quantization step")
+  }
+}
