@@ -35,6 +35,7 @@ object TrainedFixture {
     * the engine computes internally).
     */
   final case class Fixture(eng: Engine, doc: CatalogDoc, model: IndexModel,
+                           bcModel: org.apache.spark.broadcast.Broadcast[IndexModel],
                            qRaw: Array[Float], qn: Array[Float])
 
   private val cache =
@@ -76,7 +77,7 @@ object TrainedFixture {
       val nrm = math.sqrt(ss)
       if (nrm == 0) qRaw else qRaw.map(x => (x / nrm).toFloat)
     }
-    val f = Fixture(eng, doc, model, qRaw, qn)
+    val f = Fixture(eng, doc, model, s.sparkContext.broadcast(model), qRaw, qn)
     oracleSql.put("trained_adc_topk", adcSql(f))
     oracleSql.put("trained_knn", knnSql(f))
     f
@@ -95,7 +96,7 @@ object TrainedFixture {
     val pruned = coded.filter(col("cluster_id")
       .isin(probes.toIndexedSeq.map(Integer.valueOf): _*))
     graft.operators.BatchANN.coarseCandidates(
-        s, pruned, s.sparkContext.broadcast(f.model),
+        s, pruned, f.bcModel,
         Array(0L -> qp), Array(probes), AdcK)
       .select(col("id"), round(col("adc_dist"), 6).as("adc_dist"))
   }
