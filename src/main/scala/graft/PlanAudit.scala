@@ -8,7 +8,11 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (n <- Seq("q1_agg", "q3_topk_join", "knn_flat", "s5_semi_join", "events_hourly", "t12_centroid_assign", "dedup_exact")) {
+    for (n <- Seq("q1_agg", "q3_topk_join", "knn_flat", "s5_semi_join",
+        "events_hourly", "t12_centroid_assign", "dedup_exact",
+        "minhash_lsh", "simhash_near_dup", "embed_near_dup",
+        "trained_adc_topk", "trained_knn", "dataset_split",
+        "repetition_score", "embed_quantize")) {
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -73,15 +73,25 @@ object EmbeddingLSH {
   }
 
   /** Distinct candidate pairs (a < b) sharing at least one band bucket —
-    * a single equi-join shuffle on (band_idx, band_key).
+    * a single equi-join shuffle on (band_idx, band_key). `maxBucket` caps
+    * degenerate buckets before the join (see
+    * [[MinHashLSH.candidatePairs]] — same skew guard, same rationale).
     */
   def candidatePairs(df: DataFrame, idCol: String, vecCol: String,
-                     numBands: Int, planesPerBand: Int, dim: Int): DataFrame = {
+                     numBands: Int, planesPerBand: Int, dim: Int,
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
     val pl = planes(numBands * planesPerBand, dim)
     val sigs = df.select(col(idCol),
       posexplode(bandKeys(col(vecCol), pl, planesPerBand)).as(Seq("band_idx", "band_key")))
-    val a = sigs.select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
-    val b = sigs.select(col(idCol).as("id_b"), col("band_idx"), col("band_key"))
+    val src =
+      if (maxBucket == Int.MaxValue) sigs
+      else sigs
+        .withColumn("bucket_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_key")))
+        .filter(col("bucket_n") <= maxBucket)
+        .drop("bucket_n")
+    val a = src.select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
+    val b = src.select(col(idCol).as("id_b"), col("band_idx"), col("band_key"))
     a.join(b, Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -95,8 +105,9 @@ object EmbeddingLSH {
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    numBands: Int, planesPerBand: Int, dim: Int,
-                   tau: Double): DataFrame = {
-    val pairs = candidatePairs(df, idCol, vecCol, numBands, planesPerBand, dim)
+                   tau: Double, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val pairs = candidatePairs(df, idCol, vecCol, numBands, planesPerBand, dim,
+      maxBucket)
     val vecs = df.select(col(idCol), col(vecCol))
     pairs
       .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("va")), Seq("id_a"))

@@ -103,10 +103,27 @@ object MinHashLSH {
 
   /** Distinct candidate pairs (a < b) sharing at least one band bucket —
     * a single equi-join shuffle on (band_idx, band_key).
+    *
+    * `maxBucket` is the skew guard for degenerate keys at scale: a bucket
+    * of n rows emits n²/2 candidates, and real corpora have pathological
+    * buckets (boilerplate, empty docs, templates) that would dominate the
+    * join. Buckets larger than the cap are dropped BEFORE the join (one
+    * windowed count over the same key the join shuffles by). Pairs inside
+    * a dropped bucket are typically exact/near-exact duplicates — route
+    * them through exact hash dedup, which handles any multiplicity in one
+    * group-by. Default: uncapped.
     */
-  def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
-    val a = bandsDf.select(col(idCol).as("doc_a"), col("band_idx"), col("band_key"))
-    val b = bandsDf.select(col(idCol).as("doc_b"), col("band_idx"), col("band_key"))
+  def candidatePairs(bandsDf: DataFrame, idCol: String,
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
+    val src =
+      if (maxBucket == Int.MaxValue) bandsDf
+      else bandsDf
+        .withColumn("bucket_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_key")))
+        .filter(col("bucket_n") <= maxBucket)
+        .drop("bucket_n")
+    val a = src.select(col(idCol).as("doc_a"), col("band_idx"), col("band_key"))
+    val b = src.select(col(idCol).as("doc_b"), col("band_idx"), col("band_key"))
     a.join(b, Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()

@@ -97,6 +97,27 @@ class NearDupSpec extends SparkSpec {
     assert(found.forall { case (a, b) => a < b })
   }
 
+  test("LSH hot-bucket cap drops degenerate buckets, keeps normal pairs") {
+    // 60 copies of one boilerplate doc (a degenerate bucket that would
+    // emit ~1800 candidate pairs) + one genuine near-dup pair
+    val degen = (0 until 60).map(i =>
+      (i.toLong, "identical boilerplate text repeated across the corpus"))
+    val normal = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "the quick brown fox jumps over the lazy dog today"))
+    val df = (degen ++ normal).toDF("doc_id", "text")
+    val bands = MinHashLSH.bands(df, "doc_id", "text")
+    val capped = MinHashLSH.candidatePairs(bands, "doc_id", maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((100L, 101L)), "normal near-dup pair must survive the cap")
+    assert(!capped.exists { case (a, b) => a < 60L && b < 60L },
+      "degenerate-bucket pairs must be dropped (exact dedup handles them)")
+    // uncapped default still finds everything
+    val uncapped = MinHashLSH.candidatePairs(bands, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((0L, 59L)) && uncapped.contains((100L, 101L)))
+  }
+
   test("simhash pigeonhole banding: exact equivalence to brute-force hamming <= 3") {
     // random 32-bit fingerprints plus planted 1-3-bit-flip neighbors;
     // pigeonhole banding must be EXACT (complete + precise) vs brute force
