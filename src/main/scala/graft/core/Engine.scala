@@ -86,7 +86,7 @@ class Engine(val spark: SparkSession, val root: String) {
   /** S12 — drop db (mindb.py:549-551). */
   def delete(name: String): Unit = {
     indexCache.removeIf { case (n, _) => n == name }
-    dropModelBroadcasts(name, keepVersion = -1)
+    dropModelBroadcasts(name, keepBelow = Int.MaxValue)
     Catalog.delete(root, name)
   }
 
@@ -622,22 +622,26 @@ class Engine(val spark: SparkSession, val root: String) {
 
   /** The reusable per-version model broadcast for the serving path; stale
     * versions of the same db are unpersisted when a newer one is first
-    * queried (train/compact bump the version).
+    * queried (train/compact bump the version). Only versions BELOW the
+    * caller's are dropped: an in-flight query that loaded its doc before
+    * a concurrent train finished must never unpersist the newer version's
+    * broadcast (it may re-register its own old version — harmless, the
+    * next new-version query sweeps it).
     */
   private def modelBroadcast(
       doc: CatalogDoc): org.apache.spark.broadcast.Broadcast[IndexModel] = {
     val bc = modelBcCache.getOrElseUpdate((doc.name, doc.indexVersion),
       spark.sparkContext.broadcast(indexModel(doc)))
-    dropModelBroadcasts(doc.name, keepVersion = doc.indexVersion)
+    dropModelBroadcasts(doc.name, keepBelow = doc.indexVersion)
     bc
   }
 
   /** Unpersist (not destroy — lazily re-fetchable by in-flight plans)
-    * cached model broadcasts for `name` other than `keepVersion`.
+    * cached model broadcasts for `name` with version < `keepBelow`.
     */
-  private def dropModelBroadcasts(name: String, keepVersion: Int): Unit =
+  private def dropModelBroadcasts(name: String, keepBelow: Int): Unit =
     modelBcCache.keys
-      .filter { case (n, v) => n == name && v != keepVersion }
+      .filter { case (n, v) => n == name && v < keepBelow }
       .foreach(k => modelBcCache.remove(k).foreach(_.unpersist(false)))
 
   private def normalizeLocal(v: Array[Float]): Array[Float] = {

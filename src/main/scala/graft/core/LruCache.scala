@@ -36,6 +36,13 @@ final class LruCache[K, V](@volatile var maxMemory: Long,
 
   /** Cached value or `load` it — the load runs OUTSIDE the global lock,
     * guarded by a per-key monitor (double-checked after acquiring it).
+    * Single-flight is best-effort: concurrent same-key callers serialize
+    * on one monitor so the loader normally runs once; only the rare
+    * interleaving "loader finished → entry immediately evicted → a third
+    * caller installs a fresh monitor while a waiter is still inside the
+    * old one" can duplicate a load (consistent result either way — `put`
+    * is idempotent). The conditional remove keeps a finishing waiter from
+    * discarding a newer loader's monitor.
     */
   def getOrElseUpdate(key: K)(load: => V): V =
     get(key).getOrElse {
@@ -46,7 +53,7 @@ final class LruCache[K, V](@volatile var maxMemory: Long,
           put(key, v)
           v
         }
-      } finally loaders.remove(key)
+      } finally loaders.remove(key, mon)
     }
 
   def put(key: K, value: V): Unit = synchronized {

@@ -30,13 +30,27 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
+  /** SQL `trim` semantics: strip leading/trailing SPACES only. Java's
+    * `String.trim` also strips tabs/newlines/control chars, which would
+    * silently diverge from the `trim(lower(text))` the Spark columns and
+    * the DuckDB oracle compute (a doc with an edge tab tokenizes to a
+    * leading "" there).
+    */
+  private[operators] def sqlTrim(s: String): String = {
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    s.substring(from, to)
+  }
+
   /** Word w-shingles of lower-cased, trimmed, whitespace-split text; docs
     * shorter than w shingle to their whole token string. Matches
-    * `regexp_split_to_array(trim(lower(text)), '\s+')` semantics for
-    * trimmed input.
+    * `regexp_split_to_array(trim(lower(text)), '\s+')` semantics exactly
+    * (incl. space-only trim).
     */
   def shingleStrings(text: String, w: Int): Array[String] = {
-    val toks = text.toLowerCase(Locale.ROOT).trim.split("\\s+")
+    val toks = sqlTrim(text.toLowerCase(Locale.ROOT)).split("\\s+")
     if (toks.length >= w)
       Array.tabulate(toks.length - w + 1)(i => toks.slice(i, i + w).mkString(" "))
     else Array(toks.mkString(" "))

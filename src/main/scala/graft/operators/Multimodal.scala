@@ -59,7 +59,8 @@ object Multimodal {
     else None
 
   /** JPEG: FF D8, then marker segments; the SOFn marker (C0-CF minus
-    * C4/C8/CC) carries height/width big-endian at +5/+7.
+    * C4/C8/CC) carries height/width big-endian at +5/+7. Spec-legal fill
+    * bytes (repeated 0xFF before a marker) are skipped; EOI ends the walk.
     */
   private def parseJpeg(b: Array[Byte]): Option[MediaMeta] = {
     if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
@@ -67,7 +68,9 @@ object Multimodal {
     while (i + 9 < b.length) {
       if (u8(b, i) != 0xff) return None
       val marker = u8(b, i + 1)
-      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2 // standalone
+      if (marker == 0xff) i += 1 // fill byte padding before a marker
+      else if (marker == 0xd9) return None // EOI with no SOF seen
+      else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2 // standalone
       else if (marker >= 0xc0 && marker <= 0xcf &&
                marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
         return Some(MediaMeta("jpeg", be16(b, i + 7), be16(b, i + 5), 1L))
@@ -125,7 +128,9 @@ object Multimodal {
     while (i + 8 <= b.length) {
       val id = new String(b, i, 4, "US-ASCII")
       val size = le32(b, i + 4)
+      if (size < 0 || size > b.length) return None // corrupt chunk size
       if (id == "fmt ") {
+        if (i + 22 > b.length) return None
         channels = le16(b, i + 10)
         rate = le32(b, i + 12)
         bytesPerFrame = math.max(1L, le16(b, i + 20)) // block align
@@ -136,11 +141,19 @@ object Multimodal {
     else Some(MediaMeta("wav", rate, channels, dataBytes / bytesPerFrame))
   }
 
-  /** Executor-side decode: sniff + parse real container headers. */
+  private val Unknown = MediaMeta("unknown", 0L, 0L, 0L)
+
+  /** Executor-side decode: sniff + parse real container headers. Corrupt,
+    * truncated or null payloads degrade to "unknown" — a single bad row
+    * must never fail a full-corpus decode pass.
+    */
   def decodeLocal(bytes: Array[Byte]): MediaMeta =
-    parsePng(bytes).orElse(parseJpeg(bytes)).orElse(parseGif(bytes))
-      .orElse(parseBmp(bytes)).orElse(parseWav(bytes))
-      .getOrElse(MediaMeta("unknown", 0L, 0L, 0L))
+    if (bytes == null) Unknown
+    else
+      try parsePng(bytes).orElse(parseJpeg(bytes)).orElse(parseGif(bytes))
+        .orElse(parseBmp(bytes)).orElse(parseWav(bytes))
+        .getOrElse(Unknown)
+      catch { case _: IndexOutOfBoundsException | _: NegativeArraySizeException => Unknown }
 
   /** `binary` payload column → decoded metadata struct
     * (format, width, height, n_frames).
@@ -167,7 +180,7 @@ object Multimodal {
     */
   def synthesizePayload(id: Long, text: String): Array[Byte] = {
     val hex = hashHex(text)
-    (id % 5) match {
+    math.floorMod(id, 5L) match {
       case 4 =>
         val rate = 8000 * (1 + hx(hex, 0, 2) % 4)
         val channels = 1 + hx(hex, 2, 2) % 2

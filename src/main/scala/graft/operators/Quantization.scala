@@ -28,6 +28,13 @@ object Quantization {
 
   /** Summary projection for a quantized column: scale plus integer-exact
     * digests of the code vector (sum, L1 mass, first/last element).
+    *
+    * The five output columns each inline `scale`/`q` after
+    * CollapseProject (HOF subtrees are excluded from codegen CSE), so the
+    * per-row fold runs up to ~6×. Deliberate: that is a FIXED ~6·d flops
+    * per row — unlike the token-hashing kernels this module family moved
+    * off HOFs for — and staying in Catalyst keeps `round()` semantics
+    * bit-identical to the SQL oracle's.
     */
   def int8Stats(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val scale = maxAbsScale(col(vecCol))

@@ -42,10 +42,13 @@ object SimHash {
   }
 
   /** Whitespace tokens of lower-cased trimmed text (the
-    * TextAnalysis.tokens contract: `split(trim(lower(text)), '\\s+')`).
+    * TextAnalysis.tokens contract: `split(trim(lower(text)), '\\s+')` —
+    * SQL trim strips spaces only, so the kernel must too; Java's
+    * String.trim would also strip edge tabs/newlines and change the
+    * fingerprint vs the oracle).
     */
   def fingerprintLocal(text: String): Long = {
-    val toks = text.toLowerCase(Locale.ROOT).trim.split("\\s+")
+    val toks = MinHashLSH.sqlTrim(text.toLowerCase(Locale.ROOT)).split("\\s+")
     val votes = new Array[Int](Bits)
     var t = 0
     while (t < toks.length) {

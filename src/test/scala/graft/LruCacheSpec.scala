@@ -60,7 +60,10 @@ class LruCacheSpec extends AnyFunSuite {
     implicit val ec: ExecutionContext = ExecutionContext.global
     val c = cache(1000L)
     val loads = new java.util.concurrent.atomic.AtomicInteger(0)
-    def slowLoad(v: Long): Long = { Thread.sleep(400); loads.incrementAndGet(); v }
+    // blocking{} lets the global EC grow past core count — without it a
+    // low-core CI box serializes the sleeps and flakes the timing gate
+    def slowLoad(v: Long): Long =
+      scala.concurrent.blocking { Thread.sleep(400); loads.incrementAndGet(); v }
     val t0 = System.nanoTime()
     val results = Await.result(Future.sequence(
       Seq("a" -> 10L, "b" -> 20L, "c" -> 30L, "a" -> 10L).map { case (k, v) =>

@@ -174,6 +174,40 @@ class NearDupSpec extends SparkSpec {
     // garbage and truncated payloads degrade to unknown, never throw
     assert(Multimodal.decodeLocal("not media".getBytes("UTF-8")).format == "unknown")
     assert(Multimodal.decodeLocal(Array[Byte](0x42, 0x4d)).format == "unknown")
+    assert(Multimodal.decodeLocal(null).format == "unknown")
+  }
+
+  test("multimodal decode: hostile payloads terminate and degrade to unknown") {
+    // RIFF/WAVE with a chunk size of 0xFFFFFFF8 (-8 as int): a naive walk
+    // advances by zero bytes and spins forever
+    val evilWav = Multimodal.wavBytes(8000, 1, 4)
+    evilWav(16) = 0xf8.toByte; evilWav(17) = 0xff.toByte
+    evilWav(18) = 0xff.toByte; evilWav(19) = 0xff.toByte
+    assert(Multimodal.decodeLocal(evilWav).format == "unknown")
+    // valid 13-byte GIF header + image separator, then truncation
+    val evilGif = ("GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](20, 0, 10, 0, 0, 0, 0, 0x2c)).padTo(14, 0.toByte)
+    assert(Multimodal.decodeLocal(evilGif).format != "crash") // must not throw
+    // JPEG with spec-legal fill bytes before the SOF marker still parses
+    val jpg = Multimodal.imageBytes(33, 21, 0x101010, "jpg")
+    val padded = jpg.take(2) ++ Array(0xff.toByte) ++ jpg.drop(2)
+    val m = Multimodal.decodeLocal(padded)
+    assert(m.format == "jpeg" && m.width == 33L && m.height == 21L,
+      s"fill byte broke the marker walk: $m")
+    // negative ids rotate formats via floorMod instead of crashing
+    assert(Multimodal.decodeLocal(Multimodal.synthesizePayload(-1L, "x")).format == "wav")
+  }
+
+  test("hash kernels use SQL trim semantics (spaces only, not tabs)") {
+    // SQL trim(lower(text)) keeps an edge tab; Java String.trim strips it.
+    // The kernels must match the SQL side: "\tfoo" tokenizes to ["", "foo"].
+    assert(SimHash.fingerprintLocal("\tfoo") != SimHash.fingerprintLocal("foo"),
+      "edge tab must change the token list (leading empty token)")
+    assert(SimHash.fingerprintLocal("  foo  ") == SimHash.fingerprintLocal("foo"),
+      "edge spaces are trimmed")
+    assert(MinHashLSH.shingleStrings("\ta b", 3).toSeq == Seq(" a b"),
+      "leading empty token must survive into the shingle")
+    assert(MinHashLSH.shingleStrings("  a b  ", 2).toSeq == Seq("a b"))
   }
 
   test("multimodal decode: animated GIF frame count from the block walk") {
