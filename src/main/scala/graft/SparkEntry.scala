@@ -470,7 +470,7 @@ object SparkEntry {
         |  CAST(round(CASE WHEN scale = 0 THEN 0
         |      ELSE CAST(embedding[1] AS DOUBLE) * 127.0 / scale END) AS BIGINT) AS q_first,
         |  CAST(round(CASE WHEN scale = 0 THEN 0
-        |      ELSE CAST(embedding[64] AS DOUBLE) * 127.0 / scale END) AS BIGINT) AS q_last
+        |      ELSE CAST(embedding[len(embedding)] AS DOUBLE) * 127.0 / scale END) AS BIGINT) AS q_last
         |FROM (SELECT vec_id, embedding,
         |        list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS scale
         |      FROM embeddings)""".stripMargin

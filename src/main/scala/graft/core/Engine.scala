@@ -632,7 +632,12 @@ class Engine(val spark: SparkSession, val root: String) {
       doc: CatalogDoc): org.apache.spark.broadcast.Broadcast[IndexModel] = {
     val bc = modelBcCache.getOrElseUpdate((doc.name, doc.indexVersion),
       spark.sparkContext.broadcast(indexModel(doc)))
-    dropModelBroadcasts(doc.name, keepBelow = doc.indexVersion)
+    // an in-flight query racing delete() could re-register after delete's
+    // sweep — with no future query to sweep again, that broadcast would
+    // leak for the SparkContext's lifetime; re-check and self-evict
+    if (!Catalog.exists(root, doc.name))
+      dropModelBroadcasts(doc.name, keepBelow = Int.MaxValue)
+    else dropModelBroadcasts(doc.name, keepBelow = doc.indexVersion)
     bc
   }
 

@@ -54,19 +54,22 @@ object EmbeddingLSH {
     require(planes.length % r == 0, s"${planes.length} planes not divisible by r=$r")
     val b = planes.length / r
     val f = udf { (v: Seq[Double]) =>
-      val arr = v.toArray
-      Array.tabulate(b) { i =>
-        var key = 0L
-        var p = 0
-        while (p < r) {
-          val plane = planes(i * r + p)
-          var s = 0.0
-          var j = 0
-          while (j < arr.length) { s += arr(j) * plane(j); j += 1 }
-          if (s >= 0) key |= (1L << p)
-          p += 1
+      if (v == null) null // null embedding: posexplode drops the row
+      else {
+        val arr = v.toArray
+        Array.tabulate(b) { i =>
+          var key = 0L
+          var p = 0
+          while (p < r) {
+            val plane = planes(i * r + p)
+            var s = 0.0
+            var j = 0
+            while (j < arr.length) { s += arr(j) * plane(j); j += 1 }
+            if (s >= 0) key |= (1L << p)
+            p += 1
+          }
+          key
         }
-        key
       }
     }
     f(vec.cast("array<double>"))
@@ -83,13 +86,7 @@ object EmbeddingLSH {
     val pl = planes(numBands * planesPerBand, dim)
     val sigs = df.select(col(idCol),
       posexplode(bandKeys(col(vecCol), pl, planesPerBand)).as(Seq("band_idx", "band_key")))
-    val src =
-      if (maxBucket == Int.MaxValue) sigs
-      else sigs
-        .withColumn("bucket_n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_key")))
-        .filter(col("bucket_n") <= maxBucket)
-        .drop("bucket_n")
+    val src = MinHashLSH.capBuckets(sigs, Seq("band_idx", "band_key"), maxBucket)
     val a = src.select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
     val b = src.select(col(idCol).as("id_b"), col("band_idx"), col("band_key"))
     a.join(b, Seq("band_idx", "band_key"))

@@ -46,11 +46,13 @@ object MinHashLSH {
 
   /** Word w-shingles of lower-cased, trimmed, whitespace-split text; docs
     * shorter than w shingle to their whole token string. Matches
-    * `regexp_split_to_array(trim(lower(text)), '\s+')` semantics exactly
-    * (incl. space-only trim).
+    * `regexp_split_to_array(trim(lower(text)), '\s+')` semantics exactly:
+    * space-only trim AND split limit −1 — Spark's `split` and DuckDB both
+    * KEEP a trailing empty token after edge tabs/newlines (verified
+    * empirically); Java's default limit-0 split would drop it.
     */
   def shingleStrings(text: String, w: Int): Array[String] = {
-    val toks = sqlTrim(text.toLowerCase(Locale.ROOT)).split("\\s+")
+    val toks = sqlTrim(text.toLowerCase(Locale.ROOT)).split("\\s+", -1)
     if (toks.length >= w)
       Array.tabulate(toks.length - w + 1)(i => toks.slice(i, i + w).mkString(" "))
     else Array(toks.mkString(" "))
@@ -95,17 +97,23 @@ object MinHashLSH {
   def bandKeysLocal(sig: Array[String], r: Int): Array[String] =
     Array.tabulate(sig.length / r)(b => md5hex(sig.slice(b * r, b * r + r).mkString("")))
 
-  /** Band keys straight from text — the whole per-row kernel as a column. */
+  /** Band keys straight from text — the whole per-row kernel as a column.
+    * Null text → null (the downstream posexplode drops the row, matching
+    * the null-propagation a Catalyst formulation would have).
+    */
   def bandKeys(text: Column, w: Int = 3, numHashes: Int = 12, r: Int = 3): Column = {
     val f = udf { (t: String) =>
-      bandKeysLocal(signatureLocal(shingleStrings(t, w), numHashes), r)
+      if (t == null) null
+      else bandKeysLocal(signatureLocal(shingleStrings(t, w), numHashes), r)
     }
     f(text)
   }
 
-  /** Distinct shingle set (for exact-Jaccard verification). */
+  /** Distinct shingle set (for exact-Jaccard verification); null-safe. */
   def shingleSet(text: Column, w: Int = 3): Column = {
-    val f = udf { (t: String) => shingleStrings(t, w).distinct }
+    val f = udf { (t: String) =>
+      if (t == null) null else shingleStrings(t, w).distinct
+    }
     f(text)
   }
 
@@ -127,15 +135,22 @@ object MinHashLSH {
     * them through exact hash dedup, which handles any multiplicity in one
     * group-by. Default: uncapped.
     */
+  /** The shared skew guard: drop band buckets with more than `maxBucket`
+    * members (one windowed count over the same key the candidate join
+    * shuffles by; a no-op when uncapped).
+    */
+  private[operators] def capBuckets(bandsDf: DataFrame, keyCols: Seq[String],
+                                    maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) bandsDf
+    else bandsDf
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+
   def candidatePairs(bandsDf: DataFrame, idCol: String,
                      maxBucket: Int = Int.MaxValue): DataFrame = {
-    val src =
-      if (maxBucket == Int.MaxValue) bandsDf
-      else bandsDf
-        .withColumn("bucket_n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_key")))
-        .filter(col("bucket_n") <= maxBucket)
-        .drop("bucket_n")
+    val src = capBuckets(bandsDf, Seq("band_idx", "band_key"), maxBucket)
     val a = src.select(col(idCol).as("doc_a"), col("band_idx"), col("band_key"))
     val b = src.select(col(idCol).as("doc_b"), col("band_idx"), col("band_key"))
     a.join(b, Seq("band_idx", "band_key"))

@@ -228,7 +228,9 @@ object Multimodal {
     * Parquet BLOB scan instead of [[synthesizePayload]].
     */
   def mediaMeta(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val payloadUdf = udf { (id: Long, text: String) => synthesizePayload(id, text) }
+    val payloadUdf = udf { (id: Long, text: String) =>
+      if (text == null) null else synthesizePayload(id, text)
+    }
     df.select(col(idCol), decodeMeta(
         payloadUdf(col(idCol).cast("long"), col(textCol))).as("m"))
       .select(col(idCol), col("m.format").as("format"),

@@ -43,12 +43,13 @@ object SimHash {
 
   /** Whitespace tokens of lower-cased trimmed text (the
     * TextAnalysis.tokens contract: `split(trim(lower(text)), '\\s+')` —
-    * SQL trim strips spaces only, so the kernel must too; Java's
-    * String.trim would also strip edge tabs/newlines and change the
-    * fingerprint vs the oracle).
+    * SQL trim strips spaces only and SQL split KEEPS a trailing empty
+    * token, so the kernel uses a space-only trim and split limit −1;
+    * Java's defaults would strip edge tabs and drop the trailing empty,
+    * changing the fingerprint vs the oracle).
     */
   def fingerprintLocal(text: String): Long = {
-    val toks = MinHashLSH.sqlTrim(text.toLowerCase(Locale.ROOT)).split("\\s+")
+    val toks = MinHashLSH.sqlTrim(text.toLowerCase(Locale.ROOT)).split("\\s+", -1)
     val votes = new Array[Int](Bits)
     var t = 0
     while (t < toks.length) {
@@ -66,8 +67,13 @@ object SimHash {
     fp
   }
 
+  /** Null text → null fingerprint (the null-propagation a Catalyst
+    * formulation would have), not a task-killing NPE.
+    */
   def fingerprint(text: Column): Column = {
-    val f = udf { (t: String) => fingerprintLocal(t) }
+    val f = udf { (t: String) =>
+      if (t == null) None else Some(fingerprintLocal(t))
+    }
     f(text)
   }
 

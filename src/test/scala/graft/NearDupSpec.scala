@@ -198,16 +198,43 @@ class NearDupSpec extends SparkSpec {
     assert(Multimodal.decodeLocal(Multimodal.synthesizePayload(-1L, "x")).format == "wav")
   }
 
-  test("hash kernels use SQL trim semantics (spaces only, not tabs)") {
-    // SQL trim(lower(text)) keeps an edge tab; Java String.trim strips it.
-    // The kernels must match the SQL side: "\tfoo" tokenizes to ["", "foo"].
+  test("hash kernels use SQL trim/split semantics (space-only trim, keep trailing empty)") {
+    // SQL trim(lower(text)) keeps edge tabs/newlines; SQL split keeps a
+    // trailing empty token (verified against Spark: "a b\t" → ["a","b",""]).
+    // The kernels must match the SQL side exactly.
     assert(SimHash.fingerprintLocal("\tfoo") != SimHash.fingerprintLocal("foo"),
-      "edge tab must change the token list (leading empty token)")
+      "leading tab must change the token list (leading empty token)")
+    assert(SimHash.fingerprintLocal("foo\n") != SimHash.fingerprintLocal("foo"),
+      "trailing newline must change the token list (trailing empty token)")
     assert(SimHash.fingerprintLocal("  foo  ") == SimHash.fingerprintLocal("foo"),
       "edge spaces are trimmed")
     assert(MinHashLSH.shingleStrings("\ta b", 3).toSeq == Seq(" a b"),
       "leading empty token must survive into the shingle")
+    assert(MinHashLSH.shingleStrings("a b\t", 3).toSeq == Seq("a b "),
+      "trailing empty token must survive into the shingle")
     assert(MinHashLSH.shingleStrings("  a b  ", 2).toSeq == Seq("a b"))
+  }
+
+  test("null text/embedding rows null-propagate instead of failing the job") {
+    val withNullText = Seq((0L, "real doc here"), (1L, null: String))
+      .toDF("doc_id", "text")
+    // minhash bands, simhash fingerprint, shingle sets, multimodal: the
+    // null row drops/nulls out, the real row still processes
+    assert(MinHashLSH.bands(withNullText, "doc_id", "text")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+    val fps = withNullText.select(col("doc_id"),
+      SimHash.fingerprint(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!fps(0L) && fps(1L), "null text -> null fingerprint, not an NPE")
+    val media = Multimodal.mediaMeta(withNullText, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(media(0L) != "unknown" && media(1L) == "unknown")
+
+    val withNullVec = Seq((0L, Seq(1.0f, 0.5f, -0.25f, 2.0f)),
+      (1L, null: Seq[Float])).toDF("vec_id", "embedding")
+    val pairs = EmbeddingLSH.nearDupPairs(withNullVec, "vec_id", "embedding",
+      numBands = 2, planesPerBand = 2, dim = 4, tau = 0.9).collect()
+    assert(pairs.isEmpty, "null embedding row must drop, not crash")
   }
 
   test("multimodal decode: animated GIF frame count from the block walk") {
