@@ -290,9 +290,10 @@ object Queries {
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
 
-  /** Token counting (whitespace tokenizer). `trim` first: Spark's split
-    * drops trailing empty strings but DuckDB's regexp_split_to_array keeps
-    * them, so the oracle only matches on trimmed input.
+  /** Token counting (whitespace tokenizer). `trim` first so edge spaces
+    * don't become empty tokens; Spark's split and DuckDB's
+    * regexp_split_to_array agree on everything else incl. trailing empty
+    * tokens after non-space whitespace (verified empirically).
     */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
