@@ -50,6 +50,7 @@ object SparkEntry {
     "trained_adc_topk"   -> (Queries.trainedAdcTopk _),
     "trained_knn"        -> (Queries.trainedKnn _),
     "dataset_split"      -> (Queries.datasetSplit _),
+    "contamination"      -> (Queries.contamination _),
     "repetition_score"   -> (Queries.repetitionScore _),
     "embed_quantize"     -> (Queries.embedQuantize _)
   )
@@ -439,6 +440,25 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |        ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b
         |      FROM documents)""".stripMargin,
+
+    "contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 5 THEN
+        |      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |        for i in generate_series(1, len(w)-4)])
+        |    ELSE [array_to_string(w, ' ')] END AS g
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id < 20),
+        |corpus AS (SELECT doc_id, unnest(g) AS gram FROM sh WHERE doc_id >= 20),
+        |hits AS (
+        |  SELECT c.doc_id, count(*) AS hits
+        |  FROM corpus c JOIN bench b ON c.gram = b.gram GROUP BY c.doc_id)
+        |SELECT d.doc_id, coalesce(h.hits, 0) AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+        |LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
 
     "repetition_score" ->
       """WITH toks AS (

@@ -79,6 +79,29 @@ object TextAnalysis {
       .otherwise(md5(t))
   }
 
+  /** Benchmark decontamination — the n-gram-overlap check a training
+    * pipeline runs against held-out eval sets: count, per corpus doc, how
+    * many of its distinct word `w`-grams appear in the benchmark's gram
+    * set. The benchmark side is eval-set-sized (tiny vs the corpus) so it
+    * broadcasts; the corpus explodes once and hash-joins against the
+    * broadcast — the 100 TB side is never shuffled except the final
+    * per-doc count (map-side partial). Gram extraction reuses the MinHash
+    * shingle kernel (SQL-exact trim/split semantics).
+    */
+  def contaminationCounts(docs: org.apache.spark.sql.DataFrame,
+                          benchmark: org.apache.spark.sql.DataFrame,
+                          idCol: String, textCol: String,
+                          w: Int = 5): org.apache.spark.sql.DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(MinHashLSH.shingleSet(col(textCol), w)).as("gram")).distinct()
+    val corpusGrams = docs
+      .select(col(idCol), explode(MinHashLSH.shingleSet(col(textCol), w)).as("gram"))
+    val hits = corpusGrams.join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(idCol).agg(count(lit(1)).as("hits"))
+    docs.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("hits"), lit(0L)).as("contaminated"))
+  }
+
   /** Deterministic content-addressed train/validation/test assignment:
     * bucket = first 32 md5 bits of the text mod 100 → 90/5/5 split.
     * Content-addressed on purpose — exact duplicates always land in the

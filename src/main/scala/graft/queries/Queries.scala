@@ -411,6 +411,17 @@ object Queries {
     graft.operators.Quantization.int8Stats(
       t(s, dir, "embeddings"), "vec_id", "embedding")
 
+  /** Benchmark decontamination: docs 0-19 stand in for a held-out eval
+    * set; every other doc counts its distinct 5-grams found in the eval
+    * set's gram pool (overlap ⇒ drop/flag before training).
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.TextAnalysis.contaminationCounts(
+      docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+      "doc_id", "text", w = 5)
+  }
+
   // ------------------------------------------------------- trained fixture
 
   /** Q2/T15 — the real coarse ADC stage over a really-trained index (see

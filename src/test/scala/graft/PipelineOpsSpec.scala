@@ -45,6 +45,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2L) == (0.0, 0.0), "no bigrams -> zero top-bigram mass")
   }
 
+  test("contamination: overlapping 5-grams counted, clean docs zero") {
+    val bench = Seq(
+      (0L, "the capital of france is paris and always was")).toDF("doc_id", "text")
+    val docs = Seq(
+      // shares exactly two benchmark 5-grams: "the capital of france is"
+      // and "capital of france is paris"
+      (20L, "we know the capital of france is paris indeed"),
+      (21L, "completely unrelated sentence about spark engines here"),
+      (22L, "tiny doc")                      // < 5 tokens → whole-string gram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.contaminationCounts(docs, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(20L) == 2L, s"expected 2 overlapping 5-grams, got ${out(20L)}")
+    assert(out(21L) == 0L && out(22L) == 0L)
+  }
+
   test("int8 quantization: exact codes, reconstruction within half a step") {
     val vecs = Seq(
       (0L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
