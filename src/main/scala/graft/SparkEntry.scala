@@ -38,6 +38,7 @@ object SparkEntry {
     "text_fingerprint"   -> (Queries.textFingerprint _),
     "minhash_lsh"        -> (Queries.minhashLsh _),
     "near_dup_jaccard"   -> (Queries.nearDupJaccard _),
+    "dedup_groups"       -> (Queries.dedupGroups _),
     "simhash"            -> (Queries.simhashFp _),
     "simhash_near_dup"   -> (Queries.simhashNearDup _),
     "embed_near_dup"     -> (Queries.embedNearDup _),
@@ -316,6 +317,48 @@ object SparkEntry {
         |  CAST(list_sum([CASE WHEN v[i+1] > 0 THEN (2**i)::BIGINT ELSE 0 END
         |    for i in generate_series(0, 31)]) AS BIGINT) AS simhash
         |FROM votes""".stripMargin,
+
+    "dedup_groups" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w)-2)]
+        |    ELSE [array_to_string(w, ' ')] END AS shingles
+        |  FROM toks),
+        |sig AS (
+        |  SELECT doc_id,
+        |    [list_min([md5(s::VARCHAR || ':' || x) for x in shingles])
+        |     for s in generate_series(0, 11)] AS sig
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b AS band_idx,
+        |    md5(array_to_string(sig[3*b+1:3*b+3], '')) AS band_key
+        |  FROM sig, generate_series(0, 3) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |   AND a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh),
+        |scored AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    round(CAST(len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS DOUBLE)
+        |      / (len(sa.sset) + len(sb.sset)
+        |         - len(list_filter(sa.sset, x -> list_contains(sb.sset, x)))), 9) AS j9
+        |  FROM cand p
+        |  JOIN sets sa ON p.doc_a = sa.doc_id
+        |  JOIN sets sb ON p.doc_b = sb.doc_id),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM scored WHERE j9 >= 0.1
+        |  UNION ALL
+        |  SELECT doc_b AS a, doc_a AS b FROM scored WHERE j9 >= 0.1),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+        |FROM reach GROUP BY a""".stripMargin,
 
     "simhash_near_dup" ->
       """WITH toks AS (

@@ -337,6 +337,15 @@ object Queries {
       .select(col("doc_a"), col("doc_b"), round(col("j9"), 6).as("jaccard"))
   }
 
+  /** Duplicate-cluster resolution over the verified near-dup pair graph:
+    * connected components by min-label propagation — each paired doc maps
+    * to the minimum doc id in its duplicate cluster (the keeper).
+    */
+  def dedupGroups(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ConnectedComponents.canonicalIds(
+      nearDupJaccard(s, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("canonical_id"))
+
   /** 32-bit SimHash fingerprint per document (near-dup by Hamming key). */
   def simhashFp(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),

@@ -215,6 +215,18 @@ class NearDupSpec extends SparkSpec {
     assert(MinHashLSH.shingleStrings("  a b  ", 2).toSeq == Seq("a b"))
   }
 
+  test("connected components: transitive clusters resolve to the min id") {
+    // chain 1-2-3 (1≈2, 2≈3 but no direct 1-3 edge), isolated pair 5-6,
+    // and a triangle 10-11-12
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("doc_a", "doc_b")
+    val out = graft.operators.ConnectedComponents
+      .canonicalIds(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L), s"got $out")
+  }
+
   test("null text/embedding rows null-propagate instead of failing the job") {
     val withNullText = Seq((0L, "real doc here"), (1L, null: String))
       .toDF("doc_id", "text")
