@@ -76,6 +76,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  private val whitespaceTextGen: Gen[String] = {
+    val piece = Gen.oneOf(
+      Gen.oneOf("alpha", "beta", "Gamma", "DELTA", "x1", "..", "a-b"),
+      Gen.oneOf(" ", "  ", "\t", "\n", " \t", "\r\n"))
+    Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, piece).map(_.mkString))
+  }
+
+  test("property: kernel tokenization ≡ Spark SQL split(trim(lower)) on hostile whitespace") {
+    import spark.implicits._
+    // the differential guard for the oracle contract: the JVM kernels
+    // (MinHash shingles, SimHash fingerprints) must tokenize EXACTLY like
+    // the Catalyst column the SQL oracle mirrors — space-only trim, keep
+    // trailing empty tokens. This property catches the Java trim/split
+    // divergence class of bug on edge tabs/newlines.
+    val texts = samples(whitespaceTextGen, 150).filter(_.nonEmpty).distinct
+    val sparkSide = texts.toDF("t")
+      .select(col("t"), graft.operators.TextAnalysis.tokens(col("t")).as("w"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    texts.foreach { t =>
+      // w=1 shingles are the raw token list
+      val kernelToks = MinHashLSH.shingleStrings(t, 1).toSeq
+      assert(kernelToks == sparkSide(t),
+        s"kernel vs Spark tokenization diverged on ${t.map(_.toInt)}: " +
+          s"$kernelToks vs ${sparkSide(t)}")
+    }
+  }
+
   test("property: simhash is word-order insensitive (vote sums commute)") {
     import spark.implicits._
     val texts = samples(Gen.zip(textGen, Gen.long), 25)
