@@ -12,7 +12,9 @@ import graft.core.Engine
   * batched two-stage queries, and print ONE JSON line with
   * recall(50@500) and latency stats. Configure with env:
   * GRAFT_EVAL_N (corpus size, default 30000), GRAFT_EVAL_D (dim, 64),
-  * GRAFT_EVAL_Q (queries, 32), GRAFT_EVAL_TWOLEVEL (false).
+  * GRAFT_EVAL_Q (queries, 32), GRAFT_EVAL_TWOLEVEL (false),
+  * GRAFT_EVAL_OPQ (false → reference defaults; true → the published
+  * PCA256/OPQ128/PQ32 omit_opq=False chain, README.md:22).
   */
 object Eval {
 
@@ -21,6 +23,7 @@ object Eval {
     val d = sys.env.getOrElse("GRAFT_EVAL_D", "64").toInt
     val nQ = sys.env.getOrElse("GRAFT_EVAL_Q", "32").toInt
     val twoLevel = sys.env.getOrElse("GRAFT_EVAL_TWOLEVEL", "false").toBoolean
+    val withOpq = sys.env.getOrElse("GRAFT_EVAL_OPQ", "false").toBoolean
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,7 +47,10 @@ object Eval {
       (0 until n).map(i => s"""{"i":$i}"""))
 
     val t0 = System.nanoTime()
-    engine.train("eval", useTwoLevelClustering = Some(twoLevel), seed = seed)
+    engine.train("eval",
+      params = if (withOpq) Some(graft.index.IndexParams(256, 128, 32, omitOpq = false))
+               else None,
+      useTwoLevelClustering = Some(twoLevel), seed = seed)
     val trainSec = (System.nanoTime() - t0) / 1e9
 
     def normalize(v: Array[Float]): Array[Float] = {
@@ -82,7 +88,7 @@ object Eval {
 
     val doc = engine.load("eval")
     println(
-      s"""{"n":$n,"d":$d,"queries":$nQ,"two_level":$twoLevel,""" +
+      s"""{"n":$n,"d":$d,"queries":$nQ,"two_level":$twoLevel,"opq":$withOpq,""" +
         s""""nlist":${doc.numClusters},"nprobe":${doc.nProbe},""" +
         s""""recall_50_at_500":${"%.4f".format(recall)},""" +
         s""""train_sec":${"%.1f".format(trainSec)},""" +
