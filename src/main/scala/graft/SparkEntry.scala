@@ -47,6 +47,7 @@ object SparkEntry {
     "bpe_tokens"         -> (Queries.bpeTokens _),
     "char_shingle_min"   -> (Queries.charShingleMin _),
     "multimodal_meta"    -> (Queries.multimodalMeta _),
+    "multimodal_resize"  -> (Queries.multimodalResize _),
     "events_hourly"      -> (Queries.eventsHourly _),
     "trained_adc_topk"   -> (Queries.trainedAdcTopk _),
     "trained_knn"        -> (Queries.trainedKnn _),
@@ -470,6 +471,18 @@ object SparkEntry {
         |  CASE WHEN doc_id % 5 = 4 THEN 100 + ('0x' || substr(h, 5, 2))::BIGINT
         |       ELSE 1 END AS n_frames
         |FROM (SELECT doc_id, md5(text) AS h FROM documents)""".stripMargin,
+
+    "multimodal_resize" ->
+      """SELECT doc_id, 'png' AS format, w AS width, h AS height,
+        |  CASE WHEN greatest(w, h) <= 64 THEN w
+        |       ELSE greatest(1, (w * 64) // greatest(w, h)) END AS new_width,
+        |  CASE WHEN greatest(w, h) <= 64 THEN h
+        |       ELSE greatest(1, (h * 64) // greatest(w, h)) END AS new_height
+        |FROM (
+        |  SELECT doc_id,
+        |    8 * (1 + ('0x' || substr(h8, 1, 2))::BIGINT % 32) AS w,
+        |    8 * (1 + ('0x' || substr(h8, 3, 2))::BIGINT % 32) AS h
+        |  FROM (SELECT doc_id, md5(text) AS h8 FROM documents WHERE doc_id % 5 = 0))""".stripMargin,
 
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,

@@ -163,6 +163,47 @@ object Multimodal {
     f(payload)
   }
 
+  /** Resize result: source dims from the REAL pixel decode, output dims
+    * read back from the resized raster (proof the transform ran).
+    */
+  final case class ResizedMeta(format: String, width: Long, height: Long,
+                               new_width: Long, new_height: Long)
+
+  /** REAL pixel decode + resize — the executor-side image transform stage
+    * of a multimodal pipeline: `ImageIO.read` decodes the full raster
+    * (not just headers), the image is scaled to fit `maxDim` preserving
+    * aspect, and the output dims are read back from the resized raster.
+    * Aspect math is integer (`new_w = max(1, w·maxDim / max(w,h))`,
+    * floor division) so an oracle can predict the output dimensions.
+    * Non-image or undecodable payloads → None (row drops).
+    */
+  def resizeLocal(bytes: Array[Byte], maxDim: Int): Option[ResizedMeta] =
+    try {
+      val meta = decodeLocal(bytes)
+      if (!Set("png", "jpeg", "gif", "bmp").contains(meta.format)) None
+      else Option(ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val m = math.max(w, h)
+        val (nw, nh) =
+          if (m <= maxDim) (w, h)
+          else (math.max(1, w * maxDim / m), math.max(1, h * maxDim / m))
+        val out = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.drawImage(img, 0, 0, nw, nh, null)
+        g.dispose()
+        ResizedMeta(meta.format, w, h, out.getWidth.toLong, out.getHeight.toLong)
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Column form of [[resizeLocal]]: null (→ droppable) for non-images. */
+  def resizeMeta(payload: Column, maxDim: Int): Column = {
+    val f = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) None else resizeLocal(bytes, maxDim)
+    }
+    f(payload)
+  }
+
   // --------------------------------------------------------- synthesis
 
   private def hashHex(s: String): String =

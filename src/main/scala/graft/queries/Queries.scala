@@ -456,6 +456,26 @@ object Queries {
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     graft.operators.Multimodal.mediaMeta(t(s, dir, "documents"), "doc_id", "text")
 
+  /** REAL pixel decode + resize-to-fit-64 over the PNG subset (doc_id
+    * multiple of 5): ImageIO decodes the full raster executor-side, the
+    * resize runs, and output dims come from the resized raster — the
+    * oracle predicts them with the same integer aspect math from the
+    * md5-derived source dims.
+    */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+    val payloadUdf = udf { (id: Long, text: String) =>
+      if (text == null) null else graft.operators.Multimodal.synthesizePayload(id, text)
+    }
+    docs.select(col("doc_id"),
+        graft.operators.Multimodal.resizeMeta(
+          payloadUdf(col("doc_id"), col("text")), maxDim = 64).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("doc_id"), col("r.format").as("format"),
+        col("r.width").as("width"), col("r.height").as("height"),
+        col("r.new_width").as("new_width"), col("r.new_height").as("new_height"))
+  }
+
   // ---------------------------------------------------------------- events
 
   /** Tumbling hourly window aggregation over the event stream table.

@@ -249,6 +249,24 @@ class NearDupSpec extends SparkSpec {
     assert(pairs.isEmpty, "null embedding row must drop, not crash")
   }
 
+  test("multimodal resize: real pixel decode, integer aspect-fit dims") {
+    // 200x100 real PNG → fit 64 → 64x32 (floor division aspect math)
+    val big = Multimodal.imageBytes(200, 100, 0xaabbcc, "png")
+    val r = Multimodal.resizeLocal(big, 64).get
+    assert(r == Multimodal.ResizedMeta("png", 200L, 100L, 64L, 32L), s"got $r")
+    // small images pass through unchanged
+    val small = Multimodal.imageBytes(30, 20, 0x112233, "jpg")
+    val rs = Multimodal.resizeLocal(small, 64).get
+    assert((rs.new_width, rs.new_height) == (30L, 20L))
+    // extreme aspect never collapses to zero
+    val thin = Multimodal.imageBytes(500, 2, 0x0, "png")
+    val rt = Multimodal.resizeLocal(thin, 64).get
+    assert(rt.new_height == 1L && rt.new_width == 64L)
+    // non-images and garbage drop (None), never throw
+    assert(Multimodal.resizeLocal(Multimodal.wavBytes(8000, 1, 10), 64).isEmpty)
+    assert(Multimodal.resizeLocal("junk".getBytes("UTF-8"), 64).isEmpty)
+  }
+
   test("multimodal decode: animated GIF frame count from the block walk") {
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val buf = new java.io.ByteArrayOutputStream()
