@@ -48,9 +48,11 @@ object SparkEntry {
     "char_shingle_min"   -> (Queries.charShingleMin _),
     "multimodal_meta"    -> (Queries.multimodalMeta _),
     "multimodal_resize"  -> (Queries.multimodalResize _),
+    "multimodal_audio"   -> (Queries.multimodalAudio _),
     "events_hourly"      -> (Queries.eventsHourly _),
     "trained_adc_topk"   -> (Queries.trainedAdcTopk _),
     "trained_knn"        -> (Queries.trainedKnn _),
+    "knn_filtered_trained" -> (Queries.knnFilteredTrained _),
     "dataset_split"      -> (Queries.datasetSplit _),
     "contamination"      -> (Queries.contamination _),
     "repetition_score"   -> (Queries.repetitionScore _),
@@ -215,6 +217,24 @@ object SparkEntry {
         |    list_sum([CAST(nv.v[j] AS DOUBLE) * CAST(q.qv[j] AS DOUBLE)
         |      for j in generate_series(1, 64)]) AS sim
         |  FROM nv, q WHERE nv.label IN (2, 5, 8))
+        |SELECT row_number() OVER (ORDER BY sim DESC, id) AS rank, id,
+        |  CAST(label AS VARCHAR) AS label, round(sim, 6) AS cosine_similarity
+        |FROM scored ORDER BY sim DESC, id LIMIT 15""".stripMargin,
+
+    "knn_filtered_trained" ->
+      """WITH nv AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS id, vec_id, label,
+        |    [CAST(CAST(x AS DOUBLE) / n AS REAL) for x in embedding] AS v
+        |  FROM (
+        |    SELECT vec_id, label, embedding,
+        |      sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS n
+        |    FROM embeddings)),
+        |q AS (SELECT v AS qv FROM nv WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT nv.id, nv.label,
+        |    list_sum([CAST(nv.v[j] AS DOUBLE) * CAST(q.qv[j] AS DOUBLE)
+        |      for j in generate_series(1, 64)]) AS sim
+        |  FROM nv, q WHERE nv.label = 7 AND nv.id < 60)
         |SELECT row_number() OVER (ORDER BY sim DESC, id) AS rank, id,
         |  CAST(label AS VARCHAR) AS label, round(sim, 6) AS cosine_similarity
         |FROM scored ORDER BY sim DESC, id LIMIT 15""".stripMargin,
@@ -484,6 +504,17 @@ object SparkEntry {
         |    8 * (1 + ('0x' || substr(h8, 3, 2))::BIGINT % 32) AS h
         |  FROM (SELECT doc_id, md5(text) AS h8 FROM documents WHERE doc_id % 5 = 0))""".stripMargin,
 
+    "multimodal_audio" ->
+      """SELECT doc_id,
+        |  8000 * (1 + ('0x' || substr(h, 1, 2))::BIGINT % 4) AS sample_rate,
+        |  1 + ('0x' || substr(h, 3, 2))::BIGINT % 2 AS channels,
+        |  100 + ('0x' || substr(h, 5, 2))::BIGINT AS n_frames,
+        |  ((100 + ('0x' || substr(h, 5, 2))::BIGINT) * 1000)
+        |    // (8000 * (1 + ('0x' || substr(h, 1, 2))::BIGINT % 4)) AS duration_ms,
+        |  1000 + ('0x' || substr(h, 7, 3))::BIGINT % 4000 AS peak,
+        |  round(CAST(1000 + ('0x' || substr(h, 7, 3))::BIGINT % 4000 AS DOUBLE), 6) AS rms
+        |FROM (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 4)""".stripMargin,
+
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
         |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
@@ -491,7 +522,8 @@ object SparkEntry {
 
     "dataset_split" ->
       """SELECT doc_id, b AS bucket,
-        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'validation'
+        |  CASE WHEN b IS NULL THEN NULL
+        |       WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'validation'
         |       ELSE 'test' END AS split
         |FROM (SELECT doc_id,
         |        ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b
@@ -550,5 +582,16 @@ object SparkEntry {
         |FROM (SELECT vec_id, embedding,
         |        list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS scale
         |      FROM embeddings)""".stripMargin
-  ) ++ graft.queries.TrainedFixture.oracleSql.toMap
+  ) ++ {
+    // The trained-fixture SQL inlines the actually-trained model, so it
+    // exists only after the trained queries have run (Verify runs every
+    // query before dumping this map). Fail fast on out-of-order reads —
+    // silently omitting the keys would downgrade trained_adc_topk /
+    // trained_knn to a rows-only check without anyone noticing.
+    val sql = graft.queries.TrainedFixture.oracleSql.toMap
+    require(sql.contains("trained_adc_topk") && sql.contains("trained_knn"),
+      "oracleSql read before the trained fixture built — run queries first " +
+        "(Verify does) so the trained oracle SQL exists")
+    sql
+  }
 }

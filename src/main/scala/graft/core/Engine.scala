@@ -28,23 +28,27 @@ import graft.index._
 class Engine(val spark: SparkSession, val root: String) {
   import Engine._
 
-  /** M7 — LRU over loaded index artifacts, bounded by their actual driver
-    * footprint (reference cache/cache.py:5-102; the M8 estimator backs the
-    * info endpoint, MemoryModel.scala).
-    */
-  private val indexCache = new LruCache[(String, Int), IndexModel](
-    Engine.DefaultMaxMemoryUsage, Engine.modelBytes)
-
   /** One executor-side broadcast of the index artifacts per (db, version),
     * reused by every query against that version — the serving path never
     * ships anything whose size depends on nprobe or q per query (the
     * round-4 scale-killer: per-query ADC LUT broadcasts of nprobe·m·256
     * doubles ≈ 400 MB at the reference's nlist=200k heuristic scale).
     * Stale versions are unpersisted (not destroyed — in-flight queries
-    * planned against them may still re-fetch lazily).
+    * planned against them may still re-fetch lazily). Bounded by the SAME
+    * budget as [[indexCache]]: its eviction hook drops the matching
+    * broadcast, so a cold db releases its driver-side model copy too.
     */
   private val modelBcCache = scala.collection.concurrent.TrieMap
     .empty[(String, Int), org.apache.spark.broadcast.Broadcast[IndexModel]]
+
+  /** M7 — LRU over loaded index artifacts, bounded by their actual driver
+    * footprint (reference cache/cache.py:5-102; the M8 estimator backs the
+    * info endpoint, MemoryModel.scala). Evicting a model also unpersists
+    * its broadcast — the two caches share one memory budget.
+    */
+  private val indexCache = new LruCache[(String, Int), IndexModel](
+    Engine.DefaultMaxMemoryUsage, Engine.modelBytes,
+    onEvict = (k, _) => modelBcCache.remove(k).foreach(_.unpersist(false)))
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Cache-budget control (fastapi.py `update_max_memory_usage`). */
@@ -179,6 +183,10 @@ class Engine(val spark: SparkSession, val root: String) {
       vectorDimension = d,
       numNewVectors = doc.numNewVectors + added)
     Catalog.save(root, doc)
+    // a steady trickle of post-train adds must not degrade the pruned
+    // scan into a small-file storm — bin-pack when the file count crosses
+    // the per-cluster threshold
+    if (doc.isTrained) maybeCompactCoded(name)
     // A10 — flat-index size warning (mindb.py:180-184)
     if (!doc.isTrained && doc.maxId + 1 > Heuristics.FlatIndexWarnSize)
       log.warn(s"database '${doc.name}' has ${doc.maxId + 1} vectors on an " +
@@ -284,8 +292,12 @@ class Engine(val spark: SparkSession, val root: String) {
     * major feature (README.md:52): a Column over (id, metadata), e.g.
     * `get_json_object(col("metadata"), "$.lang") === "en"`. On the flat
     * path it pushes into the scan (exact filtered kNN); on the trained
-    * path it post-filters the preliminary candidates (standard filtered-ANN
-    * semantics — widen preliminaryTopK for highly-selective predicates).
+    * path it post-filters the preliminary candidates with an UNDER-FILL
+    * GUARD: if the filtered candidate set is smaller than `finalTopK`, the
+    * preliminary stage retries once with a selectivity-estimated widening,
+    * and if even that under-fills, the query falls back to the exact flat
+    * scan — a selective predicate never silently returns fewer rows than
+    * the data could supply.
     */
   def query(name: String, q: Array[Float], preliminaryTopK: Int = 500,
             finalTopK: Int = 100, predicate: Option[Column] = None): DataFrame = {
@@ -308,13 +320,36 @@ class Engine(val spark: SparkSession, val root: String) {
         val probes = model.nearestClusters(qp, doc.nProbe)
         val coded = spark.read.schema(codedSchema).parquet(s"${doc.indexPath(root)}/coded")
           .filter(col("cluster_id").isin(probes.toIndexedSeq.map(Integer.valueOf): _*))
-        val candIds = graft.operators.BatchANN.coarseCandidates(
-          spark, coded, modelBroadcast(doc), Array(0L -> qp), Array(probes),
-          preliminaryTopK).select("id")
-        // Q4 — candidate fetch: broadcast join of the tiny candidate set,
-        // metadata predicate applied on the fetched candidates
-        val fetched = table.join(broadcast(candIds), Seq("id"))
-        predicate.fold(fetched)(fetched.filter)
+        def probedCandidates(prelim: Int): DataFrame = {
+          val candIds = graft.operators.BatchANN.coarseCandidates(
+            spark, coded, modelBroadcast(doc), Array(0L -> qp), Array(probes),
+            prelim).select("id")
+          // Q4 — candidate fetch: broadcast join of the tiny candidate set,
+          // metadata predicate applied on the fetched candidates
+          val fetched = table.join(broadcast(candIds), Seq("id"))
+          predicate.fold(fetched)(fetched.filter)
+        }
+        predicate match {
+          case None => probedCandidates(preliminaryTopK)
+          case Some(_) =>
+            // Under-fill guard. localCheckpoint materializes the (tiny,
+            // ≤ prelim rows) candidate set so counting it and reranking it
+            // share one coarse pass; discarded frames are GC-cleaned.
+            val first = probedCandidates(preliminaryTopK).localCheckpoint(true)
+            val got = first.count()
+            if (got >= finalTopK) first
+            else {
+              // estimated selectivity from the first round, ×2 safety,
+              // bounded: past the cap the exact scan is the better plan
+              val sel = math.max(got, 1L).toDouble / preliminaryTopK
+              val widened = math.max(preliminaryTopK * 2L,
+                  math.ceil(finalTopK / sel * 2.0).toLong)
+                .min(Engine.MaxWidenedPreliminaryK).toInt
+              val retry = probedCandidates(widened).localCheckpoint(true)
+              if (retry.count() >= finalTopK) retry
+              else predicate.fold(table)(table.filter) // exact flat fallback
+            }
+        }
       }
 
     // Q5/Q6 — exact rerank by dot-product cosine (normalized vectors)
@@ -516,6 +551,43 @@ class Engine(val spark: SparkSession, val root: String) {
       .write.mode("append").partitionBy("cluster_id")
       .parquet(s"${doc.indexPath(root)}/coded")
 
+  /** Parquet data files under a coded-table directory (recursive). */
+  private def codedFileCount(doc: CatalogDoc): Int = {
+    val dir = java.nio.file.Paths.get(doc.indexPath(root), "coded")
+    if (!java.nio.file.Files.isDirectory(dir)) return 0
+    val s = java.nio.file.Files.walk(dir)
+    try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    finally s.close()
+  }
+
+  /** Bin-pack the coded table once post-train appends have accreted more
+    * than [[Engine.CodedFilesPerCluster]] files per cluster: one
+    * cluster-partitioned rewrite into a fresh index version (atomic
+    * pointer swap, same machinery as [[compact]]), so the pruned serving
+    * scan keeps reading O(nprobe) right-sized files no matter how many
+    * small adds trickled in. Trained query results are unchanged — the
+    * rewrite only rearranges rows into fewer files.
+    */
+  private def maybeCompactCoded(name: String): Unit = {
+    val doc = load(name)
+    if (!doc.isTrained) return
+    val clusters = math.max(1, doc.numClusters)
+    val files = codedFileCount(doc)
+    if (files <= Engine.CodedFilesPerCluster * clusters) return
+    val model = indexModel(doc)
+    val newVersion = doc.indexVersion + 1
+    val newDir = s"$root/$name/index/v$newVersion"
+    spark.read.schema(codedSchema).parquet(s"${doc.indexPath(root)}/coded")
+      .repartition(col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$newDir/coded")
+    IndexStore.saveModel(spark, newDir, model)
+    val oldPath = doc.indexPath(root)
+    Catalog.save(root, doc.copy(indexVersion = newVersion))
+    markSuperseded(oldPath)
+    log.info(s"coded-table compaction: '$name' index v${doc.indexVersion} → " +
+      s"v$newVersion ($files files exceeded ${Engine.CodedFilesPerCluster}×$clusters)")
+  }
+
   private def assignEncode(projected: DataFrame, model: IndexModel): DataFrame =
     projected
       .select(col("id"),
@@ -603,15 +675,55 @@ class Engine(val spark: SparkSession, val root: String) {
   /** M3/M4 — auto-train triggers; runs `train` when due. Returns true if a
     * (re)train ran.
     */
-  def maybeAutoTrain(name: String): Boolean = {
+  def maybeAutoTrain(name: String, kmeansIters: Int = 25): Boolean = {
     val doc = load(name)
     val n = count(name)
     val due =
       Heuristics.needsInitialTraining(n, !doc.isTrained, trainingInProgress = false) ||
         (doc.isTrained && Heuristics.needsRetraining(n, coverageRatio(name),
           trainingInProgress = false))
-    if (due) { train(name); true } else false
+    if (due) { train(name, kmeansIters = kmeansIters); true } else false
   }
+
+  /** All databases under this engine root (catalog-backed directories). */
+  def listDatabases(): Seq[String] = {
+    val base = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.isDirectory(base)) return Seq.empty
+    val s = java.nio.file.Files.list(base)
+    try s.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(Catalog.exists(root, _))
+      .toSeq.sorted
+    finally s.close()
+  }
+
+  /** The maintenance scheduler verb (reference `find_indexes_to_train`,
+    * api/fastapi.py:409-438): one pass over every database under the root
+    * that (re)trains dbs whose coverage/size thresholds are due (M3/M4),
+    * applies any pending-delete compaction past the threshold, and vacuums
+    * version directories older than `vacuumGraceMillis`. Per-db failures
+    * are logged and skipped — one broken db must not starve the sweep.
+    */
+  def maintenanceSweep(vacuumGraceMillis: Long = 3600L * 1000,
+                       compactionThreshold: Double = Engine.CompactionThreshold,
+                       kmeansIters: Int = 25)
+      : Seq[Engine.SweepResult] =
+    listDatabases().flatMap { name =>
+      try {
+        val trained = maybeAutoTrain(name, kmeansIters)
+        val doc = load(name)
+        val physicalRows = doc.maxId + 1
+        val compacted = physicalRows > 0 &&
+          doc.numPendingDeletes.toDouble / physicalRows >= compactionThreshold
+        if (compacted) compact(name)
+        val vacuumed = vacuum(name, vacuumGraceMillis)
+        Some(Engine.SweepResult(name, trained, compacted, vacuumed))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          log.warn(s"maintenance sweep: '$name' failed: ${e.getMessage}")
+          None
+      }
+    }
 
   // --------------------------------------------------------------- private
 
@@ -670,6 +782,23 @@ object Engine {
     * candidate shrinkage in the trained path.
     */
   val CompactionThreshold: Double = 0.1
+
+  /** Rewrite the coded table when post-train appends push its file count
+    * past this many files per cluster (each append lays down one file-set
+    * per touched partition; unchecked, the pruned scan becomes a
+    * small-file storm).
+    */
+  val CodedFilesPerCluster: Int = 4
+
+  /** Ceiling for the under-fill guard's widened preliminary stage; past
+    * this the exact flat scan is the better plan (bounded per-partition
+    * heap memory in the coarse kernel).
+    */
+  val MaxWidenedPreliminaryK: Int = 100000
+
+  /** Per-db outcome of one [[Engine.maintenanceSweep]] pass. */
+  final case class SweepResult(db: String, trained: Boolean,
+                               compacted: Boolean, vacuumed: Int)
 
   /** Actual driver bytes of a loaded IndexModel (centroids + codebooks +
     * PCA matrix), the LRU eviction cost.

@@ -13,7 +13,8 @@ import scala.collection.mutable
   */
 final class LruCache[K, V](@volatile var maxMemory: Long,
                            estimate: V => Long,
-                           isProtected: K => Boolean = (_: K) => false) {
+                           isProtected: K => Boolean = (_: K) => false,
+                           onEvict: (K, V) => Unit = (_: K, _: V) => ()) {
 
   private val entries = mutable.LinkedHashMap.empty[K, V]
   private var currentMemory = 0L
@@ -80,13 +81,18 @@ final class LruCache[K, V](@volatile var maxMemory: Long,
 
   /** Evict least-recently-used unprotected entries until usage ≤ budget;
     * stops early if only protected entries remain (cache.py:58-66).
+    * `onEvict` fires per victim so dependent resources (e.g. the
+    * per-version model broadcast) are released under the same budget.
     */
   private def evictUntil(budget: Long): Unit = {
     var candidates = entries.keys.filterNot(isProtected).toList
     while (currentMemory > budget && candidates.nonEmpty) {
       val victim = candidates.head
       candidates = candidates.tail
-      entries.remove(victim).foreach(v => currentMemory -= estimate(v))
+      entries.remove(victim).foreach { v =>
+        currentMemory -= estimate(v)
+        onEvict(victim, v)
+      }
     }
   }
 }

@@ -25,6 +25,13 @@ object ConnectedComponents {
     * canonical_id = min id in the node's connected component. Exact: runs
     * to fixpoint (loudly fails if `maxIters` rounds don't converge —
     * a diameter that size means the input is not a near-dup pair set).
+    *
+    * One Spark job per round: the `moved` flag is computed inside the
+    * propagation select, so the action that fills the round's cache is the
+    * same action that counts changes — no separate join-and-count pass.
+    * The result is local-checkpointed (lineage truncated, materialized)
+    * so every loop cache can be released before returning; the returned
+    * frame owns its own blocks and is cleaned up when the caller drops it.
     */
   def canonicalIds(pairs: DataFrame, aCol: String, bCol: String,
                    maxIters: Int = 25): DataFrame = {
@@ -39,21 +46,26 @@ object ConnectedComponents {
       var iter = 0
       while (changed > 0 && iter < maxIters) {
         val neighborMin = edges
-          .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+          .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
           .groupBy(col("dst").as("id"))
           .agg(min(col("label")).as("nmin"))
-        val next = labels.join(neighborMin, Seq("id"), "left")
+        val next = labels.select(col("id"), col("label"))
+          .join(neighborMin, Seq("id"), "left")
           .select(col("id"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+            coalesce(col("nmin") < col("label"), lit(false)).as("moved"))
           .persist()
-        changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-          .filter(col("label") =!= col("old")).count()
+        changed = next.agg(count(when(col("moved"), true))).first().getLong(0)
         labels.unpersist()
         labels = next
         iter += 1
       }
       require(changed == 0, s"connected components did not converge in $maxIters rounds")
       labels.select(col("id"), col("label").as("canonical_id"))
-    } finally edges.unpersist()
+        .localCheckpoint(eager = true)
+    } finally {
+      edges.unpersist()
+      labels.unpersist()
+    }
   }
 }

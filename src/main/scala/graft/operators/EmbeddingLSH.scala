@@ -94,6 +94,39 @@ object EmbeddingLSH {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Candidate pairs with the skew cap ON and dropped buckets ROUTED
+    * through exact-vector dedup: members of over-cap buckets group by
+    * their exact embedding (identical vectors — the flood case: default
+    * embeddings, zero vectors, template docs embedded repeatedly) and
+    * each group emits star pairs (minId, memberId). Mirrors
+    * [[MinHashLSH.candidatePairsRouted]].
+    */
+  def candidatePairsRouted(df: DataFrame, idCol: String, vecCol: String,
+                           numBands: Int, planesPerBand: Int, dim: Int,
+                           maxBucket: Int = MinHashLSH.DefaultMaxBucket): DataFrame = {
+    val pl = planes(numBands * planesPerBand, dim)
+    val sigs = df.select(col(idCol),
+      posexplode(bandKeys(col(vecCol), pl, planesPerBand)).as(Seq("band_idx", "band_key")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_key"))
+    val counted = sigs.withColumn("bucket_n", count(lit(1)).over(w))
+    val kept = counted.filter(col("bucket_n") <= maxBucket).drop("bucket_n")
+    val a = kept.select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
+    val b = kept.select(col(idCol).as("id_b"), col("band_idx"), col("band_key"))
+    val lsh = a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val dropped = counted.filter(col("bucket_n") > maxBucket)
+      .select(col(idCol)).distinct()
+    val exact = df.join(dropped, Seq(idCol), "left_semi")
+      .select(col(idCol), col(vecCol))
+      .withColumn("keep", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(vecCol))))
+      .filter(col(idCol) =!= col("keep"))
+      .select(col("keep").as("id_a"), col(idCol).as("id_b"))
+    lsh.union(exact).distinct()
+  }
+
   /** Near-dup pairs (a < b) from the banded buckets with cosine ≥ tau
     * (exact verification over vectors joined back by id — pairs are small
     * post-banding, the vector table is never shuffled twice). Cosine is
@@ -102,9 +135,28 @@ object EmbeddingLSH {
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    numBands: Int, planesPerBand: Int, dim: Int,
-                   tau: Double, maxBucket: Int = Int.MaxValue): DataFrame = {
-    val pairs = candidatePairs(df, idCol, vecCol, numBands, planesPerBand, dim,
-      maxBucket)
+                   tau: Double, maxBucket: Int = Int.MaxValue): DataFrame =
+    verifyCosine(df, idCol, vecCol, tau,
+      candidatePairs(df, idCol, vecCol, numBands, planesPerBand, dim, maxBucket))
+
+  /** [[nearDupPairs]] over the ROUTED candidate set (default-on skew cap,
+    * flooded buckets resolved by exact-vector star pairs — which pass the
+    * cosine verify at exactly 1.0).
+    */
+  def nearDupPairsRouted(df: DataFrame, idCol: String, vecCol: String,
+                         numBands: Int, planesPerBand: Int, dim: Int,
+                         tau: Double,
+                         maxBucket: Int = MinHashLSH.DefaultMaxBucket): DataFrame =
+    verifyCosine(df, idCol, vecCol, tau,
+      candidatePairsRouted(df, idCol, vecCol, numBands, planesPerBand, dim, maxBucket))
+
+  /** Exact cosine verification over candidate (id_a, id_b) pairs: vectors
+    * joined back by id — pairs are small post-banding, the vector table is
+    * never shuffled twice. Cosine is rounded to 9dp before the threshold
+    * compare so a last-ulp cross-engine difference cannot flip membership.
+    */
+  private def verifyCosine(df: DataFrame, idCol: String, vecCol: String,
+                           tau: Double, pairs: DataFrame): DataFrame = {
     val vecs = df.select(col(idCol), col(vecCol))
     pairs
       .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("va")), Seq("id_a"))

@@ -158,6 +158,47 @@ object MinHashLSH {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Default bucket cap for the routed candidate join: a bucket this big
+    * means a degenerate key (boilerplate/template/empty docs), where the
+    * n²/2 within-bucket pairs would dominate the join at scale.
+    */
+  val DefaultMaxBucket: Int = 1000
+
+  /** Candidate pairs with the skew cap ON and dropped buckets ROUTED, not
+    * lost: members of over-cap buckets go through exact content-hash
+    * dedup, each exact-duplicate group emitting star pairs
+    * (minId, memberId) — n−1 edges instead of a flooded bucket's n²/2,
+    * with duplicate-cluster resolution (ConnectedComponents) still
+    * reaching every member through the star. The accepted loss is pairs
+    * between NON-identical members of a dropped bucket: buckets only
+    * flood on degenerate keys whose members are exact-duplicate classes,
+    * and any such member also appearing in a healthy bucket still pairs
+    * there. This is the production entry point; the uncapped
+    * [[candidatePairs]] stays for oracle-exact replay.
+    */
+  def candidatePairsRouted(docs: DataFrame, bandsDf: DataFrame, idCol: String,
+                           textCol: String,
+                           maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_key"))
+    val counted = bandsDf.withColumn("bucket_n", count(lit(1)).over(w))
+    val kept = counted.filter(col("bucket_n") <= maxBucket).drop("bucket_n")
+    val a = kept.select(col(idCol).as("doc_a"), col("band_idx"), col("band_key"))
+    val b = kept.select(col(idCol).as("doc_b"), col("band_idx"), col("band_key"))
+    val lsh = a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val dropped = counted.filter(col("bucket_n") > maxBucket)
+      .select(col(idCol)).distinct()
+    val exact = docs.join(dropped, Seq(idCol), "left_semi")
+      .select(col(idCol), md5(col(textCol)).as("h"))
+      .withColumn("keep", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col(idCol) =!= col("keep"))
+      .select(col("keep").as("doc_a"), col(idCol).as("doc_b"))
+    lsh.union(exact).distinct()
+  }
+
   /** Exact Jaccard over two pre-distinct shingle-set columns. */
   def jaccard(setA: Column, setB: Column): Column = {
     val inter = size(array_intersect(setA, setB)).cast("double")

@@ -169,18 +169,31 @@ object Multimodal {
   final case class ResizedMeta(format: String, width: Long, height: Long,
                                new_width: Long, new_height: Long)
 
+  /** Max pixel count a declared header may claim before we refuse to hand
+    * the payload to `ImageIO.read` — a crafted header declaring huge
+    * dimensions would otherwise trigger a full-raster allocation before
+    * any decode-time bound applies (≈64 MP ⇒ ≤256 MB ARGB raster).
+    */
+  private val MaxDecodePixels = 64L * 1024 * 1024
+
   /** REAL pixel decode + resize — the executor-side image transform stage
     * of a multimodal pipeline: `ImageIO.read` decodes the full raster
     * (not just headers), the image is scaled to fit `maxDim` preserving
     * aspect, and the output dims are read back from the resized raster.
     * Aspect math is integer (`new_w = max(1, w·maxDim / max(w,h))`,
     * floor division) so an oracle can predict the output dimensions.
-    * Non-image or undecodable payloads → None (row drops).
+    * Non-image, undecodable, or implausibly-huge-header payloads → None
+    * (row drops): a single bad row must never fail a full-corpus pass,
+    * so the catch is NonFatal, not just IOException — codec internals
+    * throw RuntimeExceptions (CMMException, array faults) on
+    * corrupt-but-sniffable bytes.
     */
   def resizeLocal(bytes: Array[Byte], maxDim: Int): Option[ResizedMeta] =
     try {
       val meta = decodeLocal(bytes)
       if (!Set("png", "jpeg", "gif", "bmp").contains(meta.format)) None
+      else if (meta.width <= 0 || meta.height <= 0 ||
+               meta.width * meta.height > MaxDecodePixels) None
       else Option(ImageIO.read(new java.io.ByteArrayInputStream(bytes))).map { img =>
         val w = img.getWidth
         val h = img.getHeight
@@ -194,12 +207,68 @@ object Multimodal {
         g.dispose()
         ResizedMeta(meta.format, w, h, out.getWidth.toLong, out.getHeight.toLong)
       }
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Column form of [[resizeLocal]]: null (→ droppable) for non-images. */
   def resizeMeta(payload: Column, maxDim: Int): Column = {
     val f = udf { (bytes: Array[Byte]) =>
       if (bytes == null) None else resizeLocal(bytes, maxDim)
+    }
+    f(payload)
+  }
+
+  /** Audio feature stage: real PCM statistics from the data chunk — the
+    * audio analog of the pixel-decode stage. `peak`/`rms` can only come
+    * from actually reading the samples (headers don't carry them), so a
+    * matching oracle row proves the PCM bytes were decoded. 16-bit PCM
+    * only; anything else → None (row drops, never fails the pass).
+    */
+  final case class AudioStats(sample_rate: Long, channels: Long,
+                              n_frames: Long, duration_ms: Long,
+                              peak: Long, rms: Double)
+
+  def audioStatsLocal(bytes: Array[Byte]): Option[AudioStats] = try {
+    if (bytes == null || bytes.length < 44 ||
+        bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
+        bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E')
+      return None
+    var i = 12
+    var rate = 0L; var channels = 0L; var bytesPerFrame = 1L; var bits = 0L
+    var dataOff = -1; var dataLen = 0
+    while (i + 8 <= bytes.length) {
+      val id = new String(bytes, i, 4, "US-ASCII")
+      val size = le32(bytes, i + 4)
+      if (size < 0 || size > bytes.length) return None
+      if (id == "fmt ") {
+        if (i + 24 > bytes.length) return None
+        channels = le16(bytes, i + 10)
+        rate = le32(bytes, i + 12)
+        bytesPerFrame = math.max(1L, le16(bytes, i + 20))
+        bits = le16(bytes, i + 22)
+      } else if (id == "data") { dataOff = i + 8; dataLen = size.toInt }
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (rate == 0 || channels == 0 || bits != 16 || dataOff < 0) None
+    else {
+      val n = math.min(dataLen, bytes.length - dataOff) / 2
+      var k = 0; var peak = 0L; var sumSq = 0L
+      while (k < n) {
+        val s = (le16(bytes, dataOff + 2 * k).toShort).toLong
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        sumSq += s * s
+        k += 1
+      }
+      val frames = n / channels
+      val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)
+      Some(AudioStats(rate, channels, frames, frames * 1000L / rate, peak, rms))
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Column form of [[audioStatsLocal]]: null (→ droppable) otherwise. */
+  def audioStats(payload: Column): Column = {
+    val f = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) None else audioStatsLocal(bytes)
     }
     f(payload)
   }
@@ -226,7 +295,8 @@ object Multimodal {
         val rate = 8000 * (1 + hx(hex, 0, 2) % 4)
         val channels = 1 + hx(hex, 2, 2) % 2
         val frames = 100 + hx(hex, 4, 2)
-        wavBytes(rate.toInt, channels.toInt, frames.toInt)
+        val amp = 1000 + hx(hex, 6, 3) % 4000
+        wavBytes(rate.toInt, channels.toInt, frames.toInt, amp.toInt)
       case fmt =>
         val w = 8 * (1 + hx(hex, 0, 2) % 32)
         val h = 8 * (1 + hx(hex, 2, 2) % 32)
@@ -248,8 +318,14 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Minimal valid 16-bit PCM RIFF/WAVE file (silence). */
-  def wavBytes(sampleRate: Int, channels: Int, frames: Int): Array[Byte] = {
+  /** Minimal valid 16-bit PCM RIFF/WAVE file. `amplitude` = 0 yields
+    * silence; otherwise a ±amplitude square wave alternating per frame
+    * (all channels in phase) — every sample has magnitude `amplitude`,
+    * so rms = peak = amplitude exactly, which a SQL oracle can predict
+    * while the values themselves live only in the PCM data chunk.
+    */
+  def wavBytes(sampleRate: Int, channels: Int, frames: Int,
+               amplitude: Int = 0): Array[Byte] = {
     val bytesPerFrame = channels * 2
     val dataSize = frames * bytesPerFrame
     val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
@@ -260,6 +336,13 @@ object Multimodal {
       .putShort(1).putShort(channels.toShort).putInt(sampleRate)
       .putInt(sampleRate * bytesPerFrame).putShort(bytesPerFrame.toShort).putShort(16)
       .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var f = 0
+    while (f < frames) {
+      val s = (if (f % 2 == 0) amplitude else -amplitude).toShort
+      var c = 0
+      while (c < channels) { bb.putShort(s); c += 1 }
+      f += 1
+    }
     bb.array()
   }
 

@@ -110,8 +110,10 @@ object TextAnalysis {
     */
   def datasetSplit(text: Column): (Column, Column) = {
     val bucket = conv(substring(md5(text), 1, 8), 16, 10).cast("long") % 100
-    val split = when(bucket < 90, "train")
-      .when(bucket < 95, "validation").otherwise("test")
+    // null text → null bucket → null split (not "test": both when()
+    // branches are null on null input, so a bare otherwise would fire)
+    val split = when(bucket.isNotNull,
+      when(bucket < 90, "train").when(bucket < 95, "validation").otherwise("test"))
     (bucket, split)
   }
 

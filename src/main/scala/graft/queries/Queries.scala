@@ -313,12 +313,16 @@ object Queries {
 
   /** MinHash+LSH candidate pairs: signature + band keys as a per-row
     * kernel, one equi-join shuffle on (band_idx, band_key) — never an n²
-    * cross join. H=12 hashes, bands of r=3.
+    * cross join. H=12 hashes, bands of r=3. The default-on skew cap
+    * routes flooded buckets through exact-hash dedup (star pairs) — a
+    * no-op at oracle scale (no bucket can exceed the cap), the n² guard
+    * real corpora need at 100 TB.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
     val bands = graft.operators.MinHashLSH.bands(
-      t(s, dir, "documents"), "doc_id", "text", w = 3, numHashes = 12, r = 3)
-    graft.operators.MinHashLSH.candidatePairs(bands, "doc_id")
+      docs, "doc_id", "text", w = 3, numHashes = 12, r = 3)
+    graft.operators.MinHashLSH.candidatePairsRouted(docs, bands, "doc_id", "text")
   }
 
   /** LSH candidates verified by exact n-gram Jaccard over the distinct
@@ -367,7 +371,7 @@ object Queries {
     * mid-similarity pairs (cos 0.8 → ≥0.93 collision probability).
     */
   def embedNearDup(s: SparkSession, dir: String): DataFrame =
-    graft.operators.EmbeddingLSH.nearDupPairs(
+    graft.operators.EmbeddingLSH.nearDupPairsRouted(
       t(s, dir, "embeddings"), "vec_id", "embedding",
       numBands = 16, planesPerBand = 8, dim = 64, tau = 0.35)
       .select(col("id_a"), col("id_b"), round(col("cos9"), 6).as("cos_sim"))
@@ -445,6 +449,12 @@ object Queries {
   def trainedKnn(s: SparkSession, dir: String): DataFrame =
     TrainedFixture.knn(s, dir)
 
+  /** Filtered trained query driving the under-fill guard to its exact
+    * flat fallback (see [[TrainedFixture.knnFiltered]]).
+    */
+  def knnFilteredTrained(s: SparkSession, dir: String): DataFrame =
+    TrainedFixture.knnFiltered(s, dir)
+
   // ------------------------------------------------ LLM-pipeline: multimodal
 
   /** Binary media columns decoded by a REAL container parser: each doc
@@ -474,6 +484,26 @@ object Queries {
       .select(col("doc_id"), col("r.format").as("format"),
         col("r.width").as("width"), col("r.height").as("height"),
         col("r.new_width").as("new_width"), col("r.new_height").as("new_height"))
+  }
+
+  /** REAL PCM decode over the WAV subset (doc_id ≡ 4 mod 5): peak and rms
+    * come from reading the actual 16-bit samples in the data chunk — the
+    * synthesized square wave makes them md5-predictable (rms = peak =
+    * amplitude) while the values live only in the PCM bytes.
+    */
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 4)
+    val payloadUdf = udf { (id: Long, text: String) =>
+      if (text == null) null else graft.operators.Multimodal.synthesizePayload(id, text)
+    }
+    docs.select(col("doc_id"),
+        graft.operators.Multimodal.audioStats(
+          payloadUdf(col("doc_id"), col("text"))).as("a"))
+      .filter(col("a").isNotNull)
+      .select(col("doc_id"), col("a.sample_rate").as("sample_rate"),
+        col("a.channels").as("channels"), col("a.n_frames").as("n_frames"),
+        col("a.duration_ms").as("duration_ms"), col("a.peak").as("peak"),
+        round(col("a.rms"), 6).as("rms"))
   }
 
   // ---------------------------------------------------------------- events

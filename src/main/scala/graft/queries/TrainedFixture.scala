@@ -109,6 +109,22 @@ object TrainedFixture {
         round(col("cosine_similarity"), 6).as("cosine_similarity"))
   }
 
+  /** Filtered query through the TRAINED engine exercising the under-fill
+    * guard end-to-end: the predicate matches fewer live rows than
+    * `FinalK`, so the preliminary stage under-fills, the widened retry
+    * under-fills too, and the guard deterministically falls back to the
+    * exact flat scan — whose result a static SQL oracle replays exactly
+    * (no trained artifacts involved once the fallback fires; that the
+    * TRAINED path routes there is the behavior under test).
+    */
+  def knnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val f = get(s, dir)
+    f.eng.query("tf", f.qRaw, preliminaryTopK = PrelimK, finalTopK = FinalK,
+      predicate = Some(col("metadata") === "7" && col("id") < 60))
+      .select(col("rank"), col("id"), col("metadata").as("label"),
+        round(col("cosine_similarity"), 6).as("cosine_similarity"))
+  }
+
   // ------------------------------------------------------ oracle SQL gen
 
   /** Exact double value of a float, shortest round-trip repr. */

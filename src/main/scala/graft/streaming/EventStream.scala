@@ -65,6 +65,91 @@ object EventStream {
       .dropDuplicatesWithinWatermark("fp")
       .select(col("ts"), col("doc_id"), col("fp"))
 
+  // ------------------------------------------------- streaming NEAR-dup
+
+  /** Band-bucket occupancy state: the first (ts, doc) to claim the bucket
+    * within the watermark horizon.
+    */
+  final case class BucketState(firstDoc: Long, firstTsMillis: Long)
+
+  /** Per-(doc, band) verdict from the stateful pass. */
+  final case class BandClaim(doc_id: Long, band_idx: Int, fresh: Boolean)
+
+  /** Streaming MinHash near-dup claims — the streaming face of the batch
+    * [[graft.operators.MinHashLSH]] pipeline: each doc's signature explodes
+    * to `numHashes/r` band buckets, and `flatMapGroupsWithState` keyed by
+    * (band_idx, band_key) tracks bucket occupancy within the watermark
+    * horizon. A doc's claim on a bucket is `fresh` iff nothing claimed that
+    * bucket earlier (earlier batch, or earlier (ts, doc_id) in the same
+    * batch). A doc is a near-dup iff ANY of its bands collides — i.e. it
+    * survives iff ALL its claims are fresh ([[nearDupSurvivors]] reduces
+    * that per micro-batch; every claim row of a doc lands in the doc's own
+    * micro-batch, so the reduce needs no second stateful operator).
+    * Bucket state expires via event-time timeout once the watermark passes
+    * `stateHorizonMs` beyond the bucket's last activity — state is bounded
+    * by the horizon, never full-history.
+    * Input columns: (ts timestamp, doc_id long, text string).
+    */
+  def nearDupClaims(docs: DataFrame, watermark: String = "1 hour",
+                    stateHorizonMs: Long = 3600L * 1000,
+                    w: Int = 3, numHashes: Int = 12, r: Int = 3): Dataset[BandClaim] = {
+    import docs.sparkSession.implicits._
+    val banded = docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("doc_id"),
+        posexplode(graft.operators.MinHashLSH.bandKeys(col("text"), w, numHashes, r))
+          .as(Seq("band_idx", "band_key")))
+      .select(col("ts"), col("doc_id"), col("band_idx"),
+        concat_ws("#", col("band_idx"), col("band_key")).as("bucket"))
+      .as[(java.sql.Timestamp, Long, Int, String)]
+    banded.groupByKey(_._4)
+      .flatMapGroupsWithState[BucketState, BandClaim](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // deterministic within-batch order: earliest (ts, doc) claims
+            val sorted = rows.toArray.sortBy(t => (t._1.getTime, t._2))
+            var occupied = state.getOption
+            var lastTs = 0L
+            val out = sorted.map { case (ts, docId, bandIdx, _) =>
+              lastTs = math.max(lastTs, ts.getTime)
+              occupied match {
+                case Some(_) => BandClaim(docId, bandIdx, fresh = false)
+                case None =>
+                  occupied = Some(BucketState(docId, ts.getTime))
+                  BandClaim(docId, bandIdx, fresh = true)
+              }
+            }
+            occupied.foreach(state.update)
+            state.setTimeoutTimestamp(lastTs + stateHorizonMs)
+            out.iterator
+          }
+      }
+  }
+
+  /** Per-micro-batch survivor reduce over [[nearDupClaims]] output: keep a
+    * doc iff every one of its band claims is fresh. Plain batch
+    * aggregation by design — all claims of a doc are co-batch.
+    */
+  def nearDupSurvivors(claims: DataFrame): DataFrame =
+    claims.groupBy(col("doc_id"))
+      .agg(count(when(col("fresh"), 1)).as("freshBands"), count(lit(1)).as("bands"))
+      .filter(col("freshBands") === col("bands"))
+      .select("doc_id")
+
+  /** Wire claims → per-batch survivors into a callback (foreachBatch). */
+  def startNearDup(docs: DataFrame, checkpointDir: String,
+                   watermark: String = "1 hour")(
+                   onBatch: (DataFrame, Long) => Unit) =
+    nearDupClaims(docs, watermark).toDF()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        onBatch(nearDupSurvivors(batch), id)
+      }
+      .start()
+
   /** Streaming output helper: update-mode memory sink for tests/demos. */
   def startToMemory(df: DataFrame, queryName: String,
                     mode: OutputMode = OutputMode.Update()) =

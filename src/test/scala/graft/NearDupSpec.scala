@@ -143,6 +143,76 @@ class NearDupSpec extends SparkSpec {
       s"banded != brute force: missing ${truth -- found}, extra ${found -- truth}")
   }
 
+  test("LSH routed skew cap: flooded buckets resolve via exact star pairs, nothing lost") {
+    // 60 copies of one boilerplate doc: a flooded bucket that would emit
+    // 1770 pairs. The routed cap must bound candidates AND still resolve
+    // every flood member to its keeper (star pairs through exact dedup).
+    val degen = (0 until 60).map(i =>
+      (i.toLong, "identical boilerplate text repeated across the corpus"))
+    val normal = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "the quick brown fox jumps over the lazy dog today"))
+    val df = (degen ++ normal).toDF("doc_id", "text")
+    val bands = MinHashLSH.bands(df, "doc_id", "text")
+    val routed = MinHashLSH.candidatePairsRouted(df, bands, "doc_id", "text",
+      maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routed.contains((100L, 101L)), "normal near-dup pair must survive")
+    // bounded: star pairs (59) + the normal pair, never the 1770 explosion
+    assert(routed.size <= 70, s"candidate count not bounded: ${routed.size}")
+    // nothing lost: every flood member resolves to keeper 0 through CC
+    val canon = graft.operators.ConnectedComponents
+      .canonicalIds(routed.toSeq.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L until 60L).foreach(i => assert(canon(i) == 0L,
+      s"flood member $i lost its keeper: ${canon.get(i)}"))
+
+    // embedding flavor: 40 identical vectors flood their buckets
+    val vecs = ((0 until 40).map(i => (i.toLong, Seq(1.0f, 0.5f, -0.25f, 2.0f))) ++
+      Seq((100L, Seq(-1.0f, 3.0f, 0.25f, -2.0f)))).toDF("vec_id", "embedding")
+    val epairs = graft.operators.EmbeddingLSH.candidatePairsRouted(
+      vecs, "vec_id", "embedding", numBands = 3, planesPerBand = 2, dim = 4,
+      maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(epairs.size <= 45, s"embedding candidates not bounded: ${epairs.size}")
+    (1L until 40L).foreach(i => assert(epairs.contains((0L, i)),
+      s"identical vector $i must star-pair with keeper 0"))
+  }
+
+  test("audio stats: real PCM read — rms/peak equal the square-wave amplitude") {
+    val a = Multimodal.audioStatsLocal(
+      Multimodal.wavBytes(16000, 2, 777, amplitude = 1234)).get
+    assert(a == Multimodal.AudioStats(16000L, 2L, 777L, 777L * 1000 / 16000,
+      1234L, 1234.0), s"got $a")
+    // silence: zero rms/peak, duration still from the data chunk
+    val s = Multimodal.audioStatsLocal(Multimodal.wavBytes(8000, 1, 100)).get
+    assert(s.peak == 0L && s.rms == 0.0 && s.duration_ms == 12L)
+    // non-wav and garbage drop, never throw
+    assert(Multimodal.audioStatsLocal(
+      Multimodal.imageBytes(10, 10, 0x0, "png")).isEmpty)
+    assert(Multimodal.audioStatsLocal("junk".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.audioStatsLocal(null).isEmpty)
+    // hostile chunk size must not spin or crash (same payload as decode test)
+    val evil = Multimodal.wavBytes(8000, 1, 4)
+    evil(16) = 0xf8.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0xff.toByte
+    assert(Multimodal.audioStatsLocal(evil).isEmpty)
+  }
+
+  test("resize guard: crafted huge-dimension header refuses the raster decode") {
+    // a valid PNG signature + IHDR declaring 100000x100000: decodeLocal
+    // parses it happily (header-only), but resizeLocal must refuse before
+    // ImageIO allocates a 10-gigapixel raster
+    val huge = Multimodal.imageBytes(4, 4, 0x0, "png")
+    def be(i: Int): Array[Byte] = Array((i >> 24).toByte, (i >> 16).toByte,
+      (i >> 8).toByte, i.toByte)
+    System.arraycopy(be(100000), 0, huge, 16, 4)
+    System.arraycopy(be(100000), 0, huge, 20, 4)
+    assert(Multimodal.decodeLocal(huge).width == 100000L)
+    assert(Multimodal.resizeLocal(huge, 64).isEmpty,
+      "huge declared dims must be refused before the raster decode")
+  }
+
   test("text analysis: langId picks profile language; quality in [0,1]") {
     val d = Seq(
       (0L, "the cat is a friend of the dog and it is fine"),

@@ -31,6 +31,16 @@ class PipelineOpsSpec extends SparkSpec {
       docs.select(col("doc_id"), split.as("s")).collect().toSeq)
   }
 
+  test("dataset split: null text propagates null bucket AND null split") {
+    val docs = Seq((0L, "real text"), (1L, null: String)).toDF("doc_id", "text")
+    val (bucket, split) = TextAnalysis.datasetSplit(col("text"))
+    val out = docs.select(col("doc_id"), bucket.as("b"), split.as("s")).collect()
+      .map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(out(0L) == (false, false))
+    assert(out(1L) == (true, true),
+      "null text must yield null split, not fall through to 'test'")
+  }
+
   test("repetition scores: known values on crafted docs") {
     val docs = Seq(
       (0L, "spam spam spam spam"),          // all repeats of one token

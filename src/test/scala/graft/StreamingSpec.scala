@@ -84,6 +84,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming NEAR-dup: paraphrased doc in a later batch is suppressed") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = EventStream.startNearDup(
+      input.toDF().toDF("ts", "doc_id", "text"), tmpDir("graft-nd-ckpt")) {
+      (batch, _) => survivors.synchronized {
+        survivors ++= batch.collect().map(_.getLong(0))
+      }
+    }
+    try {
+      val original = "the quick brown fox jumps over the lazy dog while " +
+        "seventeen astronauts watch from the orbital station above the clouds"
+      val paraphrase = "the quick brown fox jumps over the lazy dog while " +
+        "seventeen astronauts watch from the orbital station above the mountains"
+      val unrelated = "completely different subject matter entirely about " +
+        "spark engines and distributed columnar storage formats for analytics"
+      input.addData((ts(10, 0), 1L, original), (ts(10, 1), 2L, unrelated))
+      q.processAllAvailable()
+      // later batch: near-dup (one word differs → most bands collide) must
+      // be suppressed by band state carried across batches; a fresh doc passes
+      input.addData((ts(10, 5), 3L, paraphrase),
+        (ts(10, 6), 4L, "yet another genuinely new document discussing " +
+          "gardens rivers bicycles and morning coffee rituals in detail"))
+      q.processAllAvailable()
+      val got = survivors.synchronized(survivors.sorted.toSeq)
+      assert(got == Seq(1L, 2L, 4L),
+        s"paraphrase (3) must be suppressed, fresh docs kept: got $got")
+    } finally q.stop()
+  }
+
   test("streaming ingest: foreachBatch add keeps ids sequential across batches") {
     implicit val sq = spark.sqlContext
     val engine = new Engine(spark, tmpDir("graft-stream"))

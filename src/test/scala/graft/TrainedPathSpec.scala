@@ -1,11 +1,12 @@
 package graft
 
+import scala.jdk.CollectionConverters._
 import scala.util.Random
 
 import org.apache.spark.sql.functions._
 
 import graft.core.Engine
-import graft.index.IndexParams
+import graft.index.{Heuristics, IndexParams}
 
 /** Trained-index path end-to-end — the port of the reference's golden eval
   * (tests/integration/test_full_eval.py:57-116): train → save → load →
@@ -231,6 +232,99 @@ class TrainedPathSpec extends SparkSpec {
     assert(res.forall(_.getString(2).stripSuffix("\"}").endsWith("7")))
     // ranks stay contiguous after filtering
     assert(res.map(_.getInt(0)).toSeq == (1 to res.length))
+  }
+
+  test("filtered-ANN under-fill guard: selective predicate fills finalTopK or goes exact") {
+    import org.apache.spark.sql.functions._
+    // live metadata values: {"text":"doc-<i>"} (trained) or {"new":<i>}.
+    // ~1/10-selective predicate, tight prelim: first probe round yields far
+    // fewer matches than finalTopK → guard widens and fills to 50
+    val pred10 = get_json_object(col("metadata"), "$.text").endsWith("3")
+    val widened = engine.query("tdb", queries(1), preliminaryTopK = 60,
+      finalTopK = 50, predicate = Some(pred10)).collect()
+    assert(widened.length == 50,
+      s"guard must fill finalTopK on a 10%-selective predicate, got ${widened.length}")
+    assert(widened.forall(_.getString(2).stripSuffix("\"}").endsWith("3")))
+    assert(widened.map(_.getInt(0)).toSeq == (1 to 50))
+
+    // predicate matching fewer live rows than finalTopK (doc-<i>993, 30
+    // trained ids minus deletions): even max widening can't fill → exact
+    // flat fallback → result must EQUAL the brute-force filtered oracle
+    val predRare = get_json_object(col("metadata"), "$.text").endsWith("993")
+    val res = engine.query("tdb", queries(1), preliminaryTopK = 100,
+      finalTopK = 50, predicate = Some(predRare)).collect()
+    val qn = normalize(queries(1))
+    val oracle = engine.data("tdb")
+      .filter(predRare).select("id", "vector").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        var s = 0.0; var j = 0
+        while (j < v.length) { s += v(j).toDouble * qn(j).toDouble; j += 1 }
+        (r.getLong(0), s)
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(50)
+    assert(res.length == oracle.length && res.length < 50,
+      s"rare predicate: expected ${oracle.length} (< 50) rows, got ${res.length}")
+    assert(res.map(_.getLong(1)).toSeq == oracle.map(_._1).toSeq,
+      "flat fallback must equal the exact filtered oracle")
+  }
+
+  test("coded-table append compaction: small-add burst keeps file count bounded") {
+    val eng = new Engine(spark, tmpDir("graft-codedc"))
+    eng.create("cc", vectorDimension = 16)
+    val rnd = new Random(5L)
+    def vecs(n: Int): Seq[Array[Float]] =
+      Seq.fill(n)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    eng.addLocal("cc", vecs(600), (0 until 600).map(i => s"$i"))
+    val doc0 = eng.train("cc",
+      params = Some(IndexParams(16, 16, 4, omitOpq = true)),
+      kmeansIters = 4, seed = 1L, minTrainRows = 1)
+    assert(doc0.isTrained)
+    def files(): Int = {
+      val dir = java.nio.file.Paths.get(eng.load("cc").indexPath(eng.root), "coded")
+      val s = java.nio.file.Files.walk(dir)
+      try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val bound = Engine.CodedFilesPerCluster * doc0.numClusters
+    // burst of tiny adds: each lays down one file-set per touched cluster
+    (0 until 15).foreach { b =>
+      eng.addLocal("cc", vecs(10), (0 until 10).map(i => s"b$b-$i"))
+    }
+    val docAfter = eng.load("cc")
+    assert(docAfter.indexVersion > doc0.indexVersion,
+      "the burst must have triggered at least one coded-table compaction")
+    assert(files() <= bound,
+      s"file count ${files()} exceeds the $bound bound after compaction")
+    // results survive: every added row remains findable through the index
+    assert(eng.count("cc") == 750L)
+    val probe = eng.data("cc").filter(org.apache.spark.sql.functions.col("id") === 749L)
+      .head().getSeq[Float](1).toArray
+    val top = eng.query("cc", probe, preliminaryTopK = 200, finalTopK = 1).collect()
+    assert(top.head.getLong(1) == 749L, s"post-compaction query missed: ${top.head}")
+  }
+
+  test("maintenance sweep: one pass trains every due db (scheduler verb)") {
+    val eng = new Engine(spark, tmpDir("graft-sweep"))
+    // two dbs above the 25k initial-training cutoff, one tiny db not due
+    for (db <- Seq("due1", "due2")) {
+      eng.create(db)
+      eng.addLocal(db, mkCorpus(Heuristics.NumVectorTrainingCutoff, Seed + db.length)
+        .toIndexedSeq,
+        (0 until Heuristics.NumVectorTrainingCutoff).map(_ => "{}"))
+    }
+    eng.create("tiny")
+    eng.addLocal("tiny", Seq(Array.fill(8)(1.0f)), Seq("{}"))
+    assert(eng.listDatabases() == Seq("due1", "due2", "tiny"))
+    val results = eng.maintenanceSweep(kmeansIters = 3)
+    val byDb = results.map(r => r.db -> r).toMap
+    assert(byDb("due1").trained && byDb("due2").trained,
+      s"both due dbs must train in one sweep: $results")
+    assert(!byDb("tiny").trained)
+    assert(eng.load("due1").isTrained && eng.load("due2").isTrained)
+    assert(!eng.load("tiny").isTrained)
+    // second sweep: nothing due anymore (coverage 1.0)
+    assert(eng.maintenanceSweep(kmeansIters = 3).forall(!_.trained))
   }
 
   test("M7: index LRU evicts under a zero budget and reloads on demand") {
