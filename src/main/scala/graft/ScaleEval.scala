@@ -1,0 +1,186 @@
+package graft
+
+import java.util.concurrent.{Callable, Executors, TimeUnit}
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.Engine
+import graft.index.IndexParams
+
+/** Million-vector scale proof for the trained serving path — the regime the
+  * reference golden-tests its heuristics in (1M → nlist 6324,
+  * reference tests/unit/test_utils.py:8-12) but that small-sf bench runs
+  * never reach. Builds a clustered-Gaussian corpus DISTRIBUTED (the driver
+  * never holds the 1M×768 matrix — generation is a deterministic per-row
+  * function over spark.range, so query vectors can be re-derived locally),
+  * trains the published PCA256→OPQ128→IVF→PQ32 chain (reference
+  * README.md:22) with two-level clustering, and measures:
+  *
+  *   - train wall-time and coded-table file count/bytes (small-file health
+  *     of the partitioned IVF layout at nlist ≈ 6324)
+  *   - recall(finalK@prelimK) of the trained two-stage path against the
+  *     engine's exact flat path as ground truth
+  *   - batched per-query latency (the throughput shape)
+  *   - single-query p50 (the job-floor shape)
+  *   - concurrent QPS: 16 caller threads × single queries against one
+  *     shared SparkSession — proves the serving path is job-floor-bound,
+  *     not serialized (VERDICT r5 next-round #4)
+  *
+  * Env knobs: GRAFT_SCALE_N (1000000), GRAFT_SCALE_D (768),
+  * GRAFT_SCALE_Q (16 batch queries), GRAFT_SCALE_THREADS (16),
+  * GRAFT_SCALE_OPQ (true), SPARK_GRAFT_CPUS (32). Prints ONE JSON line.
+  */
+object ScaleEval {
+
+  /** Deterministic row i of the corpus: center(i mod C) + 0.35·N(0,1).
+    * Shared by the distributed generator and the driver-side query
+    * derivation — both see the same vector without any collect.
+    */
+  def rowVector(i: Long, centers: Array[Array[Float]], d: Int, seed: Long): Array[Float] = {
+    val rnd = new Random(seed ^ (i * 0x9E3779B97F4A7C15L))
+    val c = centers((i % centers.length).toInt)
+    Array.tabulate(d)(j => c(j) + 0.35f * rnd.nextGaussian().toFloat)
+  }
+
+  private def normalize(v: Array[Float]): Array[Float] = {
+    val nn = math.sqrt(v.map(x => x.toDouble * x).sum)
+    if (nn == 0) v else v.map(x => (x / nn).toFloat)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("GRAFT_SCALE_N", "1000000").toLong
+    val d = sys.env.getOrElse("GRAFT_SCALE_D", "768").toInt
+    val nQ = sys.env.getOrElse("GRAFT_SCALE_Q", "16").toInt
+    val nThreads = sys.env.getOrElse("GRAFT_SCALE_THREADS", "16").toInt
+    val withOpq = sys.env.getOrElse("GRAFT_SCALE_OPQ", "true").toBoolean
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val prelimK = 500
+    val finalK = 50
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val seed = 42L
+    val rnd = new Random(seed)
+    val numCenters = math.max(10, (n / 500).toInt)
+    val centers = Array.fill(numCenters, d)(rnd.nextGaussian().toFloat)
+    val bcCenters = spark.sparkContext.broadcast(centers)
+
+    val root = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    val engine = new Engine(spark, root)
+    engine.create("scale", vectorDimension = d)
+
+    // distributed generation: 64 gen partitions so the per-partition working
+    // set stays ~50 MB regardless of n
+    val g0 = System.nanoTime()
+    val corpus = spark.range(0L, n, 1L, 64)
+      .map(i => (rowVector(i, bcCenters.value, d, seed).toSeq, s"""{"i":$i}"""))
+      .toDF("vector", "metadata")
+      .select(col("vector").cast("array<float>").as("vector"), col("metadata"))
+    engine.add("scale", corpus)
+    val addSec = (System.nanoTime() - g0) / 1e9
+
+    val params =
+      if (withOpq) Some(IndexParams(256, 128, 32, omitOpq = false))
+      else None // heuristic default for d
+    val t0 = System.nanoTime()
+    engine.train("scale", params = params, useTwoLevelClustering = Some(true),
+      seed = seed)
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    val doc = engine.load("scale")
+
+    // coded-table layout health at nlist≈6324 partitions
+    val codedDir = java.nio.file.Paths.get(doc.indexPath(root), "coded")
+    var codedFiles = 0L
+    var codedBytes = 0L
+    val walk = java.nio.file.Files.walk(codedDir)
+    try walk.forEach { p =>
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        codedFiles += 1; codedBytes += java.nio.file.Files.size(p)
+      }
+    } finally walk.close()
+
+    // queries: perturbed corpus rows, derived WITHOUT touching the data
+    val queries = Array.tabulate(nQ) { qi =>
+      val base = (qi.toLong * 977L) % n
+      val qrnd = new Random(seed * 31 + qi)
+      normalize(rowVector(base, centers, d, seed)
+        .map(x => x + 0.1f * qrnd.nextGaussian().toFloat))
+    }
+    val qdf = queries.zipWithIndex.map { case (q, i) => (i.toLong, q.toSeq) }
+      .toSeq.toDF("query_id", "qvec")
+
+    // ground truth: the engine's exact flat path (oracle-validated at small
+    // sf) — one distributed scan amortized over all queries
+    val gt0 = System.nanoTime()
+    val gt = engine.queryBatchFlat("scale", qdf, finalK)
+      .select("query_id", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val gtSec = (System.nanoTime() - gt0) / 1e9
+
+    // batched trained two-stage
+    val b0 = System.nanoTime()
+    val batch = engine.queryBatchTrained("scale", qdf, prelimK, finalK)
+      .select("query_id", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1))).toMap
+    val batchSec = (System.nanoTime() - b0) / 1e9
+    val recall = (0 until nQ).map { qi =>
+      batch.getOrElse(qi.toLong, Array.empty[Long])
+        .count(gt(qi.toLong).contains).toDouble / finalK
+    }.sum / nQ
+
+    // single-query latency (sequential)
+    val nSingle = math.min(8, nQ)
+    val singles = (0 until nSingle).map { qi =>
+      val s0 = System.nanoTime()
+      engine.query("scale", queries(qi), prelimK, finalK).collect()
+      (System.nanoTime() - s0) / 1e6
+    }.sorted
+    val p50 = singles(nSingle / 2)
+
+    // concurrent serving: nThreads callers × single queries, shared session
+    val nConc = nThreads * 2
+    val pool = Executors.newFixedThreadPool(nThreads)
+    val tasks = (0 until nConc).map { qi =>
+      new Callable[Long] {
+        def call(): Long = {
+          engine.query("scale", queries(qi % nQ), prelimK, finalK).collect()
+          1L
+        }
+      }
+    }
+    val c0 = System.nanoTime()
+    pool.invokeAll(new java.util.ArrayList(scala.jdk.CollectionConverters
+      .SeqHasAsJava(tasks).asJava)).forEach(f => f.get())
+    val concSec = (System.nanoTime() - c0) / 1e9
+    pool.shutdown(); pool.awaitTermination(1, TimeUnit.MINUTES)
+    val concurrentQps = nConc / concSec
+    val singleQps = 1000.0 / p50
+
+    println(
+      s"""{"n":$n,"d":$d,"opq":$withOpq,"two_level":true,""" +
+        s""""nlist":${doc.numClusters},"nprobe":${doc.nProbe},""" +
+        s""""add_sec":${"%.1f".format(addSec)},""" +
+        s""""train_sec":${"%.1f".format(trainSec)},""" +
+        s""""coded_files":$codedFiles,"coded_mb":${codedBytes / 1024 / 1024},""" +
+        s""""gt_flat_batch_sec":${"%.1f".format(gtSec)},""" +
+        s""""recall_${finalK}_at_$prelimK":${"%.4f".format(recall)},""" +
+        s""""batch_total_sec":${"%.2f".format(batchSec)},""" +
+        s""""batch_per_query_ms":${"%.0f".format(batchSec * 1000 / nQ)},""" +
+        s""""query_ms_p50":${"%.0f".format(p50)},""" +
+        s""""concurrent_threads":$nThreads,"concurrent_queries":$nConc,""" +
+        s""""concurrent_sec":${"%.1f".format(concSec)},""" +
+        s""""concurrent_qps":${"%.2f".format(concurrentQps)},""" +
+        s""""single_thread_qps":${"%.2f".format(singleQps)},""" +
+        s""""concurrency_speedup":${"%.1f".format(concurrentQps / singleQps)}}""")
+    spark.stop()
+  }
+}

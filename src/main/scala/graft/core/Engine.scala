@@ -41,6 +41,17 @@ class Engine(val spark: SparkSession, val root: String) {
   private val modelBcCache = scala.collection.concurrent.TrieMap
     .empty[(String, Int), org.apache.spark.broadcast.Broadcast[IndexModel]]
 
+  /** Cached coded-table DataFrame per (db, indexVersion): the frame owns
+    * its resolved FileIndex, so the nlist-sized partition-directory
+    * listing (6k+ directories at the 1M-row heuristic scale — seconds of
+    * driver time) happens once per version instead of on every query.
+    * Partition pruning still applies per query via `cluster_id` filters.
+    * Invalidated on same-version appends (new files) and swept together
+    * with the model broadcasts.
+    */
+  private val codedDfCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), DataFrame]
+
   /** M7 — LRU over loaded index artifacts, bounded by their actual driver
     * footprint (reference cache/cache.py:5-102; the M8 estimator backs the
     * info endpoint, MemoryModel.scala). Evicting a model also unpersists
@@ -48,7 +59,10 @@ class Engine(val spark: SparkSession, val root: String) {
     */
   private val indexCache = new LruCache[(String, Int), IndexModel](
     Engine.DefaultMaxMemoryUsage, Engine.modelBytes,
-    onEvict = (k, _) => modelBcCache.remove(k).foreach(_.unpersist(false)))
+    onEvict = (k, _) => {
+      modelBcCache.remove(k).foreach(_.unpersist(false))
+      codedDfCache.remove(k)
+    })
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Cache-budget control (fastapi.py `update_max_memory_usage`). */
@@ -63,9 +77,23 @@ class Engine(val spark: SparkSession, val root: String) {
 
   /** PQ-coded index table schema (explicit on every read — inference dies
     * on a legitimately-empty index, e.g. after removing every row).
+    *
+    * COVERING index: alongside the PQ code it stores the full-precision
+    * vector and the metadata, so the rerank + hydrate stages read ONLY the
+    * probed cluster partitions. The reference gets this for free from LMDB
+    * point-lookups (mindb.py:424-428 fetches candidates by id); Parquet
+    * has no point-lookup, so without covering columns every query paid a
+    * full base-table scan to fetch ~500 candidate rows — measured at the
+    * 1M×768 ScaleEval as 20 s/query, SLOWER than brute force. With them,
+    * every serving stage's bytes ∝ nprobe/nlist (column pruning keeps the
+    * ADC scan reading only id/code/cluster_id). Storage is ~2× the base
+    * table — the same trade the reference makes by keeping vectors in both
+    * the Faiss index and the LMDB store.
     */
   val codedSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
+    StructField("vector", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("metadata", StringType, nullable = true),
     StructField("code", ArrayType(IntegerType, containsNull = false), nullable = false),
     StructField("cluster_id", IntegerType, nullable = false)))
 
@@ -318,15 +346,20 @@ class Engine(val spark: SparkSession, val root: String) {
         val model = indexModel(doc)
         val qp = model.pca.applyLocal(qn)
         val probes = model.nearestClusters(qp, doc.nProbe)
-        val coded = spark.read.schema(codedSchema).parquet(s"${doc.indexPath(root)}/coded")
-          .filter(col("cluster_id").isin(probes.toIndexedSeq.map(Integer.valueOf): _*))
+        val live = prunedLiveCoded(doc, probes)
         def probedCandidates(prelim: Int): DataFrame = {
-          val candIds = graft.operators.BatchANN.coarseCandidates(
-            spark, coded, modelBroadcast(doc), Array(0L -> qp), Array(probes),
-            prelim).select("id")
-          // Q4 — candidate fetch: broadcast join of the tiny candidate set,
-          // metadata predicate applied on the fetched candidates
-          val fetched = table.join(broadcast(candIds), Seq("id"))
+          val cands = graft.operators.BatchANN.coarseCandidates(
+            spark, live, modelBroadcast(doc), Array(0L -> qp), Array(probes),
+            prelim).select("id", "cluster_id")
+          // Q4 — candidate fetch stays INSIDE the probed partitions: the
+          // covering columns turn it into a second pruned scan (bytes ∝
+          // nprobe/nlist) instead of the full base-table scan that made
+          // the 1M×768 trained path slower than brute force; joining on
+          // (cluster_id, id) lets dynamic partition pruning cut that scan
+          // further, to just the partitions holding surviving candidates
+          val fetched = live.select("cluster_id", "id", "vector", "metadata")
+            .join(broadcast(cands), Seq("cluster_id", "id"))
+            .select("id", "vector", "metadata")
           predicate.fold(fetched)(fetched.filter)
         }
         predicate match {
@@ -404,13 +437,31 @@ class Engine(val spark: SparkSession, val root: String) {
     val qsP = qs.map { case (qid, qn) => qid -> model.pca.applyLocal(qn) }
     val probes = qsP.map { case (_, qp) => model.nearestClusters(qp, doc.nProbe) }
     val probeUnion = probes.flatten.distinct
-    val coded = spark.read.schema(codedSchema).parquet(s"${doc.indexPath(root)}/coded")
-      .filter(col("cluster_id").isin(probeUnion.toIndexedSeq.map(Integer.valueOf): _*))
+    val live = prunedLiveCoded(doc, probeUnion)
     val candidates = graft.operators.BatchANN.coarseCandidates(
-      spark, coded, modelBroadcast(doc), qsP, probes, preliminaryTopK)
-    val table = snapshot(doc)
-    graft.operators.BatchANN.rerank(spark, table, candidates, qs, finalTopK)
+      spark, live, modelBroadcast(doc), qsP, probes, preliminaryTopK)
+    // rerank fetches candidates from the same pruned covering scan — the
+    // base table is never touched on the trained serving path
+    graft.operators.BatchANN.rerank(spark,
+      live.select("cluster_id", "id", "vector", "metadata"),
+      candidates, qs, finalTopK)
   }
+
+  /** The live rows of the probed coded partitions: partition-pruned scan of
+    * the covering index minus pending soft-deletes (D2 — the index never
+    * serves dead rows; the deletes side is broadcast-small by the
+    * compaction threshold).
+    */
+  private def prunedLiveCoded(doc: CatalogDoc, probes: Array[Int]): DataFrame = {
+    val pruned = codedDf(doc)
+      .filter(col("cluster_id").isin(probes.toIndexedSeq.map(Integer.valueOf): _*))
+    if (doc.numPendingDeletes == 0) pruned
+    else pruned.join(broadcast(deletes(doc)), Seq("id"), "left_anti")
+  }
+
+  private def codedDf(doc: CatalogDoc): DataFrame =
+    codedDfCache.getOrElseUpdate((doc.name, doc.indexVersion),
+      spark.read.schema(codedSchema).parquet(s"${doc.indexPath(root)}/coded"))
 
   // ----------------------------------------------------------------- train
 
@@ -507,11 +558,13 @@ class Engine(val spark: SparkSession, val root: String) {
     val pq = ProductQuantizer.fit(pqSample, p.compressedVectorBytes,
       iters = kmeansIters, seed = seed)
 
-    // T18 — single full pass: assign + residual-encode + write coded table
+    // T18 — single full pass: project + assign + residual-encode + write
+    // the covering coded table (vector + metadata ride along so serving
+    // never rescans the base table)
     val model = IndexModel(pca, centroids, pq)
     val newVersion = doc.indexVersion + 1
     val indexDir = s"$root/$name/index/v$newVersion"
-    writeCoded(projected, model, s"$indexDir/coded")
+    writeCoded(snapshot(doc), model, s"$indexDir/coded")
     IndexStore.saveModel(spark, indexDir, model)
 
     // T19 — atomic swap + counter reset
@@ -536,20 +589,24 @@ class Engine(val spark: SparkSession, val root: String) {
     else
       rows.select(col("id"), Coder.pcaApplyCol(spark, pca, col("vector")).as("pvec"))
 
-  /** T18 — one full pass: fused assign+residual+PQ-encode (broadcast
-    * kernel, plan size O(1) in nlist/m), written partitioned by
-    * `cluster_id` — the IVF inverted lists as partition pruning.
+  /** T18 — one full pass: fused project+assign+residual+PQ-encode
+    * (broadcast kernel, plan size O(1) in nlist/m), written partitioned by
+    * `cluster_id` — the IVF inverted lists as partition pruning. Carries
+    * the covering columns (vector, metadata).
     */
-  private def writeCoded(projected: DataFrame, model: IndexModel, path: String): Unit =
-    assignEncode(projected, model)
+  private def writeCoded(rows: DataFrame, model: IndexModel, path: String): Unit =
+    assignEncode(rows, model)
       .repartition(col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
 
   private def appendToCodedTable(doc: CatalogDoc, model: IndexModel,
-                                 rows: DataFrame): Unit =
-    assignEncode(projectedView(rows, model.pca), model)
+                                 rows: DataFrame): Unit = {
+    assignEncode(rows, model)
       .write.mode("append").partitionBy("cluster_id")
       .parquet(s"${doc.indexPath(root)}/coded")
+    // same-version append: the cached frame's FileIndex is now stale
+    codedDfCache.remove((doc.name, doc.indexVersion))
+  }
 
   /** Parquet data files under a coded-table directory (recursive). */
   private def codedFileCount(doc: CatalogDoc): Int = {
@@ -588,12 +645,22 @@ class Engine(val spark: SparkSession, val root: String) {
       s"v$newVersion ($files files exceeded ${Engine.CodedFilesPerCluster}×$clusters)")
   }
 
-  private def assignEncode(projected: DataFrame, model: IndexModel): DataFrame =
-    projected
-      .select(col("id"),
+  /** (id, vector, metadata) rows → covering coded rows. The projection and
+    * the fused assign+encode kernel run in one scan; vector/metadata pass
+    * through untouched.
+    */
+  private def assignEncode(rows: DataFrame, model: IndexModel): DataFrame = {
+    val withP =
+      if (model.pca.isIdentity)
+        rows.withColumn("pvec", col("vector").cast("array<double>"))
+      else
+        rows.withColumn("pvec", Coder.pcaApplyCol(spark, model.pca, col("vector")))
+    withP
+      .select(col("id"), col("vector"), col("metadata"),
         Coder.assignEncodeCol(spark, model.centroids, model.pq, col("pvec")).as("ac"))
-      .select(col("id"), col("ac.cluster_id").as("cluster_id"),
-        col("ac.code").as("code"))
+      .select(col("id"), col("vector"), col("metadata"),
+        col("ac.code").as("code"), col("ac.cluster_id").as("cluster_id"))
+  }
 
   /** Drop unreferenced snapshot/index/deletes versions (everything below
     * the catalog's current pointers). Readers resolve paths through the
@@ -754,12 +821,16 @@ class Engine(val spark: SparkSession, val root: String) {
   }
 
   /** Unpersist (not destroy — lazily re-fetchable by in-flight plans)
-    * cached model broadcasts for `name` with version < `keepBelow`.
+    * cached model broadcasts for `name` with version < `keepBelow`; the
+    * matching coded-frame cache entries go with them.
     */
   private def dropModelBroadcasts(name: String, keepBelow: Int): Unit =
     modelBcCache.keys
       .filter { case (n, v) => n == name && v < keepBelow }
-      .foreach(k => modelBcCache.remove(k).foreach(_.unpersist(false)))
+      .foreach { k =>
+        modelBcCache.remove(k).foreach(_.unpersist(false))
+        codedDfCache.remove(k)
+      }
 
   private def normalizeLocal(v: Array[Float]): Array[Float] = {
     var s = 0.0; var i = 0
@@ -819,13 +890,41 @@ object Engine {
     */
   final case class IndexModel(pca: PcaModel, centroids: Array[Array[Float]],
                               pq: PqModel) {
+
+    /** Probe selection: the nprobe nearest centroids by (L2², id). Bounded
+      * max-heap selection — O(nlist·p + nlist·log nprobe) instead of a full
+      * O(nlist·log nlist) sort, with a per-centroid early exit against the
+      * current heap ceiling (skips most of the p-dim loop once the heap is
+      * full). Matters at the reference's heuristic ceiling (nlist = 200k
+      * for 100M rows, training_utils.py:5-9) where this runs on the driver
+      * per query. Result is bit-identical to the sort: ties still compare
+      * by (dist, id) because the exit is only taken when s strictly
+      * exceeds the heap's worst distance.
+      */
     def nearestClusters(qp: Array[Float], nprobe: Int): Array[Int] = {
-      val dists = centroids.zipWithIndex.map { case (c, i) =>
+      val k = math.min(nprobe, centroids.length)
+      if (k <= 0) return Array.empty
+      val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+      val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord)
+      var i = 0
+      while (i < centroids.length) {
+        val c = centroids(i)
+        val full = heap.size >= k
+        val ceil = if (full) heap.head._1 else Double.MaxValue
         var s = 0.0; var j = 0
-        while (j < c.length) { val df = qp(j) - c(j); s += df * df; j += 1 }
-        (s, i)
+        while (j < c.length && s <= ceil) {
+          val df = qp(j) - c(j); s += df * df; j += 1
+        }
+        if (j == c.length) { // not early-exited: candidate distance is exact
+          if (!full) heap.enqueue((s, i))
+          else if (ord.lt((s, i), heap.head)) { heap.dequeue(); heap.enqueue((s, i)) }
+        }
+        i += 1
       }
-      dists.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
+      val out = new Array[Int](heap.size)
+      var w = heap.size - 1
+      while (w >= 0) { out(w) = heap.dequeue()._2; w -= 1 } // worst-first out
+      out
     }
   }
 }

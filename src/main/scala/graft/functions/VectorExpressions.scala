@@ -76,3 +76,40 @@ case class L2DistSq(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** v / ‖v‖₂ as one native pass (the ingest invariant,
+  * input_validation.py:96-99). Output is array<double>; zero vectors map
+  * to zeros. Replaces the `transform(aggregate(...))` lambda whose norm
+  * sub-expression re-evaluated per element — O(d²) interpreted evals per
+  * row vs this kernel's O(d).
+  */
+case class L2Normalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def kernelName: String = child.dataType match {
+    case ArrayType(FloatType, _) => "l2normF"
+    case _ => "l2normD"
+  }
+
+  override def nullSafeEval(a: Any): Any = kernelName match {
+    case "l2normF" => VectorKernels.l2normF(a.asInstanceOf[ArrayData])
+    case _ => VectorKernels.l2normD(a.asInstanceOf[ArrayData])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.$kernelName($a);")
+
+  override def prettyName: String = "l2_normalize"
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -24,15 +24,17 @@ object VectorFunctions {
   /** L2 norm ‖v‖₂. */
   def l2Norm(v: Column): Column = sqrt(sumSq(v))
 
+  import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+
   /** v / ‖v‖₂ — the reference's ingest invariant (input_validation.py:96-99).
     * Elements emitted as double; zero vectors map to zeros (no NaN).
+    * Native codegen expression: the previous `transform`+`aggregate`
+    * lambda form nested the norm INSIDE the per-element lambda, which the
+    * interpreted HOF path re-evaluates per element — O(d²) per row (~15
+    * core-minutes per 1M rows at d=768 on the ingest path). Values are
+    * bit-identical (same double fold order, same zero-vector → zeros).
     */
-  def l2Normalize(v: Column): Column = {
-    val n = l2Norm(v)
-    transform(v, x => when(n === 0.0d, 0.0d).otherwise(x.cast("double") / n))
-  }
-
-  import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+  def l2Normalize(v: Column): Column = toCol(L2Normalize(toExpr(v)))
 
   /** Dot product Σ aᵢ·bᵢ in double (query_utils.py:3-8). On pre-normalized
     * vectors this IS the cosine similarity — the engine's ranking score.

@@ -63,4 +63,40 @@ object VectorKernels {
   }
 
   def l2DistSqDF(a: ArrayData, b: ArrayData): Double = l2DistSqFD(b, a)
+
+  /** v / ‖v‖₂ in one pass pair (norm, then scale) — O(d). The norm is a
+    * double left-to-right Σx² fold, elementwise division matches the
+    * `transform(v, x -> x / sqrt(aggregate(...)))` lambda this replaces
+    * bit-for-bit; zero vectors map to zeros (no NaN). The lambda form
+    * re-evaluated the interpreted aggregate INSIDE the per-element
+    * lambda — O(d²) boxed evals per row, ~590k at d=768: the add-path
+    * scale-killer found by the 1M-row ScaleEval run.
+    */
+  def l2normF(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    val nn = math.sqrt(s)
+    val out = new Array[Double](n)
+    if (nn != 0.0) {
+      i = 0
+      while (i < n) { out(i) = a.getFloat(i).toDouble / nn; i += 1 }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def l2normD(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
+    val nn = math.sqrt(s)
+    val out = new Array[Double](n)
+    if (nn != 0.0) {
+      i = 0
+      while (i < n) { out(i) = a.getDouble(i) / nn; i += 1 }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
 }

@@ -39,8 +39,12 @@ object BatchANN {
     *                 across queries; the caller manages its lifecycle)
     * @param queriesP (query_id, PCA-projected normalized query) pairs
     * @param probes   per-query probed cluster ids (same order as queriesP)
-    * @return (query_id, id, adc_dist) candidate rows, ≤ prelimK per query,
-    *         smallest (adc_dist, id) first within each query
+    * @return (query_id, id, adc_dist, cluster_id) candidate rows, ≤ prelimK
+    *         per query, smallest (adc_dist, id) first within each query.
+    *         cluster_id rides along so the downstream fetch can join on
+    *         (cluster_id, id) — dynamic partition pruning then narrows the
+    *         covering-table fetch to the partitions that actually hold
+    *         candidates, a strict subset of the probed set
     */
   def coarseCandidates(spark: SparkSession, coded: DataFrame,
                        bcModel: Broadcast[IndexModel],
@@ -67,9 +71,11 @@ object BatchANN {
       val (qvecs, c2q) = bcQ.value
       val m = codebooks.length
       val p = if (qvecs.isEmpty) 0 else qvecs(0).length
-      // max-heap on (dist, id): head = worst kept under (dist asc, id asc)
+      // max-heap on (dist, id): head = worst kept under (dist asc, id asc);
+      // the cluster id tags along for the downstream pruned fetch
+      val heapOrd = Ordering.by[(Double, Long, Int), (Double, Long)](e => (e._1, e._2))
       val heaps = Array.fill(qvecs.length)(
-        PriorityQueue.empty[(Double, Long)](Ordering.Tuple2[Double, Long]))
+        PriorityQueue.empty[(Double, Long, Int)](heapOrd))
       val recon = new Array[Double](p)
       it.foreach { r =>
         val cid = r.getInt(1)
@@ -97,34 +103,41 @@ object BatchANN {
             while (x < p && d <= bound) {
               val df = q(x) - recon(x); d += df * df; x += 1
             }
-            if (!full) h.enqueue((d, id))
+            if (!full) h.enqueue((d, id, cid))
             else {
-              val (wd, wid) = h.head
-              if (d < wd || (d == wd && id < wid)) { h.dequeue(); h.enqueue((d, id)) }
+              val (wd, wid, _) = h.head
+              if (d < wd || (d == wd && id < wid)) { h.dequeue(); h.enqueue((d, id, cid)) }
             }
             k += 1
           }
         }
       }
       heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-        h.iterator.map { case (d, id) => Row(qIds(qi), id, d) }
+        h.iterator.map { case (d, id, cid) => Row(qIds(qi), id, d, cid) }
       }
     }
     val partial = spark.createDataFrame(partialRdd, StructType(Seq(
       StructField("query_id", LongType, nullable = false),
       StructField("id", LongType, nullable = false),
-      StructField("adc_dist", DoubleType, nullable = false))))
+      StructField("adc_dist", DoubleType, nullable = false),
+      StructField("cluster_id", IntegerType, nullable = false))))
     // exact global merge over ≤ partitions·q·prelimK rows
     val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("id"))
     partial.withColumn("rn", row_number().over(w)).filter(col("rn") <= prelimK)
-      .select("query_id", "id", "adc_dist")
+      .select("query_id", "id", "adc_dist", "cluster_id")
   }
 
   /** Exact rerank of per-query candidate id sets against the full-precision
     * vectors: score only rows in a query's own candidate set. No UDF — the
     * query vectors join in as a broadcast-small column and scoring is the
     * native codegen `dot`, so the whole stage stays in whole-stage codegen.
-    * `table`: (id, vector, metadata); `qn`: normalized full-dim queries.
+    * `table`: (cluster_id, id, vector, metadata) — on the trained path
+    * this is the partition-pruned COVERING coded scan, so rerank bytes
+    * stay ∝ nprobe/nlist (a full base-table fetch here measured 20 s/query
+    * at 1M×768 — slower than brute force). Joining on (cluster_id, id)
+    * lets dynamic partition pruning narrow the fetch further, to only the
+    * partitions holding surviving candidates. `qn`: normalized full-dim
+    * queries.
     */
   def rerank(spark: SparkSession, table: DataFrame, candidates: DataFrame,
              qn: Array[(Long, Array[Float])], finalTopK: Int): DataFrame = {
@@ -133,9 +146,11 @@ object BatchANN {
       StructField("qvec", ArrayType(FloatType, containsNull = false), nullable = false)))
     val qDf = spark.createDataFrame(
       java.util.Arrays.asList(qn.map { case (qid, v) => Row(qid, v.toSeq) }: _*), qSchema)
-    // candidates (query_id, id) are ≤ q·prelimK rows: broadcast both tiny
-    // sides; the big table is scanned once, never shuffled
-    val scored = table.join(broadcast(candidates), Seq("id"))
+    // candidates (query_id, id, cluster_id) are ≤ q·prelimK rows: broadcast
+    // both tiny sides; the covering scan is read once, never shuffled
+    val scored = table
+      .join(broadcast(candidates.select("query_id", "id", "cluster_id")),
+        Seq("cluster_id", "id"))
       .join(broadcast(qDf), Seq("query_id"))
       .select(col("query_id"), col("id"), col("metadata"),
         VectorFunctions.dot(col("vector"), col("qvec")).as("cosine_similarity"))
