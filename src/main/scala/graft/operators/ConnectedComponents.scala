@@ -9,34 +9,89 @@ import org.apache.spark.sql.functions._
   * a≉c directly). Each node gets the minimum doc id reachable from it as
   * its canonical id; keep rows where doc_id == canonical_id.
   *
-  * Algorithm: iterative min-label propagation (the simple alternating
-  * form of the large-star/small-star map-reduce CC algorithm): every
-  * node starts as its own label and repeatedly takes the min of its
-  * neighbors' labels until a fixpoint. Iterations = component diameter;
-  * near-dup clusters are shallow (dups of dups of one original), so this
-  * converges in a handful of rounds. Each round is one equi-join +
-  * groupBy over the PAIR graph only — the corpus itself is never
-  * touched, and the pair graph is small by construction (near-dups, not
-  * all-pairs).
+  * ADAPTIVE execution: the pair graph's size is known (it was just
+  * produced by the banded near-dup join), and the two regimes want
+  * different algorithms —
+  *
+  *   - collect-small graphs (≤ `driverMaxPairs`, i.e. ≲ tens of MB):
+  *     union-find with path compression on the driver. One collect job;
+  *     Spark's per-round job overhead (~1 s/round locally) would dominate
+  *     an iterative plan many times over for a graph this size.
+  *   - larger graphs: iterative min-label propagation over the
+  *     distributed pair graph (the simple alternating form of the
+  *     large-star/small-star map-reduce CC algorithm) — every node starts
+  *     as its own label and repeatedly takes the min of its neighbors'
+  *     labels until a fixpoint. Iterations = component diameter; near-dup
+  *     clusters are shallow, so this converges in a handful of rounds.
+  *     Each round is one equi-join + groupBy over the PAIR graph only —
+  *     the corpus itself is never touched.
+  *
+  * Both paths compute the same exact fixpoint (min reachable id); the
+  * cutover only trades latency, never semantics — NearDupSpec asserts
+  * set-equality of the two paths on the same graph.
   */
 object ConnectedComponents {
 
   /** (id, canonical_id) for every node of the pair graph, where
-    * canonical_id = min id in the node's connected component. Exact: runs
-    * to fixpoint (loudly fails if `maxIters` rounds don't converge —
-    * a diameter that size means the input is not a near-dup pair set).
-    *
-    * One Spark job per round: the `moved` flag is computed inside the
-    * propagation select, so the action that fills the round's cache is the
-    * same action that counts changes — no separate join-and-count pass.
-    * The result is local-checkpointed (lineage truncated, materialized)
-    * so every loop cache can be released before returning; the returned
-    * frame owns its own blocks and is cleaned up when the caller drops it.
+    * canonical_id = min id in the node's connected component. Exact on
+    * both paths (the distributed path loudly fails if `maxIters` rounds
+    * don't converge — a diameter that size means the input is not a
+    * near-dup pair set).
     */
   def canonicalIds(pairs: DataFrame, aCol: String, bCol: String,
-                   maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+                   maxIters: Int = 25,
+                   driverMaxPairs: Long = 2L * 1000 * 1000): DataFrame = {
+    val idType = pairs.schema(pairs.schema.fieldIndex(aCol)).dataType
+    val p = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .persist()
+    try {
+      val nPairs = p.count()
+      val out =
+        if (nPairs <= driverMaxPairs) driverCanonical(p)
+        else propagate(p, maxIters)
+      out.select(col("id").cast(idType).as("id"),
+        col("canonical_id").cast(idType).as("canonical_id"))
+    } finally p.unpersist()
+  }
+
+  /** Driver union-find (path compression + union-by-min-root: linking the
+    * larger root under the smaller keeps every root the minimum id of its
+    * set, so the final root IS the canonical id). Bounded by
+    * `driverMaxPairs` collected (src, dst) longs — tens of MB.
+    */
+  private def driverCanonical(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    p.collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "canonical_id")
+  }
+
+  /** Distributed min-label propagation. One Spark job per round: the
+    * `moved` flag is computed inside the propagation select, so the action
+    * that fills the round's cache is the same action that counts changes —
+    * no separate join-and-count pass. The result is local-checkpointed
+    * (lineage truncated, materialized) so every loop cache can be released
+    * before returning; the returned frame owns its own blocks and is
+    * cleaned up when the caller drops it.
+    */
+  private def propagate(p: DataFrame, maxIters: Int): DataFrame = {
+    val edges = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))

@@ -290,11 +290,18 @@ class NearDupSpec extends SparkSpec {
     // and a triangle 10-11-12
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
       (10L, 11L), (11L, 12L), (10L, 12L)).toDF("doc_a", "doc_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L)
     val out = graft.operators.ConnectedComponents
       .canonicalIds(pairs, "doc_a", "doc_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L), s"got $out")
+    assert(out == expected, s"got $out")
+    // both execution paths compute the same fixpoint: force the
+    // distributed propagation (cutover at 0 pairs) and compare
+    val distributed = graft.operators.ConnectedComponents
+      .canonicalIds(pairs, "doc_a", "doc_b", driverMaxPairs = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == expected, s"distributed path diverged: $distributed")
   }
 
   test("null text/embedding rows null-propagate instead of failing the job") {
