@@ -49,6 +49,7 @@ object SparkEntry {
     "multimodal_meta"    -> (Queries.multimodalMeta _),
     "multimodal_resize"  -> (Queries.multimodalResize _),
     "multimodal_audio"   -> (Queries.multimodalAudio _),
+    "multimodal_video"   -> (Queries.multimodalVideo _),
     "events_hourly"      -> (Queries.eventsHourly _),
     "trained_adc_topk"   -> (Queries.trainedAdcTopk _),
     "trained_knn"        -> (Queries.trainedKnn _),
@@ -514,6 +515,18 @@ object SparkEntry {
         |  1000 + ('0x' || substr(h, 7, 3))::BIGINT % 4000 AS peak,
         |  round(CAST(1000 + ('0x' || substr(h, 7, 3))::BIGINT % 4000 AS DOUBLE), 6) AS rms
         |FROM (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 4)""".stripMargin,
+
+    "multimodal_video" ->
+      """SELECT doc_id,
+        |  16 * (1 + ('0x' || substr(h, 1, 2))::BIGINT % 80) AS width,
+        |  16 * (1 + ('0x' || substr(h, 3, 2))::BIGINT % 45) AS height,
+        |  600 * (1 + ('0x' || substr(h, 5, 1))::BIGINT % 4) AS timescale,
+        |  ((24 + ('0x' || substr(h, 6, 2))::BIGINT)
+        |     * ((600 * (1 + ('0x' || substr(h, 5, 1))::BIGINT % 4)) // 24) * 1000)
+        |    // (600 * (1 + ('0x' || substr(h, 5, 1))::BIGINT % 4)) AS duration_ms,
+        |  24 + ('0x' || substr(h, 6, 2))::BIGINT AS n_frames,
+        |  CAST(1 AS BIGINT) AS video_tracks
+        |FROM (SELECT doc_id, md5(text) AS h FROM documents WHERE text IS NOT NULL)""".stripMargin,
 
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,

@@ -141,6 +141,86 @@ object Multimodal {
     else Some(MediaMeta("wav", rate, channels, dataBytes / bytesPerFrame))
   }
 
+  /** Video container metadata from a real ISO-BMFF (MP4) box walk. */
+  final case class VideoStats(width: Long, height: Long, timescale: Long,
+                              duration_ms: Long, n_frames: Long,
+                              video_tracks: Long)
+
+  private final case class Mp4Box(tpe: String, start: Int, end: Int)
+
+  /** Children of a box-payload range as (type, start, end); malformed
+    * sizes (64-bit extended size==1, size in (0,8), overflow past the
+    * range) yield Nil — the caller then simply finds nothing.
+    */
+  private def mp4Boxes(b: Array[Byte], from: Int, until: Int): List[Mp4Box] = {
+    val out = List.newBuilder[Mp4Box]
+    var i = from
+    while (i + 8 <= until) {
+      val size = be32(b, i)
+      if (size == 1 || (size != 0 && size < 8)) return Nil
+      val end = if (size == 0) until else i + size.toInt
+      if (end > until || end <= i) return Nil
+      out += Mp4Box(new String(b, i + 4, 4, "US-ASCII"), i, end)
+      i = end
+    }
+    out.result()
+  }
+
+  /** MP4/ISO-BMFF: real box walk (bounds-checked). Requires a leading
+    * `ftyp`; reads `moov/mvhd` (timescale, duration), and for each `trak`
+    * whose `mdia/hdlr` handler is 'vide': `tkhd` width/height (16.16
+    * fixed) and the `mdia/minf/stbl/stts` entry sample counts — the real
+    * frame count, which lives three containers deep, so a matching oracle
+    * proves the walk runs. Malformed structure → None.
+    */
+  def parseMp4(b: Array[Byte]): Option[VideoStats] = {
+    if (b.length < 16 || !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'))
+      return None
+    val top = mp4Boxes(b, 0, b.length)
+    val moov = top.find(_.tpe == "moov").getOrElse(return None)
+    val moovKids = mp4Boxes(b, moov.start + 8, moov.end)
+    val mvhd = moovKids.find(_.tpe == "mvhd").getOrElse(return None)
+    if (mvhd.end < mvhd.start + 28) return None
+    val timescale = be32(b, mvhd.start + 20)
+    val duration = be32(b, mvhd.start + 24)
+    if (timescale <= 0) return None
+
+    var width = 0L; var height = 0L; var frames = 0L; var videoTracks = 0L
+    moovKids.filter(_.tpe == "trak").foreach { trak =>
+      val kids = mp4Boxes(b, trak.start + 8, trak.end)
+      val mdiaKids = kids.find(_.tpe == "mdia")
+        .map(m => mp4Boxes(b, m.start + 8, m.end)).getOrElse(Nil)
+      val isVide = mdiaKids.find(_.tpe == "hdlr").exists(h =>
+        h.end >= h.start + 20 &&
+          new String(b, h.start + 16, 4, "US-ASCII") == "vide")
+      if (isVide) {
+        videoTracks += 1
+        kids.find(_.tpe == "tkhd").filter(t => t.end >= t.start + 92).foreach { t =>
+          if (width == 0) {
+            width = be32(b, t.start + 84) >> 16
+            height = be32(b, t.start + 88) >> 16
+          }
+        }
+        val stbl = mdiaKids.find(_.tpe == "minf")
+          .map(m => mp4Boxes(b, m.start + 8, m.end)).getOrElse(Nil)
+          .find(_.tpe == "stbl")
+          .map(s => mp4Boxes(b, s.start + 8, s.end)).getOrElse(Nil)
+        stbl.find(_.tpe == "stts").foreach { s =>
+          if (s.end >= s.start + 16) {
+            val entries = be32(b, s.start + 12)
+            var e = 0
+            while (e < entries && s.start + 16 + 8 * e + 8 <= s.end) {
+              frames += be32(b, s.start + 16 + 8 * e); e += 1
+            }
+          }
+        }
+      }
+    }
+    if (videoTracks == 0) None
+    else Some(VideoStats(width, height, timescale,
+      duration * 1000L / timescale, frames, videoTracks))
+  }
+
   private val Unknown = MediaMeta("unknown", 0L, 0L, 0L)
 
   /** Executor-side decode: sniff + parse real container headers. Corrupt,
@@ -152,6 +232,8 @@ object Multimodal {
     else
       try parsePng(bytes).orElse(parseJpeg(bytes)).orElse(parseGif(bytes))
         .orElse(parseBmp(bytes)).orElse(parseWav(bytes))
+        .orElse(parseMp4(bytes).map(v =>
+          MediaMeta("mp4", v.width, v.height, v.n_frames)))
         .getOrElse(Unknown)
       catch { case _: IndexOutOfBoundsException | _: NegativeArraySizeException => Unknown }
 
@@ -273,6 +355,19 @@ object Multimodal {
     f(payload)
   }
 
+  /** Video feature stage: [[parseMp4]] with the same a-bad-row-never-fails
+    * contract as the other stages.
+    */
+  def videoStatsLocal(bytes: Array[Byte]): Option[VideoStats] =
+    try { if (bytes == null) None else parseMp4(bytes) }
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Column form of [[videoStatsLocal]]: null (→ droppable) for non-MP4. */
+  def videoStats(payload: Column): Column = {
+    val f = udf { (bytes: Array[Byte]) => videoStatsLocal(bytes) }
+    f(payload)
+  }
+
   // --------------------------------------------------------- synthesis
 
   private def hashHex(s: String): String =
@@ -344,6 +439,76 @@ object Multimodal {
       f += 1
     }
     bb.array()
+  }
+
+  // --- MP4 synthesis: a real ISO-BMFF writer (box sizes computed
+  // bottom-up), so the parser is exercised against genuine nested
+  // container structure: ftyp + moov(mvhd, trak(tkhd,
+  // mdia(mdhd, hdlr 'vide', minf(stbl(stts))))) + mdat.
+
+  private def mp4Box(tpe: String, payloads: Array[Byte]*): Array[Byte] = {
+    val size = 8 + payloads.map(_.length).sum
+    val bb = java.nio.ByteBuffer.allocate(size) // big-endian by default
+    bb.putInt(size).put(tpe.getBytes("US-ASCII"))
+    payloads.foreach(bb.put)
+    bb.array()
+  }
+
+  private def beInts(xs: Int*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 * xs.length)
+    xs.foreach(bb.putInt)
+    bb.array()
+  }
+
+  private def beShorts(xs: Int*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(2 * xs.length)
+    xs.foreach(x => bb.putShort(x.toShort))
+    bb.array()
+  }
+
+  private val UnityMatrix =
+    beInts(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+
+  /** Minimal valid single-video-track MP4. `delta` is the per-sample
+    * duration in `timescale` units; mvhd/tkhd/mdhd durations are
+    * `frames·delta`.
+    */
+  def mp4Bytes(width: Int, height: Int, timescale: Int, delta: Int,
+               frames: Int): Array[Byte] = {
+    val duration = frames * delta
+    val ftyp = mp4Box("ftyp", "isom".getBytes("US-ASCII"), beInts(0),
+      "isom".getBytes("US-ASCII"))
+    val mvhd = mp4Box("mvhd", beInts(0, 0, 0, timescale, duration, 0x10000),
+      beShorts(0x0100, 0), beInts(0, 0), UnityMatrix,
+      beInts(0, 0, 0, 0, 0, 0, 2))
+    val tkhd = mp4Box("tkhd", beInts(7, 0, 0, 1, 0, duration, 0, 0),
+      beShorts(0, 0, 0, 0), UnityMatrix, beInts(width << 16, height << 16))
+    val mdhd = mp4Box("mdhd", beInts(0, 0, 0, timescale, duration),
+      beShorts(0x55c4, 0))
+    val hdlr = mp4Box("hdlr", beInts(0, 0), "vide".getBytes("US-ASCII"),
+      beInts(0, 0, 0), Array[Byte](0))
+    val stts = mp4Box("stts", beInts(0, 1, frames, delta))
+    val minf = mp4Box("minf", mp4Box("stbl", stts))
+    val mdia = mp4Box("mdia", mdhd, hdlr, minf)
+    val trak = mp4Box("trak", tkhd, mdia)
+    val moov = mp4Box("moov", mvhd, trak)
+    val mdat = mp4Box("mdat", new Array[Byte](8))
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Deterministic MP4 payload for a document: every shape parameter
+    * derives from md5(text) (same convention as [[synthesizePayload]]) so
+    * a SQL oracle predicts the parsed metadata while the bytes remain a
+    * genuine nested ISO-BMFF structure. 24-fps-style timing: `delta =
+    * timescale/24` exactly (timescale is a multiple of 600).
+    */
+  def synthesizeVideoPayload(text: String): Array[Byte] = {
+    val hex = hashHex(text)
+    val w = 16 * (1 + hx(hex, 0, 2) % 80) // ≤ 1280
+    val h = 16 * (1 + hx(hex, 2, 2) % 45) // ≤ 720
+    val ts = 600 * (1 + hx(hex, 4, 1) % 4)
+    val frames = 24 + hx(hex, 5, 2)
+    mp4Bytes(w.toInt, h.toInt, ts.toInt, (ts / 24).toInt, frames.toInt)
   }
 
   /** Demo pipeline over a text table: synthesize a real media payload per

@@ -506,6 +506,28 @@ object Queries {
         round(col("a.rms"), 6).as("rms"))
   }
 
+  /** REAL MP4 box-walk over per-doc synthesized ISO-BMFF bytes: width,
+    * height, timescale, duration and the stts frame count are read back
+    * out of the nested moov/trak/mdia/minf/stbl structure — the frame
+    * count lives three containers deep, so the matching oracle proves the
+    * walk runs, not just a magic-byte sniff.
+    */
+  def multimodalVideo(s: SparkSession, dir: String): DataFrame = {
+    val payloadUdf = udf { (text: String) =>
+      if (text == null) null
+      else graft.operators.Multimodal.synthesizeVideoPayload(text)
+    }
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.operators.Multimodal.videoStats(payloadUdf(col("text"))).as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("doc_id"), col("v.width").as("width"),
+        col("v.height").as("height"), col("v.timescale").as("timescale"),
+        col("v.duration_ms").as("duration_ms"),
+        col("v.n_frames").as("n_frames"),
+        col("v.video_tracks").as("video_tracks"))
+  }
+
   // ---------------------------------------------------------------- events
 
   /** Tumbling hourly window aggregation over the event stream table.

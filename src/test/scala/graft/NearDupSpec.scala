@@ -247,6 +247,37 @@ class NearDupSpec extends SparkSpec {
     assert(Multimodal.decodeLocal(null).format == "unknown")
   }
 
+  test("video stats: real MP4 box walk — stts frame count three containers deep") {
+    val v = Multimodal.videoStatsLocal(
+      Multimodal.mp4Bytes(640, 360, 1200, 50, 48)).get
+    assert(v == Multimodal.VideoStats(640L, 360L, 1200L,
+      48L * 50 * 1000 / 1200, 48L, 1L), s"got $v")
+    // decodeLocal sniff chain picks mp4 up too
+    val m = Multimodal.decodeLocal(Multimodal.mp4Bytes(320, 240, 600, 25, 30))
+    assert(m == Multimodal.MediaMeta("mp4", 320L, 240L, 30L), s"got $m")
+    // md5-derived synthesis round-trips (the oracle contract)
+    val sv = Multimodal.videoStatsLocal(
+      Multimodal.synthesizeVideoPayload("some document text")).get
+    assert(sv.video_tracks == 1L && sv.width % 16 == 0 && sv.timescale % 600 == 0)
+    // non-video / garbage / null drop, never throw
+    assert(Multimodal.videoStatsLocal(
+      Multimodal.imageBytes(10, 10, 0x0, "png")).isEmpty)
+    assert(Multimodal.videoStatsLocal("junk".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.videoStatsLocal(null).isEmpty)
+    // hostile: box size 0xFFFFFFF8 (negative int) and size 1 (64-bit
+    // extended) must terminate the walk, not spin or overflow
+    val evil = Multimodal.mp4Bytes(640, 360, 1200, 50, 48)
+    evil(20) = 0xff.toByte; evil(21) = 0xff.toByte // clobber moov size
+    evil(22) = 0xff.toByte; evil(23) = 0xf8.toByte
+    assert(Multimodal.videoStatsLocal(evil).isEmpty)
+    val ext = Multimodal.mp4Bytes(640, 360, 1200, 50, 48)
+    ext(20) = 0; ext(21) = 0; ext(22) = 0; ext(23) = 1
+    assert(Multimodal.videoStatsLocal(ext).isEmpty)
+    // truncated mid-moov
+    val trunc = Multimodal.mp4Bytes(640, 360, 1200, 50, 48).take(60)
+    assert(Multimodal.videoStatsLocal(trunc).isEmpty)
+  }
+
   test("multimodal decode: hostile payloads terminate and degrade to unknown") {
     // RIFF/WAVE with a chunk size of 0xFFFFFFF8 (-8 as int): a naive walk
     // advances by zero bytes and spins forever
