@@ -277,14 +277,20 @@ object SparkEntry {
         |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w)-2)]
         |    ELSE [array_to_string(w, ' ')] END AS shingles
         |  FROM toks),
+        |bs AS (
+        |  SELECT doc_id, shingles,
+        |    [('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647 for x in shingles] AS bases
+        |  FROM sh),
         |sig AS (
         |  SELECT doc_id,
-        |    [list_min([md5(s::VARCHAR || ':' || x) for x in shingles])
+        |    [list_min([((((s+1) * 2654435761) % 2147483647) * x
+        |                + (((s+1) * 40503) % 2147483647)) % 2147483647
+        |       for x in bases])
         |     for s in generate_series(0, 11)] AS sig
-        |  FROM sh),
+        |  FROM bs),
         |bands AS (
         |  SELECT doc_id, b AS band_idx,
-        |    md5(array_to_string(sig[3*b+1:3*b+3], '')) AS band_key
+        |    md5(array_to_string(sig[3*b+1:3*b+3], ':')) AS band_key
         |  FROM sig, generate_series(0, 3) t(b))
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM bands a JOIN bands b
@@ -299,14 +305,20 @@ object SparkEntry {
         |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w)-2)]
         |    ELSE [array_to_string(w, ' ')] END AS shingles
         |  FROM toks),
+        |bs AS (
+        |  SELECT doc_id, shingles,
+        |    [('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647 for x in shingles] AS bases
+        |  FROM sh),
         |sig AS (
         |  SELECT doc_id,
-        |    [list_min([md5(s::VARCHAR || ':' || x) for x in shingles])
+        |    [list_min([((((s+1) * 2654435761) % 2147483647) * x
+        |                + (((s+1) * 40503) % 2147483647)) % 2147483647
+        |       for x in bases])
         |     for s in generate_series(0, 11)] AS sig
-        |  FROM sh),
+        |  FROM bs),
         |bands AS (
         |  SELECT doc_id, b AS band_idx,
-        |    md5(array_to_string(sig[3*b+1:3*b+3], '')) AS band_key
+        |    md5(array_to_string(sig[3*b+1:3*b+3], ':')) AS band_key
         |  FROM sig, generate_series(0, 3) t(b)),
         |pairs AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -348,14 +360,20 @@ object SparkEntry {
         |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w)-2)]
         |    ELSE [array_to_string(w, ' ')] END AS shingles
         |  FROM toks),
+        |bs AS (
+        |  SELECT doc_id, shingles,
+        |    [('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647 for x in shingles] AS bases
+        |  FROM sh),
         |sig AS (
         |  SELECT doc_id,
-        |    [list_min([md5(s::VARCHAR || ':' || x) for x in shingles])
+        |    [list_min([((((s+1) * 2654435761) % 2147483647) * x
+        |                + (((s+1) * 40503) % 2147483647)) % 2147483647
+        |       for x in bases])
         |     for s in generate_series(0, 11)] AS sig
-        |  FROM sh),
+        |  FROM bs),
         |bands AS (
         |  SELECT doc_id, b AS band_idx,
-        |    md5(array_to_string(sig[3*b+1:3*b+3], '')) AS band_key
+        |    md5(array_to_string(sig[3*b+1:3*b+3], ':')) AS band_key
         |  FROM sig, generate_series(0, 3) t(b)),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

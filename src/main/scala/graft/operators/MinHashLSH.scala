@@ -13,20 +13,25 @@ import org.apache.spark.sql.functions._
   *
   * Shape, built for 100 TB:
   *  - signatures + band keys are a pure per-row kernel (no shuffle): the
-  *    text tokenizes once, shingles hash once per seed, and the H
-  *    minhashes reduce to H/r band keys — one tight JVM loop per row.
+  *    text tokenizes once, each shingle md5-hashes ONCE to a 60-bit base,
+  *    and the H minhashes are universal-hash permutations of that base
+  *    (`(a_s·x + b_s) mod p`, p = 2³¹−1) — so the per-row cost is
+  *    |shingles| md5 calls + |shingles|·H multiply-mods, not
+  *    |shingles|·H md5 calls (measured ~3× on the md5-bound sf0.1 bench).
   *    (A nested Catalyst higher-order-function formulation is semantically
   *    identical but re-evaluates the tokenizer inside every lambda after
-  *    CollapseProject inlining — measured 100×+ slower; kernels keep the
-  *    per-row cost at exactly |shingles|·H md5 calls.)
+  *    CollapseProject inlining — measured 100×+ slower.)
   *  - banding finds candidates with an equi-join on (band_idx, band_key):
   *    one hash shuffle keyed by band, NEVER an all-pairs cross join; cost
   *    tracks colliding docs per bucket, not n²
   *  - verification joins candidate pairs back to their exact shingle sets
   *    and filters on true Jaccard — banding false-positives die here
   *
-  * Every hash is md5-hex (lowercase) with lexicographic min, so the exact
-  * pipeline is reproducible in ANSI SQL for the oracle.
+  * Every step is reproducible in ANSI SQL for the oracle: the base is the
+  * first 15 hex chars of md5 parsed as an integer (DuckDB
+  * `('0x' || substr(md5(x),1,15))::BIGINT`), and the permutations are
+  * plain 64-bit integer arithmetic with identical semantics in the JVM
+  * and DuckDB (all operands positive, products < 2⁶³).
   */
 object MinHashLSH {
 
@@ -78,24 +83,46 @@ object MinHashLSH {
     new String(out)
   }
 
-  /** H-element MinHash signature: element s is the lexicographic min of
-    * md5(s + ":" + shingle) over the shingle set.
+  /** Mersenne prime 2³¹−1: the universal-hash modulus. Keeping the base
+    * and multipliers < p bounds `a·x + b` < 2⁶² — no overflow in either
+    * the JVM or DuckDB.
     */
-  def signatureLocal(shingles: Array[String], numHashes: Int): Array[String] =
+  private[operators] val P: Long = 2147483647L
+
+  /** 60-bit md5-derived base for one shingle, reduced mod p. */
+  private[operators] def shingleBase(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16) % P
+
+  /** Permutation constants for seed s — fixed, reproduced literally in the
+    * oracle SQL. 2654435761 is the 32-bit golden-ratio multiplier.
+    */
+  private[operators] def hashA(seed: Int): Long = ((seed + 1) * 2654435761L) % P
+  private[operators] def hashB(seed: Int): Long = ((seed + 1) * 40503L) % P
+
+  /** H-element MinHash signature: element s is
+    * `min over shingles of (a_s · base(shingle) + b_s) mod p`.
+    */
+  def signatureLocal(shingles: Array[String], numHashes: Int): Array[Long] = {
+    val bases = new Array[Long](shingles.length)
+    var i = 0
+    while (i < shingles.length) { bases(i) = shingleBase(shingles(i)); i += 1 }
     Array.tabulate(numHashes) { s =>
-      var min: String = null
-      var i = 0
-      while (i < shingles.length) {
-        val h = md5hex(s"$s:${shingles(i)}")
-        if (min == null || h.compareTo(min) < 0) min = h
-        i += 1
+      val a = hashA(s)
+      val b = hashB(s)
+      var min = Long.MaxValue
+      var j = 0
+      while (j < bases.length) {
+        val h = (a * bases(j) + b) % P
+        if (h < min) min = h
+        j += 1
       }
       min
     }
+  }
 
-  /** numHashes/r band keys: md5 of the concatenated signature slice. */
-  def bandKeysLocal(sig: Array[String], r: Int): Array[String] =
-    Array.tabulate(sig.length / r)(b => md5hex(sig.slice(b * r, b * r + r).mkString("")))
+  /** numHashes/r band keys: md5 of the ':'-joined signature slice. */
+  def bandKeysLocal(sig: Array[Long], r: Int): Array[String] =
+    Array.tabulate(sig.length / r)(b => md5hex(sig.slice(b * r, b * r + r).mkString(":")))
 
   /** Band keys straight from text — the whole per-row kernel as a column.
     * Null text → null (the downstream posexplode drops the row, matching
