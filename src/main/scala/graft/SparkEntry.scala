@@ -65,6 +65,38 @@ object SparkEntry {
     * the actually-trained centroids/codebooks, so it is generated when the
     * fixture builds (Verify runs every query before dumping this map).
     */
+  /** Shared DuckDB CTE chain (toks → sh → bs → sig → bands) replaying the
+    * MinHashLSH kernel: 3-word shingles, 60-bit md5 base mod p=2³¹−1, H=12
+    * md5-derived universal-hash permutations (a_s ∈ [1,p−1] from
+    * md5("a:"+s), b_s ∈ [0,p−1] from md5("b:"+s) — independent per seed,
+    * mirroring operators/MinHashLSH.scala exactly), 4 bands of r=3.
+    * Interpolated into the three minhash-family oracles so a constant
+    * change can never desynchronize one copy from the JVM kernel.
+    */
+  private val MinhashBandsSql: String =
+    """toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+      |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w)-2)]
+      |    ELSE [array_to_string(w, ' ')] END AS shingles
+      |  FROM toks),
+      |bs AS (
+      |  SELECT doc_id, shingles,
+      |    [('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647 for x in shingles] AS bases
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id,
+      |    [list_min([((('0x' || substr(md5('a:' || s), 1, 15))::BIGINT % 2147483646 + 1) * x
+      |                + ('0x' || substr(md5('b:' || s), 1, 15))::BIGINT % 2147483647) % 2147483647
+      |       for x in bases])
+      |     for s in generate_series(0, 11)] AS sig
+      |  FROM bs),
+      |bands AS (
+      |  SELECT doc_id, b AS band_idx,
+      |    md5(array_to_string(sig[3*b+1:3*b+3], ':')) AS band_key
+      |  FROM sig, generate_series(0, 3) t(b))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -270,57 +302,15 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "minhash_lsh" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
-        |sh AS (
-        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
-        |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w)-2)]
-        |    ELSE [array_to_string(w, ' ')] END AS shingles
-        |  FROM toks),
-        |bs AS (
-        |  SELECT doc_id, shingles,
-        |    [('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647 for x in shingles] AS bases
-        |  FROM sh),
-        |sig AS (
-        |  SELECT doc_id,
-        |    [list_min([((((s+1) * 2654435761) % 2147483647) * x
-        |                + (((s+1) * 40503) % 2147483647)) % 2147483647
-        |       for x in bases])
-        |     for s in generate_series(0, 11)] AS sig
-        |  FROM bs),
-        |bands AS (
-        |  SELECT doc_id, b AS band_idx,
-        |    md5(array_to_string(sig[3*b+1:3*b+3], ':')) AS band_key
-        |  FROM sig, generate_series(0, 3) t(b))
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |FROM bands a JOIN bands b
-        |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-        | AND a.doc_id < b.doc_id""".stripMargin,
+      (s"WITH $MinhashBandsSql\n" +
+        """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |FROM bands a JOIN bands b
+          |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+          | AND a.doc_id < b.doc_id""".stripMargin),
 
     "near_dup_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
-        |sh AS (
-        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
-        |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w)-2)]
-        |    ELSE [array_to_string(w, ' ')] END AS shingles
-        |  FROM toks),
-        |bs AS (
-        |  SELECT doc_id, shingles,
-        |    [('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647 for x in shingles] AS bases
-        |  FROM sh),
-        |sig AS (
-        |  SELECT doc_id,
-        |    [list_min([((((s+1) * 2654435761) % 2147483647) * x
-        |                + (((s+1) * 40503) % 2147483647)) % 2147483647
-        |       for x in bases])
-        |     for s in generate_series(0, 11)] AS sig
-        |  FROM bs),
-        |bands AS (
-        |  SELECT doc_id, b AS band_idx,
-        |    md5(array_to_string(sig[3*b+1:3*b+3], ':')) AS band_key
-        |  FROM sig, generate_series(0, 3) t(b)),
-        |pairs AS (
+      (s"WITH $MinhashBandsSql,\n" +
+      """pairs AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b
         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
@@ -335,7 +325,7 @@ object SparkEntry {
         |  JOIN sets sa ON p.doc_a = sa.doc_id
         |  JOIN sets sb ON p.doc_b = sb.doc_id)
         |SELECT doc_a, doc_b, round(j9, 6) AS jaccard
-        |FROM scored WHERE j9 >= 0.1""".stripMargin,
+        |FROM scored WHERE j9 >= 0.1""".stripMargin),
 
     "simhash" ->
       """WITH toks AS (
@@ -353,29 +343,8 @@ object SparkEntry {
         |FROM votes""".stripMargin,
 
     "dedup_groups" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents),
-        |sh AS (
-        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
-        |      [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in generate_series(1, len(w)-2)]
-        |    ELSE [array_to_string(w, ' ')] END AS shingles
-        |  FROM toks),
-        |bs AS (
-        |  SELECT doc_id, shingles,
-        |    [('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647 for x in shingles] AS bases
-        |  FROM sh),
-        |sig AS (
-        |  SELECT doc_id,
-        |    [list_min([((((s+1) * 2654435761) % 2147483647) * x
-        |                + (((s+1) * 40503) % 2147483647)) % 2147483647
-        |       for x in bases])
-        |     for s in generate_series(0, 11)] AS sig
-        |  FROM bs),
-        |bands AS (
-        |  SELECT doc_id, b AS band_idx,
-        |    md5(array_to_string(sig[3*b+1:3*b+3], ':')) AS band_key
-        |  FROM sig, generate_series(0, 3) t(b)),
-        |cand AS (
+      (s"WITH RECURSIVE $MinhashBandsSql,\n" +
+      """cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b
         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
@@ -398,7 +367,7 @@ object SparkEntry {
         |  UNION
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
-        |FROM reach GROUP BY a""".stripMargin,
+        |FROM reach GROUP BY a""".stripMargin),
 
     "simhash_near_dup" ->
       """WITH toks AS (

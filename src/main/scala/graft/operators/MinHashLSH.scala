@@ -93,11 +93,24 @@ object MinHashLSH {
   private[operators] def shingleBase(s: String): Long =
     java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16) % P
 
-  /** Permutation constants for seed s — fixed, reproduced literally in the
-    * oracle SQL. 2654435761 is the 32-bit golden-ratio multiplier.
+  /** Permutation constants for seed s — md5-derived so each (a_s, b_s) pair
+    * is independent of every other seed's (a linear schedule like
+    * a_s = (s+1)·c mod p makes every hash an exact scalar multiple of the
+    * first — h_s(x) = (s+1)·h_0(x) mod p — which correlates the minhashes
+    * and roughly doubles the band-collision false-negative rate at J≈0.8).
+    * a_s ∈ [1, p−1] (never 0, so the map stays a permutation),
+    * b_s ∈ [0, p−1]. Reproduced literally in the oracle SQL via
+    * `('0x' || substr(md5('a:' || s), 1, 15))::BIGINT` — same 60-bit parse
+    * already proven portable for the shingle base. Memoized per JVM: the
+    * md5 runs once per seed, not once per row.
     */
-  private[operators] def hashA(seed: Int): Long = ((seed + 1) * 2654435761L) % P
-  private[operators] def hashB(seed: Int): Long = ((seed + 1) * 40503L) % P
+  private val permCache = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+  private def perm(seed: Int): (Long, Long) =
+    permCache.computeIfAbsent(seed, s => (
+      java.lang.Long.parseLong(md5hex("a:" + s).substring(0, 15), 16) % (P - 1) + 1,
+      java.lang.Long.parseLong(md5hex("b:" + s).substring(0, 15), 16) % P))
+  private[operators] def hashA(seed: Int): Long = perm(seed)._1
+  private[operators] def hashB(seed: Int): Long = perm(seed)._2
 
   /** H-element MinHash signature: element s is
     * `min over shingles of (a_s · base(shingle) + b_s) mod p`.

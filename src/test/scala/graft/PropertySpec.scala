@@ -76,6 +76,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("minhash permutations are not scalar multiples of one base hash") {
+    // With a linear constant schedule (a_s, b_s both ∝ s+1) every signature
+    // element collapses to h_s(x) = (s+1)·h_0(x) mod p — the hashes are one
+    // permutation rescaled, which ~doubles the band false-negative rate at
+    // J≈0.8. For single-shingle docs sig(s) IS h_s(base), so the degenerate
+    // identity would hold exactly for every input; reject it.
+    val P = 2147483647L
+    val singles = Seq("alpha", "beta gamma", "delta-7", "zeta eps theta", "x")
+    val degenerate = singles.forall { t =>
+      val sig = MinHashLSH.signatureLocal(Array(t), 12)
+      (1 until 12).forall(s => sig(s) == ((s + 1) * sig(0)) % P)
+    }
+    assert(!degenerate, "signature elements are scalar multiples of sig(0)")
+    // and the constants differ across seeds: 12 distinct values per input
+    singles.foreach { t =>
+      assert(MinHashLSH.signatureLocal(Array(t), 12).distinct.length == 12)
+    }
+  }
+
   private val whitespaceTextGen: Gen[String] = {
     val piece = Gen.oneOf(
       Gen.oneOf("alpha", "beta", "Gamma", "DELTA", "x1", "..", "a-b"),
