@@ -57,7 +57,8 @@ object SparkEntry {
     "dataset_split"      -> (Queries.datasetSplit _),
     "contamination"      -> (Queries.contamination _),
     "repetition_score"   -> (Queries.repetitionScore _),
-    "embed_quantize"     -> (Queries.embedQuantize _)
+    "embed_quantize"     -> (Queries.embedQuantize _),
+    "heuristics_goldens" -> (Queries.heuristicsGoldens _)
   )
 
   /** DuckDB oracle SQL, one per SQL-expressible entry in [[queries]].
@@ -581,7 +582,52 @@ object SparkEntry {
         |      ELSE CAST(embedding[len(embedding)] AS DOUBLE) * 127.0 / scale END) AS BIGINT) AS q_last
         |FROM (SELECT vec_id, embedding,
         |        list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS scale
-        |      FROM embeddings)""".stripMargin
+        |      FROM embeddings)""".stripMargin,
+
+    // Closed-form replay of index/Heuristics.scala + index/MemoryModel.scala
+    // (which are behavioral parity with the reference's published formulas):
+    // truncations via trunc(), integer divisions via //, identical double
+    // ops (pow/ln) — 72-point JVM↔DuckDB parity verified on this grid.
+    "heuristics_goldens" ->
+      """WITH grid AS (
+        |  SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) * m AS n, d
+        |  FROM (SELECT unnest([1, 10, 100, 1000, 10000, 100000]) AS m),
+        |       (SELECT unnest([64, 256, 768, 1536]) AS d)),
+        |base AS (
+        |  SELECT n, d,
+        |    CAST(trunc(pow(CAST(n AS DOUBLE), 0.75) * 0.2) AS BIGINT) AS nlist,
+        |    CASE WHEN d < 150 THEN greatest(64, d) WHEN d < 300 THEN 128
+        |         WHEN d < 1000 THEN 256 WHEN d < 2000 THEN 512 ELSE 1024 END AS pca_dim,
+        |    CASE WHEN d < 150 THEN greatest(64, d) WHEN d < 300 THEN 64
+        |         WHEN d < 1000 THEN 128 WHEN d < 2000 THEN 256 ELSE 512 END AS opq_dim,
+        |    CASE WHEN d < 300 THEN 16 WHEN d < 2000 THEN 32 ELSE 128 END AS pq_bytes
+        |  FROM grid),
+        |np AS (
+        |  SELECT *,
+        |    CASE WHEN ln(CAST(nlist AS DOUBLE)) <= ln(200) THEN 0.5
+        |         WHEN ln(CAST(nlist AS DOUBLE)) >= ln(200000) THEN 0.03
+        |         WHEN ln(CAST(nlist AS DOUBLE)) <= ln(1000) THEN
+        |           0.5 + (0.25 - 0.5) * (ln(CAST(nlist AS DOUBLE)) - ln(200)) / (ln(1000) - ln(200))
+        |         WHEN ln(CAST(nlist AS DOUBLE)) <= ln(6350) THEN
+        |           0.25 + (0.07 - 0.25) * (ln(CAST(nlist AS DOUBLE)) - ln(1000)) / (ln(6350) - ln(1000))
+        |         ELSE 0.07 + (0.03 - 0.07) * (ln(CAST(nlist AS DOUBLE)) - ln(6350)) / (ln(200000) - ln(6350))
+        |    END AS factor
+        |  FROM base)
+        |SELECT n, CAST(d AS BIGINT) AS d, nlist,
+        |  CAST(trunc(factor * nlist) AS BIGINT) AS nprobe,
+        |  n * d * 4 * 3 AS training_mem_bytes,
+        |  CAST(ceil(n * d * 4.0 / (4294967296 / 4.0)) AS BIGINT) AS num_batches,
+        |  4294967296 // (d * 4 * 3) // 4 AS vectors_per_batch,
+        |  n * d * 4 + 240090 AS flat_bytes,
+        |  n * (pq_bytes + 8) + CASE d WHEN 256 THEN 1479168 WHEN 512 THEN 2529792
+        |    WHEN 768 THEN 4104704 WHEN 1024 THEN 6203904 ELSE d * 4092 END AS trained_bytes,
+        |  CAST(pca_dim AS BIGINT) AS pca_dim, CAST(opq_dim AS BIGINT) AS opq_dim,
+        |  CAST(pq_bytes AS BIGINT) AS pq_bytes,
+        |  round(CAST(n - n // 100 AS DOUBLE) / (n + n // 10), 6) AS coverage,
+        |  CAST(CASE WHEN (CAST(trunc((CAST(4294967296 AS DOUBLE) / (n * d * 4 * 3)) * n) AS BIGINT)
+        |             // nlist) < 39 THEN 1 ELSE 0 END AS BIGINT) AS two_level,
+        |  CAST(CASE WHEN n >= 25000 THEN 1 ELSE 0 END AS BIGINT) AS needs_initial_train
+        |FROM np""".stripMargin
   ) ++ {
     // The trained-fixture SQL inlines the actually-trained model, so it
     // exists only after the trained queries have run (Verify runs every

@@ -424,6 +424,48 @@ object Queries {
     graft.operators.Quantization.int8Stats(
       t(s, dir, "embeddings"), "vec_id", "embedding")
 
+  /** T1/T4/T5/T6/T8/M2/M8 golden-formula table: every index-sizing
+    * heuristic and memory model the engine's lifecycle decisions run on,
+    * evaluated over a magnitude grid n0·10^k (k ≤ 5, n0 = embeddings
+    * count — spans the reference's golden-tested regimes 10k→nlist 200 and
+    * 1M→nlist 6324) × the per-dimension default-param brackets. The
+    * functions are driver-side pure math (exactly how the engine calls
+    * them); the oracle recomputes each closed-form in SQL, so the formulas
+    * themselves are hash-gated, not just spec-asserted.
+    */
+  def heuristicsGoldens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.index.{Heuristics, MemoryModel}
+    val n0 = t(s, dir, "embeddings").count()
+    val maxMem = 4294967296L // 4 GiB training budget (reference default scale)
+    val rows = for {
+      m <- Seq(1L, 10L, 100L, 1000L, 10000L, 100000L)
+      d <- Seq(64, 256, 768, 1536)
+    } yield {
+      val n = n0 * m
+      val nlist = Heuristics.numClusters(n)
+      val p = Heuristics.defaultIndexParams(d)
+      (n, d.toLong, nlist.toLong, Heuristics.nProbe(nlist).toLong,
+        Heuristics.trainingMemoryUsage(d, n),
+        Heuristics.numBatches(n, d, maxMem).toLong,
+        Heuristics.numVectorsPerBatch(maxMem, d).toLong,
+        MemoryModel.flatIndexBytes(n, d),
+        MemoryModel.trainedIndexBytes(n, d, p.compressedVectorBytes),
+        p.pcaDimension.toLong, p.opqDimension.toLong,
+        p.compressedVectorBytes.toLong,
+        Heuristics.coverageRatio(n, n / 10, n / 100),
+        if (Heuristics.isTwoLevelClusteringOptimal(maxMem, d, n)) 1L else 0L,
+        if (Heuristics.needsInitialTraining(n, isFlatIndex = true,
+          trainingInProgress = false)) 1L else 0L)
+    }
+    rows.toDF("n", "d", "nlist", "nprobe", "training_mem_bytes",
+        "num_batches", "vectors_per_batch", "flat_bytes", "trained_bytes",
+        "pca_dim", "opq_dim", "pq_bytes", "coverage_raw", "two_level",
+        "needs_initial_train")
+      .withColumn("coverage", round(col("coverage_raw"), 6))
+      .drop("coverage_raw")
+  }
+
   /** Benchmark decontamination: docs 0-19 stand in for a held-out eval
     * set; every other doc counts its distinct 5-grams found in the eval
     * set's gram pool (overlap ⇒ drop/flag before training).
