@@ -58,7 +58,8 @@ object SparkEntry {
     "contamination"      -> (Queries.contamination _),
     "repetition_score"   -> (Queries.repetitionScore _),
     "embed_quantize"     -> (Queries.embedQuantize _),
-    "heuristics_goldens" -> (Queries.heuristicsGoldens _)
+    "heuristics_goldens" -> (Queries.heuristicsGoldens _),
+    "db_info"            -> (Queries.dbInfo _)
   )
 
   /** DuckDB oracle SQL, one per SQL-expressible entry in [[queries]].
@@ -627,7 +628,27 @@ object SparkEntry {
         |  CAST(CASE WHEN (CAST(trunc((CAST(4294967296 AS DOUBLE) / (n * d * 4 * 3)) * n) AS BIGINT)
         |             // nlist) < 39 THEN 1 ELSE 0 END AS BIGINT) AS two_level,
         |  CAST(CASE WHEN n >= 25000 THEN 1 ELSE 0 END AS BIGINT) AS needs_initial_train
-        |FROM np""".stripMargin
+        |FROM np""".stripMargin,
+
+    // M9 info endpoint on the lifecycle db (500 adds, 8 deletes, never
+    // trained): untrained sentinel fields are -1 per the catalog defaults;
+    // memory is the flat-index model n*d*4 + 240090 over live counts.
+    "db_info" ->
+      """WITH s AS (SELECT count(*) AS c, max(len(embedding)) AS dim FROM embeddings)
+        |SELECT 'num_vectors' AS metric, CAST(c - 8 AS DOUBLE) AS value FROM s
+        |UNION ALL SELECT 'vector_dimension', CAST(dim AS DOUBLE) FROM s
+        |UNION ALL SELECT 'max_id', CAST(c - 1 AS DOUBLE) FROM s
+        |UNION ALL SELECT 'trained', 0.0
+        |UNION ALL SELECT 'max_trained_id', -1.0
+        |UNION ALL SELECT 'num_vectors_trained_on', 0.0
+        |UNION ALL SELECT 'num_trained_vectors_removed', 0.0
+        |UNION ALL SELECT 'num_new_vectors', CAST(c - 8 AS DOUBLE) FROM s
+        |UNION ALL SELECT 'num_pending_deletes', 8.0
+        |UNION ALL SELECT 'coverage_ratio', 0.0
+        |UNION ALL SELECT 'num_clusters', -1.0
+        |UNION ALL SELECT 'n_probe', -1.0
+        |UNION ALL SELECT 'index_memory_bytes',
+        |  CAST((c - 8) * dim * 4 + 240090 AS DOUBLE) FROM s""".stripMargin
   ) ++ {
     // The trained-fixture SQL inlines the actually-trained model, so it
     // exists only after the trained queries have run (Verify runs every

@@ -424,6 +424,27 @@ object Queries {
     graft.operators.Quantization.int8Stats(
       t(s, dir, "embeddings"), "vec_id", "embedding")
 
+  /** M9 — the info endpoint through the real engine on the lifecycle db
+    * (500 adds, 8 deletes, untrained): every reported field, including the
+    * live M8 memory estimate and M2 coverage ratio, as (metric, value)
+    * rows the oracle derives closed-form from the embeddings table.
+    */
+  def dbInfo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (eng, name) = lifecycleDb(s, dir)
+    val info = eng.info(name)
+    Seq("num_vectors", "vector_dimension", "max_id", "trained",
+      "max_trained_id", "num_vectors_trained_on",
+      "num_trained_vectors_removed", "num_new_vectors",
+      "num_pending_deletes", "coverage_ratio", "num_clusters", "n_probe",
+      "index_memory_bytes")
+      .map(k => (k, info(k) match {
+        case b: Boolean => if (b) 1.0 else 0.0
+        case n: java.lang.Number => n.doubleValue
+      }))
+      .toDF("metric", "value")
+  }
+
   /** T1/T4/T5/T6/T8/M2/M8 golden-formula table: every index-sizing
     * heuristic and memory model the engine's lifecycle decisions run on,
     * evaluated over a magnitude grid n0·10^k (k ≤ 5, n0 = embeddings
