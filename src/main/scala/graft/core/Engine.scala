@@ -378,9 +378,18 @@ class Engine(val spark: SparkSession, val root: String) {
               val widened = math.max(preliminaryTopK * 2L,
                   math.ceil(finalTopK / sel * 2.0).toLong)
                 .min(Engine.MaxWidenedPreliminaryK).toInt
-              val retry = probedCandidates(widened).localCheckpoint(true)
-              if (retry.count() >= finalTopK) retry
-              else predicate.fold(table)(table.filter) // exact flat fallback
+              // A retry that asks for at least as many candidates as ids
+              // ever assigned (live rows ≤ maxId+1) can't beat the exact
+              // flat scan: it reads the probed partitions for a probed-only
+              // answer where flat reads the table once for the exact one.
+              // Skip the doomed round and serve flat directly.
+              if (widened >= doc.maxId + 1)
+                predicate.fold(table)(table.filter)
+              else {
+                val retry = probedCandidates(widened).localCheckpoint(true)
+                if (retry.count() >= finalTopK) retry
+                else predicate.fold(table)(table.filter) // exact flat fallback
+              }
             }
         }
       }
