@@ -59,7 +59,8 @@ object SparkEntry {
     "repetition_score"   -> (Queries.repetitionScore _),
     "embed_quantize"     -> (Queries.embedQuantize _),
     "heuristics_goldens" -> (Queries.heuristicsGoldens _),
-    "db_info"            -> (Queries.dbInfo _)
+    "db_info"            -> (Queries.dbInfo _),
+    "trained_counters"   -> (Queries.trainedCounters _)
   )
 
   /** DuckDB oracle SQL, one per SQL-expressible entry in [[queries]].
@@ -98,6 +99,20 @@ object SparkEntry {
       |  SELECT doc_id, b AS band_idx,
       |    md5(array_to_string(sig[3*b+1:3*b+3], ':')) AS band_key
       |  FROM sig, generate_series(0, 3) t(b))""".stripMargin
+
+  /** The nprobe piecewise-linear factor (index/Heuristics.nProbe) as a SQL
+    * CASE over a BIGINT nlist expression — shared by every oracle that
+    * replays the heuristic so the anchor constants live once.
+    */
+  private def nprobeFactorSql(nlist: String): String =
+    s"""CASE WHEN ln(CAST($nlist AS DOUBLE)) <= ln(200) THEN 0.5
+       |         WHEN ln(CAST($nlist AS DOUBLE)) >= ln(200000) THEN 0.03
+       |         WHEN ln(CAST($nlist AS DOUBLE)) <= ln(1000) THEN
+       |           0.5 + (0.25 - 0.5) * (ln(CAST($nlist AS DOUBLE)) - ln(200)) / (ln(1000) - ln(200))
+       |         WHEN ln(CAST($nlist AS DOUBLE)) <= ln(6350) THEN
+       |           0.25 + (0.07 - 0.25) * (ln(CAST($nlist AS DOUBLE)) - ln(1000)) / (ln(6350) - ln(1000))
+       |         ELSE 0.07 + (0.03 - 0.07) * (ln(CAST($nlist AS DOUBLE)) - ln(6350)) / (ln(200000) - ln(6350))
+       |    END""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -604,15 +619,7 @@ object SparkEntry {
         |    CASE WHEN d < 300 THEN 16 WHEN d < 2000 THEN 32 ELSE 128 END AS pq_bytes
         |  FROM grid),
         |np AS (
-        |  SELECT *,
-        |    CASE WHEN ln(CAST(nlist AS DOUBLE)) <= ln(200) THEN 0.5
-        |         WHEN ln(CAST(nlist AS DOUBLE)) >= ln(200000) THEN 0.03
-        |         WHEN ln(CAST(nlist AS DOUBLE)) <= ln(1000) THEN
-        |           0.5 + (0.25 - 0.5) * (ln(CAST(nlist AS DOUBLE)) - ln(200)) / (ln(1000) - ln(200))
-        |         WHEN ln(CAST(nlist AS DOUBLE)) <= ln(6350) THEN
-        |           0.25 + (0.07 - 0.25) * (ln(CAST(nlist AS DOUBLE)) - ln(1000)) / (ln(6350) - ln(1000))
-        |         ELSE 0.07 + (0.03 - 0.07) * (ln(CAST(nlist AS DOUBLE)) - ln(6350)) / (ln(200000) - ln(6350))
-        |    END AS factor
+        |  SELECT *, FACTOR_EXPR AS factor
         |  FROM base)
         |SELECT n, CAST(d AS BIGINT) AS d, nlist,
         |  CAST(trunc(factor * nlist) AS BIGINT) AS nprobe,
@@ -628,7 +635,8 @@ object SparkEntry {
         |  CAST(CASE WHEN (CAST(trunc((CAST(4294967296 AS DOUBLE) / (n * d * 4 * 3)) * n) AS BIGINT)
         |             // nlist) < 39 THEN 1 ELSE 0 END AS BIGINT) AS two_level,
         |  CAST(CASE WHEN n >= 25000 THEN 1 ELSE 0 END AS BIGINT) AS needs_initial_train
-        |FROM np""".stripMargin,
+        |FROM np""".stripMargin
+        .replace("FACTOR_EXPR", nprobeFactorSql("nlist")),
 
     // M9 info endpoint on the lifecycle db (500 adds, 8 deletes, never
     // trained): untrained sentinel fields are -1 per the catalog defaults;
@@ -648,7 +656,37 @@ object SparkEntry {
         |UNION ALL SELECT 'num_clusters', -1.0
         |UNION ALL SELECT 'n_probe', -1.0
         |UNION ALL SELECT 'index_memory_bytes',
-        |  CAST((c - 8) * dim * 4 + 240090 AS DOUBLE) FROM s""".stripMargin
+        |  CAST((c - 8) * dim * 4 + 240090 AS DOUBLE) FROM s""".stripMargin,
+
+    // T19/A8/D5/M2/M8 — info endpoint on the trained fixture: the fixture
+    // trains on exactly the embeddings table (no deletes, no post-train
+    // adds), so every counter, the chosen nlist/nprobe heuristics, and the
+    // trained-index memory model are closed-form from count(*). pq bytes
+    // is the fixture's fixed 8; dim 64 takes the d*4092 constant branch.
+    "trained_counters" ->
+      """WITH s AS (SELECT count(*) AS c, max(len(embedding)) AS dim FROM embeddings),
+        |nl AS (SELECT c, dim,
+        |  greatest(1, CAST(trunc(pow(CAST(c AS DOUBLE), 0.75) * 0.2) AS BIGINT)) AS nlist
+        |  FROM s),
+        |np AS (SELECT c, dim, nlist, FACTOR_EXPR AS factor FROM nl)
+        |SELECT 'num_vectors' AS metric, CAST(c AS DOUBLE) AS value FROM np
+        |UNION ALL SELECT 'vector_dimension', CAST(dim AS DOUBLE) FROM np
+        |UNION ALL SELECT 'max_id', CAST(c - 1 AS DOUBLE) FROM np
+        |UNION ALL SELECT 'trained', 1.0
+        |UNION ALL SELECT 'max_trained_id', CAST(c - 1 AS DOUBLE) FROM np
+        |UNION ALL SELECT 'num_vectors_trained_on', CAST(c AS DOUBLE) FROM np
+        |UNION ALL SELECT 'num_trained_vectors_removed', 0.0
+        |UNION ALL SELECT 'num_new_vectors', 0.0
+        |UNION ALL SELECT 'num_pending_deletes', 0.0
+        |UNION ALL SELECT 'coverage_ratio', 1.0
+        |UNION ALL SELECT 'num_clusters', CAST(nlist AS DOUBLE) FROM np
+        |UNION ALL SELECT 'n_probe',
+        |  CAST(greatest(1, CAST(trunc(factor * nlist) AS BIGINT)) AS DOUBLE) FROM np
+        |UNION ALL SELECT 'index_memory_bytes',
+        |  CAST(c * (8 + 8) + CASE dim WHEN 256 THEN 1479168 WHEN 512 THEN 2529792
+        |    WHEN 768 THEN 4104704 WHEN 1024 THEN 6203904
+        |    ELSE dim * 4092 END AS DOUBLE) FROM np""".stripMargin
+        .replace("FACTOR_EXPR", nprobeFactorSql("nlist"))
   ) ++ {
     // The trained-fixture SQL inlines the actually-trained model, so it
     // exists only after the trained queries have run (Verify runs every

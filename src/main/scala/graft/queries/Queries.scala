@@ -445,6 +445,29 @@ object Queries {
       .toDF("metric", "value")
   }
 
+  /** T19/A8/D5/M2/M8 — the info endpoint on the TRAINED fixture: the
+    * post-swap counter reset (trained_on = n, new = 0, removed = 0,
+    * coverage = 1), the heuristic nlist/nprobe the train actually chose,
+    * and the trained-index memory estimate — all closed-form from the
+    * embeddings count, because the fixture trains on exactly that table
+    * with no post-train churn.
+    */
+  def trainedCounters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = TrainedFixture.get(s, dir)
+    val info = f.eng.info("tf")
+    Seq("num_vectors", "vector_dimension", "max_id", "trained",
+      "max_trained_id", "num_vectors_trained_on",
+      "num_trained_vectors_removed", "num_new_vectors",
+      "num_pending_deletes", "coverage_ratio", "num_clusters", "n_probe",
+      "index_memory_bytes")
+      .map(k => (k, info(k) match {
+        case b: Boolean => if (b) 1.0 else 0.0
+        case n: java.lang.Number => n.doubleValue
+      }))
+      .toDF("metric", "value")
+  }
+
   /** T1/T4/T5/T6/T8/M2/M8 golden-formula table: every index-sizing
     * heuristic and memory model the engine's lifecycle decisions run on,
     * evaluated over a magnitude grid n0·10^k (k ≤ 5, n0 = embeddings
