@@ -60,7 +60,10 @@ object SparkEntry {
     "embed_quantize"     -> (Queries.embedQuantize _),
     "heuristics_goldens" -> (Queries.heuristicsGoldens _),
     "db_info"            -> (Queries.dbInfo _),
-    "trained_counters"   -> (Queries.trainedCounters _)
+    "trained_counters"   -> (Queries.trainedCounters _),
+    "streaming_hourly"   -> (Queries.streamingHourly _),
+    "engine_verbs"       -> (Queries.engineVerbs _),
+    "retrain_decisions"  -> (Queries.retrainDecisions _)
   )
 
   /** DuckDB oracle SQL, one per SQL-expressible entry in [[queries]].
@@ -536,6 +539,69 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
         |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // The REAL Structured-Streaming pipeline (readStream → watermarked
+    // tumbling windows → memory sink, AvailableNow) must land exactly
+    // where the batch aggregation lands — same oracle as events_hourly.
+    "streaming_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // S12/D1/D4/A1/Q1/T2/T3/T20 live-engine verb matrix: every value is
+    // closed-form from the embeddings count (n adds; n/20 soft deletes stay
+    // pending below the 10% compaction threshold; 3·(n/20) total crosses it
+    // → physical rewrite, pending reset, data version bump; rejected verbs
+    // leave counts/max_id/version untouched).
+    "engine_verbs" ->
+      """WITH s AS (SELECT count(*) AS c FROM embeddings)
+        |SELECT 'drop_exists_before' AS metric, 1.0 AS value FROM s
+        |UNION ALL SELECT 'drop_rows_before', CAST(c AS DOUBLE) FROM s
+        |UNION ALL SELECT 'drop_exists_after', 0.0
+        |UNION ALL SELECT 'drop_rows_after_recreate', 0.0
+        |UNION ALL SELECT 'soft_pending', CAST(c // 20 AS DOUBLE) FROM s
+        |UNION ALL SELECT 'soft_live', CAST(c - c // 20 AS DOUBLE) FROM s
+        |UNION ALL SELECT 'soft_data_version', 0.0
+        |UNION ALL SELECT 'compact_pending', 0.0
+        |UNION ALL SELECT 'compact_live', CAST(c - 3 * (c // 20) AS DOUBLE) FROM s
+        |UNION ALL SELECT 'compact_data_version', 1.0
+        |UNION ALL SELECT 'remove_negative_rejected', 1.0
+        |UNION ALL SELECT 'add_dim_mismatch_rejected', 1.0
+        |UNION ALL SELECT 'add_failure_live', CAST(c - 3 * (c // 20) AS DOUBLE) FROM s
+        |UNION ALL SELECT 'add_failure_max_id', CAST(c - 1 AS DOUBLE) FROM s
+        |UNION ALL SELECT 'query_dim_mismatch_rejected', 1.0
+        |UNION ALL SELECT 'train_small_bypass_trained', 0.0
+        |UNION ALL SELECT 'train_invalid_params_rejected', 1.0
+        |UNION ALL SELECT 'train_failure_trained', 0.0
+        |UNION ALL SELECT 'train_failure_live', CAST(c - 3 * (c // 20) AS DOUBLE) FROM s
+        |UNION ALL SELECT 'train_failure_data_version', 1.0""".stripMargin,
+
+    // M3/M4 auto-(re)train trigger formulas over the churn grid: coverage
+    // (trained−removed)/(trained+fresh), initial-train at n ≥ 25000,
+    // retrain at n ≥ 25000 ∧ coverage ≤ 0.5, and the in-progress guard
+    // always blocking — recomputed closed-form.
+    "retrain_decisions" ->
+      """WITH g AS (
+        |  SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) * m AS trained_on,
+        |         rem, newp
+        |  FROM (SELECT unnest([1, 100, 10000]) AS m),
+        |       (SELECT unnest([0, 25, 50, 75]) AS rem),
+        |       (SELECT unnest([0, 50, 200]) AS newp)),
+        |c AS (
+        |  SELECT trained_on, trained_on * rem // 100 AS removed,
+        |         trained_on * newp // 100 AS fresh
+        |  FROM g)
+        |SELECT trained_on, removed, fresh,
+        |  trained_on - removed + fresh AS n_live,
+        |  CAST(CASE WHEN trained_on - removed + fresh >= 25000
+        |       THEN 1 ELSE 0 END AS BIGINT) AS needs_initial,
+        |  CAST(CASE WHEN trained_on - removed + fresh >= 25000
+        |        AND CAST(trained_on - removed AS DOUBLE) / (trained_on + fresh) <= 0.5
+        |       THEN 1 ELSE 0 END AS BIGINT) AS needs_retrain,
+        |  CAST(0 AS BIGINT) AS retrain_blocked_in_progress,
+        |  round(CAST(trained_on - removed AS DOUBLE) / (trained_on + fresh), 6)
+        |    AS coverage
+        |FROM c""".stripMargin,
 
     "dataset_split" ->
       """SELECT doc_id, b AS bucket,

@@ -44,15 +44,19 @@ object ConnectedComponents {
     val idType = pairs.schema(pairs.schema.fieldIndex(aCol)).dataType
     val p = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .persist()
-    try {
-      val nPairs = p.count()
-      val out =
-        if (nPairs <= driverMaxPairs) driverCanonical(p)
-        else propagate(p, maxIters)
-      out.select(col("id").cast(idType).as("id"),
-        col("canonical_id").cast(idType).as("canonical_id"))
-    } finally p.unpersist()
+    // ONE size probe doubles as the collect: take(max+1) either hands the
+    // whole graph to the driver (≤ tens of MB by the bound) or proves it
+    // is too big and the distributed path re-evaluates from source — no
+    // separate persist+count round for the common collect-small case
+    val taken = p.take(driverMaxPairs.toInt + 1)
+    val out =
+      if (taken.length <= driverMaxPairs) driverCanonical(p.sparkSession, taken)
+      else {
+        val pp = p.persist()
+        try propagate(pp, maxIters) finally pp.unpersist()
+      }
+    out.select(col("id").cast(idType).as("id"),
+      col("canonical_id").cast(idType).as("canonical_id"))
   }
 
   /** Driver union-find (path compression + union-by-min-root: linking the
@@ -60,8 +64,8 @@ object ConnectedComponents {
     * set, so the final root IS the canonical id). Bounded by
     * `driverMaxPairs` collected (src, dst) longs — tens of MB.
     */
-  private def driverCanonical(p: DataFrame): DataFrame = {
-    val spark = p.sparkSession
+  private def driverCanonical(spark: org.apache.spark.sql.SparkSession,
+                              rows: Array[org.apache.spark.sql.Row]): DataFrame = {
     import spark.implicits._
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
@@ -71,7 +75,7 @@ object ConnectedComponents {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    p.collect().foreach { row =>
+    rows.foreach { row =>
       val a = row.getLong(0); val b = row.getLong(1)
       parent.getOrElseUpdate(a, a)
       parent.getOrElseUpdate(b, b)
