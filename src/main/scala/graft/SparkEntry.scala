@@ -554,27 +554,47 @@ object SparkEntry {
     // → physical rewrite, pending reset, data version bump; rejected verbs
     // leave counts/max_id/version untouched).
     "engine_verbs" ->
-      """WITH s AS (SELECT count(*) AS c FROM embeddings)
-        |SELECT 'drop_exists_before' AS metric, 1.0 AS value FROM s
-        |UNION ALL SELECT 'drop_rows_before', CAST(c AS DOUBLE) FROM s
+      """WITH s AS (SELECT count(*) AS c, max(len(embedding)) AS dim FROM embeddings),
+        |t AS (SELECT c, dim, c - 3 * (c // 20) AS live,
+        |  greatest(1, CAST(trunc(pow(CAST(c - 3 * (c // 20) AS DOUBLE), 0.75) * 0.2)
+        |    AS BIGINT)) AS nlist FROM s),
+        |f AS (SELECT *, FACTOR_EXPR AS factor FROM t)
+        |SELECT 'drop_exists_before' AS metric, 1.0 AS value FROM f
+        |UNION ALL SELECT 'drop_rows_before', CAST(c AS DOUBLE) FROM f
         |UNION ALL SELECT 'drop_exists_after', 0.0
         |UNION ALL SELECT 'drop_rows_after_recreate', 0.0
-        |UNION ALL SELECT 'soft_pending', CAST(c // 20 AS DOUBLE) FROM s
-        |UNION ALL SELECT 'soft_live', CAST(c - c // 20 AS DOUBLE) FROM s
+        |UNION ALL SELECT 'soft_pending', CAST(c // 20 AS DOUBLE) FROM f
+        |UNION ALL SELECT 'soft_live', CAST(c - c // 20 AS DOUBLE) FROM f
         |UNION ALL SELECT 'soft_data_version', 0.0
         |UNION ALL SELECT 'compact_pending', 0.0
-        |UNION ALL SELECT 'compact_live', CAST(c - 3 * (c // 20) AS DOUBLE) FROM s
+        |UNION ALL SELECT 'compact_live', CAST(live AS DOUBLE) FROM f
         |UNION ALL SELECT 'compact_data_version', 1.0
         |UNION ALL SELECT 'remove_negative_rejected', 1.0
         |UNION ALL SELECT 'add_dim_mismatch_rejected', 1.0
-        |UNION ALL SELECT 'add_failure_live', CAST(c - 3 * (c // 20) AS DOUBLE) FROM s
-        |UNION ALL SELECT 'add_failure_max_id', CAST(c - 1 AS DOUBLE) FROM s
+        |UNION ALL SELECT 'add_failure_live', CAST(live AS DOUBLE) FROM f
+        |UNION ALL SELECT 'add_failure_max_id', CAST(c - 1 AS DOUBLE) FROM f
         |UNION ALL SELECT 'query_dim_mismatch_rejected', 1.0
         |UNION ALL SELECT 'train_small_bypass_trained', 0.0
         |UNION ALL SELECT 'train_invalid_params_rejected', 1.0
         |UNION ALL SELECT 'train_failure_trained', 0.0
-        |UNION ALL SELECT 'train_failure_live', CAST(c - 3 * (c // 20) AS DOUBLE) FROM s
-        |UNION ALL SELECT 'train_failure_data_version', 1.0""".stripMargin,
+        |UNION ALL SELECT 'train_failure_live', CAST(live AS DOUBLE) FROM f
+        |UNION ALL SELECT 'train_failure_data_version', 1.0
+        |UNION ALL SELECT 'dim_inferred', CAST(dim AS DOUBLE) FROM f
+        |UNION ALL SELECT 'train_real_trained', 1.0
+        |UNION ALL SELECT 'train_real_trained_on', CAST(live AS DOUBLE) FROM f
+        |UNION ALL SELECT 'train_real_new', 0.0
+        |UNION ALL SELECT 'train_real_removed', 0.0
+        |UNION ALL SELECT 'train_real_nlist', CAST(nlist AS DOUBLE) FROM f
+        |UNION ALL SELECT 'train_real_nprobe',
+        |  CAST(greatest(1, CAST(trunc(factor * nlist) AS BIGINT)) AS DOUBLE) FROM f
+        |UNION ALL SELECT 'train_real_coverage', 1.0
+        |UNION ALL SELECT 'posttrain_add_live', CAST(live + 10 AS DOUBLE) FROM f
+        |UNION ALL SELECT 'posttrain_add_new', 10.0
+        |UNION ALL SELECT 'posttrain_add_max_id', CAST(c + 9 AS DOUBLE) FROM f
+        |UNION ALL SELECT 'posttrain_coverage',
+        |  round(CAST(live AS DOUBLE) / (live + 10), 6) FROM f
+        |UNION ALL SELECT 'posttrain_autotrain_due', 0.0""".stripMargin
+        .replace("FACTOR_EXPR", nprobeFactorSql("nlist")),
 
     // M3/M4 auto-(re)train trigger formulas over the churn grid: coverage
     // (trained−removed)/(trained+fresh), initial-train at n ≥ 25000,

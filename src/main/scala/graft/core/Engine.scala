@@ -190,14 +190,19 @@ class Engine(val spark: SparkSession, val root: String) {
     // materialization of the upstream — a re-executed non-deterministic
     // source could otherwise diverge between written ids and counted ids
     prepared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val added = prepared.count()
-    require(added > 0, "add: empty input")
-    val withIds = spark.createDataFrame(
-      prepared.rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row(base + i, r.getSeq[Float](0), r.getString(1))
-      }, dataSchema)
-    withIds.write.mode("append").parquet(doc.dataPath(root))
-    prepared.unpersist()
+    // unpersist on EVERY exit: a validation-rejected batch (dim mismatch
+    // fails the count job inside the scan) must not leak its cache blocks
+    val added =
+      try {
+        val added = prepared.count()
+        require(added > 0, "add: empty input")
+        val withIds = spark.createDataFrame(
+          prepared.rdd.zipWithIndex().map { case (r, i) =>
+            org.apache.spark.sql.Row(base + i, r.getSeq[Float](0), r.getString(1))
+          }, dataSchema)
+        withIds.write.mode("append").parquet(doc.dataPath(root))
+        added
+      } finally prepared.unpersist()
 
     // A6 — incremental index insert for a live trained index
     if (doc.isTrained) {

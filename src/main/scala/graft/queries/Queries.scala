@@ -55,6 +55,7 @@ object Queries {
     lifecycleDb(s, dir)
     filteredDb(s, dir)
     TrainedFixture.get(s, dir)
+    engineVerbs(s, dir) // scratch-root verb sequence incl. a real train
   }
 
   // ------------------------------------------------------------ relational
@@ -820,7 +821,50 @@ object Queries {
       out += ("train_failure_live" -> eng.count("cp").toDouble)
       out += ("train_failure_data_version" -> doc.dataVersion.toDouble)
 
+      // A7 — first-add dimension inference: create with NO declared dim,
+      // infer from the first batch
+      eng.create("di")
+      eng.addLocal("di", Seq(Array.fill(64)(0.25f), Array.fill(64)(-0.5f)),
+        Seq(null, null))
+      out += ("dim_inferred" -> eng.load("di").vectorDimension.toDouble)
+
+      // T19 (live, non-fixture) — a REAL train on the compacted db with
+      // explicit small params: index swap resets the churn counters to
+      // trained_on = n, new = removed = 0, coverage = 1, and picks the
+      // heuristic nlist/nprobe for the post-compaction count
+      eng.train("cp", params = Some(graft.index.IndexParams(16, 16, 8)),
+        minTrainRows = 1)
+      doc = eng.load("cp")
+      val nTrained = eng.count("cp")
+      out += ("train_real_trained" -> flag(doc.isTrained))
+      out += ("train_real_trained_on" -> doc.numVectorsTrainedOn.toDouble)
+      out += ("train_real_new" -> doc.numNewVectors.toDouble)
+      out += ("train_real_removed" -> doc.numTrainedVectorsRemoved.toDouble)
+      out += ("train_real_nlist" -> doc.numClusters.toDouble)
+      out += ("train_real_nprobe" -> doc.nProbe.toDouble)
+      out += ("train_real_coverage" -> graft.index.Heuristics.coverageRatio(
+        doc.numVectorsTrainedOn, doc.numNewVectors,
+        doc.numTrainedVectorsRemoved))
+
+      // A6 — incremental insert on the live trained index: the new rows
+      // land in the coded table (fused assign+encode append) and the
+      // counters track them as new/uncovered
+      eng.addLocal("cp",
+        Seq.fill(10)(Array.tabulate(64)(j => (j + 1) * 0.01f)),
+        Seq.fill(10)(null))
+      doc = eng.load("cp")
+      out += ("posttrain_add_live" -> eng.count("cp").toDouble)
+      out += ("posttrain_add_new" -> doc.numNewVectors.toDouble)
+      out += ("posttrain_add_max_id" -> doc.maxId.toDouble)
+      out += ("posttrain_coverage" -> graft.index.Heuristics.coverageRatio(
+        doc.numVectorsTrainedOn, doc.numNewVectors,
+        doc.numTrainedVectorsRemoved))
+      // M3 — auto-train no-op: n is far below the 25k initial-training
+      // cutoff and coverage is far above the 0.5 retrain cutoff
+      out += ("posttrain_autotrain_due" -> flag(eng.maybeAutoTrain("cp")))
+
       out.toSeq.toDF("metric", "value")
+        .withColumn("value", round(col("value"), 6))
     }
 
   /** M3/M4 — the auto-(re)train trigger formulas over a churn grid:
