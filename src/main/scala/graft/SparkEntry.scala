@@ -28,6 +28,7 @@ object SparkEntry {
     "knn_flat"           -> (Queries.knnFlat _),
     "knn_batch_topk"     -> (Queries.knnBatchTopk _),
     "ivf_probe_knn"      -> (Queries.ivfProbeKnn _),
+    "sim_join_topk"      -> (Queries.simJoinTopk _),
     "t12_centroid_assign" -> (Queries.t12CentroidAssign _),
     "t13_cluster_hist"   -> (Queries.t13ClusterHist _),
     "knn_filtered"       -> (Queries.knnFiltered _),
@@ -221,6 +222,48 @@ object SparkEntry {
         |  WHERE e.label IN (SELECT cid FROM probes))
         |SELECT vec_id, label, round(raw_sim, 6) AS cosine_similarity
         |FROM scored ORDER BY raw_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Large-×-large IVF-bucketed similarity join: item assignment (rn=1),
+    // per-query probe selection (rn≤2), bucket equi-join, ranked dots —
+    // the full distributed operator replayed relationally.
+    "sim_join_topk" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS cid, dim, avg(x) AS m FROM ex GROUP BY label, dim),
+        |dist AS (
+        |  SELECT e.vec_id, c.cid, sum((e.x - c.m) * (e.x - c.m)) AS d2
+        |  FROM ex e JOIN cent c ON e.dim = c.dim
+        |  GROUP BY e.vec_id, c.cid),
+        |rankd AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY round(d2, 9), cid) AS rn
+        |  FROM dist),
+        |assign AS (SELECT vec_id AS item_id, cid FROM rankd WHERE rn = 1),
+        |qprobe AS (
+        |  SELECT vec_id AS query_id, cid FROM rankd
+        |  WHERE rn <= 2 AND vec_id < 50),
+        |cand AS (
+        |  SELECT p.query_id, a.item_id
+        |  FROM qprobe p JOIN assign a USING (cid)
+        |  WHERE a.item_id != p.query_id),
+        |scored AS (
+        |  SELECT c.query_id, c.item_id,
+        |    list_sum(list_transform(list_zip(i.embedding, q.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS raw_sim
+        |  FROM cand c
+        |  JOIN embeddings i ON i.vec_id = c.item_id
+        |  JOIN embeddings q ON q.vec_id = c.query_id),
+        |ranked AS (
+        |  SELECT query_id, item_id, raw_sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY raw_sim DESC, item_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, item_id AS vec_id, rank,
+        |  round(raw_sim, 6) AS cosine_similarity
+        |FROM ranked WHERE rank <= 5""".stripMargin,
 
     "t12_centroid_assign" ->
       """WITH ex AS (

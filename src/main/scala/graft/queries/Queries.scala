@@ -210,6 +210,23 @@ object Queries {
       e.select(col("vec_id"), element_at(cidLit, idx.cast("int")).as("cid"))
     }
 
+  /** Large-×-large ANN similarity JOIN ([[graft.operators.SimilarityJoin]]):
+    * every query row (vec_id < 50) against the whole embeddings table,
+    * IVF-bucketed on the label centroids — both sides stay distributed,
+    * candidates ∝ nProbe/nlist of the corpus per query, never n·q. The
+    * oracle replays assignment, per-query probe selection, the bucket
+    * join and the ranked dot products in SQL.
+    */
+  def simJoinTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.operators.SimilarityJoin.cosineTopK(
+      items = e, queries = e.filter(col("vec_id") < 50),
+      idCol = "vec_id", vecCol = "embedding",
+      centroids = labelCentroidArr(s, dir), k = 5, nProbe = 2)
+      .select(col("query_id"), col("item_id").as("vec_id"), col("rank"),
+        round(col("raw_sim"), 6).as("cosine_similarity"))
+  }
+
   /** Q2-shaped IVF probe search on the embeddings table: label centroids
     * act as the coarse quantizer; score ONLY rows whose cluster (label) is
     * among the query's 3 nearest centroids — the partition-pruned ANN scan
