@@ -12,7 +12,8 @@ object PlanAudit {
         "events_hourly", "t12_centroid_assign", "dedup_exact",
         "minhash_lsh", "simhash_near_dup", "embed_near_dup",
         "trained_adc_topk", "trained_knn", "dataset_split",
-        "repetition_score", "embed_quantize")) {
+        "repetition_score", "embed_quantize", "sim_join_topk",
+        "near_dup_jaccard", "dedup_groups")) {
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
