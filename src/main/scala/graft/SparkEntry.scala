@@ -59,6 +59,7 @@ object SparkEntry {
     "contamination"      -> (Queries.contamination _),
     "repetition_score"   -> (Queries.repetitionScore _),
     "embed_quantize"     -> (Queries.embedQuantize _),
+    "unigram_logprob"    -> (Queries.unigramLogprob _),
     "heuristics_goldens" -> (Queries.heuristicsGoldens _),
     "db_info"            -> (Queries.dbInfo _),
     "trained_counters"   -> (Queries.trainedCounters _),
@@ -728,6 +729,21 @@ object SparkEntry {
         |FROM (SELECT vec_id, embedding,
         |        list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS scale
         |      FROM embeddings)""".stripMargin,
+
+    // Perplexity proxy: mean ln(cnt/total) per doc under the corpus's own
+    // unigram frequency table. ln and the int→double division are exact
+    // on both engines; the avg's fold-order noise (~1e-15) dies at 6dp.
+    "unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(cnt) AS t FROM freq)
+        |SELECT doc_id, count(*) AS n_toks,
+        |  round(avg(ln(CAST(cnt AS DOUBLE) / t)), 6) AS logprob
+        |FROM toks JOIN freq USING (tok), tot
+        |GROUP BY doc_id""".stripMargin,
 
     // Closed-form replay of index/Heuristics.scala + index/MemoryModel.scala
     // (which are behavioral parity with the reference's published formulas):

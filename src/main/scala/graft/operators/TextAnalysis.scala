@@ -142,4 +142,33 @@ object TextAnalysis {
         round(coalesce(col("mx").cast("double") / col("tot"), lit(0.0)), 6)
           .as("top_bigram_frac"))
   }
+
+  /** Corpus-statistical quality score: mean unigram log-probability of a
+    * document under the corpus's OWN unigram language model — the
+    * perplexity-proxy filter a curation pipeline runs to drop
+    * out-of-distribution/garbage documents. Two stages, both
+    * Spark-shaped for 100 TB:
+    *
+    *  1. dictionary build: ONE explode + groupBy over all tokens (the
+    *     token frequency table; Zipf keeps it tiny relative to the
+    *     corpus) and one scalar aggregate for the total count
+    *  2. scoring: tokens join the broadcast dictionary and average
+    *     `ln(cnt/total)` per document — a broadcast hash join at scan
+    *     speed, no corpus-sized shuffle
+    *
+    * Output: (id, n_toks, round(mean log p, 6)). The fold order of the
+    * average differs across engines only at ~1e-15 — the 6dp rounding
+    * absorbs it (same contract as every other averaged metric here).
+    */
+  def unigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt"))).first().getLong(0)
+    toks.join(broadcast(freq), Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        round(avg(log(col("cnt").cast("double") / total)), 6).as("logprob"))
+  }
 }

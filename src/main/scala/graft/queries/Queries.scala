@@ -496,6 +496,14 @@ object Queries {
     graft.operators.TextAnalysis.repetitionScores(
       t(s, dir, "documents"), "doc_id", "text")
 
+  /** Perplexity-proxy curation filter: mean unigram log-probability per
+    * doc under the corpus's own unigram LM (dictionary built in one
+    * groupBy pass, scoring via broadcast join).
+    */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.unigramLogProb(
+      t(s, dir, "documents"), "doc_id", "text")
+
   /** Per-vector max-abs int8 quantization stats over the embedding column
     * (integer-exact codes; the 4× storage format for hot corpora).
     */

@@ -98,4 +98,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(1) <= r.getDouble(2)),
       "reconstruction error exceeded half a quantization step")
   }
+
+  test("unigram logprob: matches hand computation, ranks common above rare") {
+    // corpus: "a" appears 6x, "b" 3x, "z" 1x; total 10 tokens
+    val docs = Seq(
+      (0L, "a a a b"), (1L, "a a a b b"), (2L, "z")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def lp(cnt: Int): Double = math.log(cnt / 10.0)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0L)._1 == 4 && out(0L)._2 == r6((3 * lp(6) + lp(3)) / 4))
+    assert(out(1L)._1 == 5 && out(1L)._2 == r6((3 * lp(6) + 2 * lp(3)) / 5))
+    assert(out(2L)._1 == 1 && out(2L)._2 == r6(lp(1)))
+    // the all-rare doc scores strictly below the common-token docs
+    assert(out(2L)._2 < out(0L)._2 && out(2L)._2 < out(1L)._2)
+  }
 }
