@@ -64,6 +64,7 @@ object SparkEntry {
     "db_info"            -> (Queries.dbInfo _),
     "trained_counters"   -> (Queries.trainedCounters _),
     "streaming_hourly"   -> (Queries.streamingHourly _),
+    "streaming_ingest"   -> (Queries.streamingIngestIds _),
     "engine_verbs"       -> (Queries.engineVerbs _),
     "retrain_decisions"  -> (Queries.retrainDecisions _)
   )
@@ -591,6 +592,17 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
         |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Streaming ingest through the engine write path: two micro-batches of
+    // the whole embeddings table → 2n rows with ids exactly 0..2n−1 (the
+    // cross-batch sequential-id contract) and the dim inferred.
+    "streaming_ingest" ->
+      """WITH s AS (SELECT count(*) AS c, max(len(embedding)) AS dim FROM embeddings)
+        |SELECT 'ingest_num_vectors' AS metric, CAST(2 * c AS DOUBLE) AS value FROM s
+        |UNION ALL SELECT 'ingest_min_id', 0.0
+        |UNION ALL SELECT 'ingest_max_id', CAST(2 * c - 1 AS DOUBLE) FROM s
+        |UNION ALL SELECT 'ingest_distinct_ids', CAST(2 * c AS DOUBLE) FROM s
+        |UNION ALL SELECT 'ingest_dim', CAST(dim AS DOUBLE) FROM s""".stripMargin,
 
     // S12/D1/D4/A1/Q1/T2/T3/T20 live-engine verb matrix: every value is
     // closed-form from the embeddings count (n adds; n/20 soft deletes stay

@@ -762,6 +762,43 @@ object Queries {
         .localCheckpoint(eager = true)
     }
 
+  /** Streaming ingest through the REAL engine write path: the embeddings
+    * table staged as two files, streamed with maxFilesPerTrigger=1 (two
+    * micro-batches), `foreachBatch → Engine.add` — the sequential-id
+    * contract (A4) must hold ACROSS batches: 2n rows, ids exactly
+    * 0..2n−1, dim inferred. All closed-form from the embeddings count.
+    */
+  def streamingIngestIds(s: SparkSession, dir: String): DataFrame =
+    sharedFrame(dir, "streaming_ingest") {
+      import s.implicits._
+      val src = t(s, dir, "embeddings")
+      val stage = java.nio.file.Files.createTempDirectory("graft-si-src")
+      for (f <- Seq("a", "b"))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/embeddings.parquet"),
+          stage.resolve(s"$f.parquet"))
+      val root = java.nio.file.Files.createTempDirectory("graft-si").toString
+      val eng = new graft.core.Engine(s, root)
+      eng.create("si", vectorDimension = 64)
+      val rows = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+        .select(col("embedding").as("vector"),
+          col("label").cast("string").as("metadata"))
+      val q = graft.streaming.StreamingIngest.start(eng, "si", rows,
+        checkpointDir = s"$root/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      val idStats = eng.data("si")
+        .agg(min(col("id")), max(col("id")), count_distinct(col("id"))).head()
+      Seq(
+        ("ingest_num_vectors", eng.count("si").toDouble),
+        ("ingest_min_id", idStats.getLong(0).toDouble),
+        ("ingest_max_id", idStats.getLong(1).toDouble),
+        ("ingest_distinct_ids", idStats.getLong(2).toDouble),
+        ("ingest_dim", eng.load("si").vectorDimension.toDouble)
+      ).toDF("metric", "value")
+    }
+
   // ------------------------------------------- lifecycle verbs (oracle-gated)
 
   /** S12/D1/D4/A1/Q1/T2/T3/T20 through the LIVE engine: one scratch root
