@@ -103,10 +103,28 @@ object EmbeddingLSH {
     */
   def candidatePairsRouted(df: DataFrame, idCol: String, vecCol: String,
                            numBands: Int, planesPerBand: Int, dim: Int,
-                           maxBucket: Int = MinHashLSH.DefaultMaxBucket): DataFrame = {
+                           maxBucket: Int = MinHashLSH.DefaultMaxBucket): DataFrame =
+    candidatePairsRoutedFromSigs(df,
+      signatures(df, idCol, vecCol, numBands, planesPerBand, dim),
+      idCol, vecCol, maxBucket)
+
+  /** (id, band_idx, band_key) signature rows — the per-row projection
+    * kernel as a standalone stage (mirrors [[MinHashLSH.bands]]) so a
+    * pipeline can materialize it ONCE and fan out; the kernel is the
+    * expensive part (b·r dot products per row) and a plan that references
+    * the input several times would otherwise re-execute it per reference.
+    */
+  def signatures(df: DataFrame, idCol: String, vecCol: String,
+                 numBands: Int, planesPerBand: Int, dim: Int): DataFrame = {
     val pl = planes(numBands * planesPerBand, dim)
-    val sigs = df.select(col(idCol),
+    df.select(col(idCol),
       posexplode(bandKeys(col(vecCol), pl, planesPerBand)).as(Seq("band_idx", "band_key")))
+  }
+
+  /** [[candidatePairsRouted]] over precomputed [[signatures]]. */
+  def candidatePairsRoutedFromSigs(df: DataFrame, sigs: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   maxBucket: Int = MinHashLSH.DefaultMaxBucket): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band_idx"), col("band_key"))
     val counted = sigs.withColumn("bucket_n", count(lit(1)).over(w))
@@ -149,6 +167,16 @@ object EmbeddingLSH {
                          maxBucket: Int = MinHashLSH.DefaultMaxBucket): DataFrame =
     verifyCosine(df, idCol, vecCol, tau,
       candidatePairsRouted(df, idCol, vecCol, numBands, planesPerBand, dim, maxBucket))
+
+  /** [[nearDupPairsRouted]] over precomputed [[signatures]] (one kernel
+    * materialization shared by the window count, both join sides, and any
+    * sibling consumer).
+    */
+  def nearDupPairsRoutedFromSigs(df: DataFrame, sigs: DataFrame,
+                                 idCol: String, vecCol: String, tau: Double,
+                                 maxBucket: Int = MinHashLSH.DefaultMaxBucket): DataFrame =
+    verifyCosine(df, idCol, vecCol, tau,
+      candidatePairsRoutedFromSigs(df, sigs, idCol, vecCol, maxBucket))
 
   /** Exact cosine verification over candidate (id_a, id_b) pairs: vectors
     * joined back by id — pairs are small post-banding, the vector table is

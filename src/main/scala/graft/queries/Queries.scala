@@ -449,11 +449,18 @@ object Queries {
     * quadratic cost driver at scale); b=16 OR-bands restore recall for
     * mid-similarity pairs (cos 0.8 → ≥0.93 collision probability).
     */
-  def embedNearDup(s: SparkSession, dir: String): DataFrame =
-    graft.operators.EmbeddingLSH.nearDupPairsRouted(
-      t(s, dir, "embeddings"), "vec_id", "embedding",
-      numBands = 16, planesPerBand = 8, dim = 64, tau = 0.35)
+  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    // signature kernel spread + persisted once: the routed pipeline
+    // references it three times (window count, both join sides)
+    val sigs = sharedFrame(dir, "embed_sigs") {
+      graft.operators.EmbeddingLSH.signatures(
+        spread(t(s, dir, "embeddings")), "vec_id", "embedding",
+        numBands = 16, planesPerBand = 8, dim = 64)
+    }
+    graft.operators.EmbeddingLSH.nearDupPairsRoutedFromSigs(
+      t(s, dir, "embeddings"), sigs, "vec_id", "embedding", tau = 0.35)
       .select(col("id_a"), col("id_b"), round(col("cos9"), 6).as("cos_sim"))
+  }
 
   // -------------------------------------------- LLM-pipeline: text analysis
 
