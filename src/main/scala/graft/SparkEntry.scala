@@ -66,7 +66,11 @@ object SparkEntry {
     "streaming_hourly"   -> (Queries.streamingHourly _),
     "streaming_ingest"   -> (Queries.streamingIngestIds _),
     "engine_verbs"       -> (Queries.engineVerbs _),
-    "retrain_decisions"  -> (Queries.retrainDecisions _)
+    "retrain_decisions"  -> (Queries.retrainDecisions _),
+    "sessionize"         -> (Queries.sessionize _),
+    "asof_join"          -> (Queries.asofJoin _),
+    "json_props"         -> (Queries.jsonProps _),
+    "boilerplate_ngrams" -> (Queries.boilerplateNgrams _)
   )
 
   /** DuckDB oracle SQL, one per SQL-expressible entry in [[queries]].
@@ -120,7 +124,12 @@ object SparkEntry {
        |         ELSE 0.07 + (0.03 - 0.07) * (ln(CAST($nlist AS DOUBLE)) - ln(6350)) / (ln(200000) - ln(6350))
        |    END""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  /** The statically-known oracle rows (everything except the trained-fixture
+    * rows, whose SQL inlines the trained model and exists only post-build).
+    * Split out so local subset checks ([[LocalCheck]]) can dump SQL without
+    * forcing a fixture train.
+    */
+  private[graft] lazy val staticOracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -679,6 +688,65 @@ object SparkEntry {
         |    AS coverage
         |FROM c""".stripMargin,
 
+    // Gap sessionization (30-min idle rule) rolled up per session. µs is
+    // the exact common time precision: DuckDB floor-truncates the ns
+    // parquet to µs TIMESTAMP, Spark floor-divs the ns long by 1000.
+    "sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |                   OR tus - lag(tus) OVER w > 1800000000
+        |            THEN 1 ELSE 0 END AS is_start
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |sx AS (
+        |  SELECT *, CAST(sum(is_start) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS session_idx
+        |  FROM m)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value,
+        |  min(tus) AS start_us, max(tus) - min(tus) AS duration_us
+        |FROM sx GROUP BY user_id, session_idx""".stripMargin,
+
+    // As-of join gated against DuckDB's NATIVE ASOF LEFT JOIN — the
+    // operator's boundary semantics (build row AT the probe timestamp is
+    // visible) must match the reference implementation's `>=`.
+    "asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type FROM events),
+        |c AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'click'),
+        |r AS (SELECT event_id AS err_event_id, user_id, tus AS err_us
+        |      FROM e WHERE event_type = 'error')
+        |SELECT c.event_id, c.user_id, r.err_event_id,
+        |  c.tus - r.err_us AS us_since_error
+        |FROM c ASOF LEFT JOIN r
+        |  ON c.user_id = r.user_id AND c.tus >= r.err_us""".stripMargin,
+
+    "json_props" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS parsed,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // Boilerplate 5-grams by document frequency (distinct grams per doc —
+    // same shingle CTE shape as `contamination`).
+    "boilerplate_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 5 THEN
+        |      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |        for i in generate_series(1, len(w)-4)])
+        |    ELSE [array_to_string(w, ' ')] END AS g
+        |  FROM toks),
+        |grams AS (SELECT doc_id, unnest(g) AS gram FROM sh)
+        |SELECT gram, count(*) AS df FROM grams
+        |GROUP BY gram HAVING count(*) >= 2""".stripMargin,
+
     "dataset_split" ->
       """SELECT doc_id, b AS bucket,
         |  CASE WHEN b IS NULL THEN NULL
@@ -844,7 +912,9 @@ object SparkEntry {
         |    WHEN 768 THEN 4104704 WHEN 1024 THEN 6203904
         |    ELSE dim * 4092 END AS DOUBLE) FROM np""".stripMargin
         .replace("FACTOR_EXPR", nprobeFactorSql("nlist"))
-  ) ++ {
+  )
+
+  def oracleSql: Map[String, String] = staticOracleSql ++ {
     // The trained-fixture SQL inlines the actually-trained model, so it
     // exists only after the trained queries have run (Verify runs every
     // query before dumping this map). Fail fast on out-of-order reads —

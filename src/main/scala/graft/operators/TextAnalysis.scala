@@ -102,6 +102,21 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("hits"), lit(0L)).as("contaminated"))
   }
 
+  /** Corpus-level boilerplate detection: word `w`-grams ranked by DOCUMENT
+    * frequency (each doc contributes its distinct grams once). Grams that
+    * recur across ≥ `minDf` documents are header/footer/template
+    * candidates a curation pipeline strips before training. One explode +
+    * one map-side-combining groupBy — the gram table after the partial
+    * aggregate is vocabulary-sized, not corpus-sized, so the single
+    * shuffle stays small at any corpus scale. Gram extraction reuses the
+    * MinHash shingle kernel (SQL-exact trim/split semantics).
+    */
+  def boilerplateGrams(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       w: Int = 5, minDf: Int = 2): org.apache.spark.sql.DataFrame =
+    df.select(explode(MinHashLSH.shingleSet(col(textCol), w)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+
   /** Deterministic content-addressed train/validation/test assignment:
     * bucket = first 32 md5 bits of the text mod 100 → 90/5/5 split.
     * Content-addressed on purpose — exact duplicates always land in the

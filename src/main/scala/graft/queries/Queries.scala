@@ -769,6 +769,79 @@ object Queries {
         .localCheckpoint(eager = true)
     }
 
+  /** Event time as epoch MICROS (long). The parquet stores TIMESTAMP(NANOS);
+    * the driver session surfaces it as long nanos (`nanosAsLong`) while
+    * DuckDB floor-truncates to its µs-precision TIMESTAMP — so µs via
+    * integer floor-div is the exact common precision of both engines
+    * (verified: DuckDB `epoch_us` == Spark `ts div 1000` row-for-row).
+    */
+  private def tsUs(ev: DataFrame) = ev.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+    case _ => unix_micros(col("ts"))
+  }
+
+  /** Gap-based sessionization ([[graft.operators.Sessionize]]) with the
+    * classic 30-minute-idle rule, rolled up to per-session analytics —
+    * one shuffle on user_id for the numbering, whose partitioning the
+    * session aggregate then reuses (groupBy keys extend the window key).
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val base = ev.select(col("user_id"), col("event_id"),
+      tsUs(ev).as("tus"), col("value"))
+    graft.operators.Sessionize
+      .sessionize(base, "user_id", "tus", "event_id", gap = 1800000000L)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        min(col("tus")).as("start_us"),
+        (max(col("tus")) - min(col("tus"))).as("duration_us"))
+  }
+
+  /** As-of join ([[graft.operators.AsOfJoin]]): every click event matched
+    * with the user's most recent error event at or before it (left-outer;
+    * error-free prefixes keep nulls) — the event-attribution shape of the
+    * trades×quotes as-of. DuckDB's native ASOF LEFT JOIN is the oracle,
+    * so the operator's tie/boundary semantics are hash-gated against a
+    * reference implementation, not self-defined.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val base = ev.select(col("event_id"), col("user_id"),
+      tsUs(ev).as("tus"), col("event_type"))
+    val clicks = base.filter(col("event_type") === "click").drop("event_type")
+    val errors = base.filter(col("event_type") === "error")
+      .select(col("user_id"), col("tus"), col("event_id"),
+        col("event_id").as("err_event_id"), col("tus").as("err_us"))
+    graft.operators.AsOfJoin
+      .asOf(clicks, errors, key = "user_id", ts = "tus", ord = "event_id")
+      .select(col("event_id"), col("user_id"), col("err_event_id"),
+        (col("tus") - col("err_us")).as("us_since_error"))
+  }
+
+  /** Semi-structured extraction: parse the events `props` JSON column with
+    * a typed schema (`from_json` — codegen'd, no UDF) and aggregate the
+    * extracted field per event type. The sums/extrema cover every parsed
+    * value, so any parse divergence breaks the hash.
+    */
+  def jsonProps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), count(col("k")).as("parsed"),
+        sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  /** Corpus-level boilerplate 5-grams by document frequency
+    * ([[graft.operators.TextAnalysis.boilerplateGrams]]).
+    */
+  def boilerplateNgrams(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.boilerplateGrams(
+      spread(t(s, dir, "documents")), "text", w = 5, minDf = 2)
+
   /** Streaming ingest through the REAL engine write path: the embeddings
     * table staged as two files, streamed with maxFilesPerTrigger=1 (two
     * micro-batches), `foreachBatch → Engine.add` — the sequential-id

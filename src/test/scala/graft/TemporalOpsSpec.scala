@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Sessionize, TextAnalysis}
+
+/** Sessionize + AsOfJoin semantics on hand-built edge cases, plus a
+  * differential test of the union-sort-carry as-of plan against a naive
+  * per-probe argmax over seeded random data.
+  */
+class TemporalOpsSpec extends SparkSpec {
+  import testImplicits._
+
+  private lazy val testImplicits = spark.implicits
+
+  test("sessionize splits on strict gap and numbers sessions per key") {
+    // key 1: gaps 5,10(=gap→same),11(>gap→new) ; key 2: single event
+    val df = Seq(
+      (1L, 0L, 100L), (1L, 5L, 101L), (1L, 15L, 102L),
+      (1L, 26L, 103L), (2L, 7L, 200L)
+    ).toDF("k", "t", "id")
+    val out = Sessionize.sessionize(df, "k", "t", "id", gap = 10L)
+      .select("k", "id", "session_idx").as[(Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (1L, 100L, 1L), (1L, 101L, 1L), (1L, 102L, 1L),
+      (1L, 103L, 2L), (2L, 200L, 1L)))
+  }
+
+  test("sessionize breaks equal-time ties by ord deterministically") {
+    val df = Seq((1L, 0L, 2L), (1L, 0L, 1L), (1L, 100L, 3L)).toDF("k", "t", "id")
+    val out = Sessionize.sessionize(df, "k", "t", "id", gap = 10L)
+      .select("id", "session_idx").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 1L), (2L, 1L), (3L, 2L)))
+  }
+
+  test("asOf matches most recent build row, includes equal-ts, left-outer") {
+    val probe = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 5L, 102L),
+      (2L, 50L, 103L)).toDF("k", "t", "id")
+    val build = Seq((1L, 10L, 900L, "a"), (1L, 15L, 901L, "b"))
+      .toDF("k", "t", "id", "payload").withColumn("bid", col("id"))
+    val out = AsOfJoin.asOf(probe, build, "k", "t", "id")
+      .select("id", "bid", "payload")
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    assert(out === Set(
+      (100L, Some(900L), Some("a")), // equal ts: build visible
+      (101L, Some(901L), Some("b")), // most recent, not first
+      (102L, None, None),            // before any build row
+      (103L, None, None)))           // key with no build rows
+  }
+
+  test("asOf equal-ts build rows tie-break to greatest ord") {
+    val probe = Seq((1L, 10L, 100L)).toDF("k", "t", "id")
+    val build = Seq((1L, 10L, 900L, "lo"), (1L, 10L, 901L, "hi"))
+      .toDF("k", "t", "id", "payload").withColumn("bid", col("id"))
+    val out = AsOfJoin.asOf(probe, build, "k", "t", "id")
+      .select("bid", "payload").as[(Long, String)].collect().toSeq
+    assert(out === Seq((901L, "hi")))
+  }
+
+  test("asOf differential: union-sort-carry equals naive per-probe argmax") {
+    val rnd = new scala.util.Random(42)
+    val probe = (0 until 300).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val build = (0 until 200).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, (1000 + i).toLong))
+    val probeDf = probe.toDF("k", "t", "id")
+    val buildDf = build.toDF("k", "t", "id")
+      .withColumn("bid", col("id")).withColumn("bval", col("id") * 7)
+    val got = AsOfJoin.asOf(probeDf, buildDf, "k", "t", "id")
+      .select("id", "bid", "bval")
+      .as[(Long, Option[Long], Option[Long])].collect().toMap2
+    val naive = probe.map { case (k, t, id) =>
+      val cands = build.filter(b => b._1 == k && b._2 <= t)
+      val best = if (cands.isEmpty) None
+      else Some(cands.maxBy(b => (b._2, b._3))._3)
+      id -> ((best, best.map(_ * 7)))
+    }.toMap
+    assert(got === naive)
+  }
+
+  test("boilerplateGrams equals SQL-side distinct-gram doc frequency") {
+    val docs = Seq(
+      (0L, "a b c d e f g"), (1L, "a b c d e x y"),
+      (2L, "a b c d e"), (3L, "z z z z z z z z")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateGrams(docs, "text", w = 5, minDf = 2)
+      .as[(String, Long)].collect().toMap
+    // "a b c d e" appears (distinct per doc) in docs 0,1,2; "z z z z z"
+    // appears in doc 3 only once after distinct → below minDf
+    assert(out === Map("a b c d e" -> 3L))
+  }
+
+  test("jsonProps parses the typed field with from_json") {
+    val df = Seq(("click", """{"k": 3}"""), ("click", """{"k": 4}"""),
+      ("view", "not json")).toDF("event_type", "props")
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), count(col("k")).as("parsed"),
+        sum(col("k")).as("sum_k"))
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    assert(df === Set(("click", 2L, 2L, Some(7L)), ("view", 1L, 0L, None)))
+  }
+
+  private implicit class SeqToMap2[A, B, C](s: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = s.map(x => x._1 -> ((x._2, x._3))).toMap
+  }
+}
