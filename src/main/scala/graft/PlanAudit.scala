@@ -13,7 +13,8 @@ object PlanAudit {
         "minhash_lsh", "simhash_near_dup", "embed_near_dup",
         "trained_adc_topk", "trained_knn", "dataset_split",
         "repetition_score", "embed_quantize", "sim_join_topk",
-        "near_dup_jaccard", "dedup_groups")) {
+        "near_dup_jaccard", "dedup_groups",
+        "sessionize", "asof_join", "json_props", "boilerplate_ngrams")) {
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
