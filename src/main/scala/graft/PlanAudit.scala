@@ -14,7 +14,8 @@ object PlanAudit {
         "trained_adc_topk", "trained_knn", "dataset_split",
         "repetition_score", "embed_quantize", "sim_join_topk",
         "near_dup_jaccard", "dedup_groups",
-        "sessionize", "asof_join", "json_props", "boilerplate_ngrams")) {
+        "sessionize", "asof_join", "json_props", "boilerplate_ngrams",
+        "range_join_count")) {
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -70,7 +70,9 @@ object SparkEntry {
     "sessionize"         -> (Queries.sessionize _),
     "asof_join"          -> (Queries.asofJoin _),
     "json_props"         -> (Queries.jsonProps _),
-    "boilerplate_ngrams" -> (Queries.boilerplateNgrams _)
+    "boilerplate_ngrams" -> (Queries.boilerplateNgrams _),
+    "cache_lru"          -> (Queries.cacheLru _),
+    "range_join_count"   -> (Queries.rangeJoinCount _)
   )
 
   /** DuckDB oracle SQL, one per SQL-expressible entry in [[queries]].
@@ -730,6 +732,43 @@ object SparkEntry {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // Attribution-window range join: clicks within the 10 min preceding
+    // each purchase (inclusive both ends), 0 for none. The oracle states
+    // the range predicate directly; the Spark side is the bucketed
+    // two-probe formulation — the hash gates their equivalence.
+    "range_join_count" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type FROM events),
+        |p AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, tus AS ctus FROM e WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id,
+        |  count(c.ctus) AS clicks_10m
+        |FROM p LEFT JOIN c
+        |  ON p.user_id = c.user_id
+        | AND c.ctus BETWEEN p.tus - 600000000 AND p.tus
+        |GROUP BY p.event_id, p.user_id""".stripMargin,
+
+    // M7/M8 LRU cache script: a/b/c/d costs are the memory-model
+    // estimates (flat n, trained n, flat 2n, b+c) — fill, touch a,
+    // evicting insert (exactly 2 victims), protect a, shrink to the
+    // empty-db floor. Scale-independent arithmetic; see Queries.cacheLru.
+    "cache_lru" ->
+      """WITH s AS (SELECT count(*) AS n FROM embeddings),
+        |m AS (SELECT n, n * 256 + 240090 AS a, n * 16 + 261888 AS b,
+        |             2 * n * 256 + 240090 AS c FROM s)
+        |SELECT 'fill_size' AS metric, 3.0 AS value FROM m
+        |UNION ALL SELECT 'fill_mem', CAST(a + b + c AS DOUBLE) FROM m
+        |UNION ALL SELECT 'hit_a', 1.0
+        |UNION ALL SELECT 'insert_size', 2.0
+        |UNION ALL SELECT 'insert_mem', CAST(a + b + c AS DOUBLE) FROM m
+        |UNION ALL SELECT 'a_survives', 1.0
+        |UNION ALL SELECT 'b_evicted', 1.0
+        |UNION ALL SELECT 'c_evicted', 1.0
+        |UNION ALL SELECT 'shrink_size', 1.0
+        |UNION ALL SELECT 'shrink_mem', CAST(a AS DOUBLE) FROM m
+        |UNION ALL SELECT 'protected_survives', 1.0
+        |UNION ALL SELECT 'evict_count', 3.0""".stripMargin,
 
     // Boilerplate 5-grams by document frequency (distinct grams per doc —
     // same shingle CTE shape as `contamination`).

@@ -179,7 +179,12 @@ object TextAnalysis {
                      textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = df.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // The dictionary is consumed twice (total-count action + scoring
+    // join); persist it so the corpus-wide explode+aggregate runs ONCE —
+    // it is vocabulary-sized (Zipf), so caching it is cheap at any corpus
+    // scale, and without the persist the scoring join would recompute the
+    // full corpus pass a second (and third, for the total) time.
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt")).persist()
     val total = freq.agg(sum(col("cnt"))).first().getLong(0)
     toks.join(broadcast(freq), Seq("tok"))
       .groupBy(col(idCol))

@@ -835,6 +835,30 @@ object Queries {
         sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
 
+  /** Bucketed range join ([[graft.operators.RangeJoin]]): per purchase
+    * event, how many clicks the same user made in the preceding 10
+    * minutes (inclusive both ends) — attribution-window counting.
+    * Left-outer semantics via a count join-back: purchases with no
+    * clicks report 0.
+    */
+  def rangeJoinCount(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val base = ev.select(col("event_id"), col("user_id"),
+      tsUs(ev).as("tus"), col("event_type"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .drop("event_type")
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus").as("ctus"))
+    val pairs = graft.operators.RangeJoin.joinPreceding(
+      purchases, clicks, key = "user_id", ts = "tus", buildTs = "ctus",
+      window = 600000000L)
+    val counts = pairs.groupBy(col("event_id"))
+      .agg(count(lit(1)).as("clicks_10m"))
+    purchases.join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("clicks_10m"), lit(0L)).as("clicks_10m"))
+  }
+
   /** Corpus-level boilerplate 5-grams by document frequency
     * ([[graft.operators.TextAnalysis.boilerplateGrams]]).
     */
@@ -1008,6 +1032,54 @@ object Queries {
       out.toSeq.toDF("metric", "value")
         .withColumn("value", round(col("value"), 6))
     }
+
+  /** M7/M8 — the LRU db cache itself oracle-gated: a scripted
+    * fill → hit → evicting-insert → protect → shrink sequence over a
+    * cache whose per-entry byte costs are the REAL memory-model
+    * estimates (flat n·d·4+240090, trained n·(pq+8)+const(d)) of the
+    * embeddings corpus, so every metric — sizes, byte totals, which keys
+    * survive, the eviction count, protection honored under a shrink — is
+    * closed-form from count(*). The evicting insert costs exactly b+c,
+    * so the arithmetic (2 evictions, then the protected survivor) is
+    * scale-independent: the oracle holds at ANY sf.
+    */
+  def cacheLru(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.index.MemoryModel
+    val n = t(s, dir, "embeddings").count()
+    val a = MemoryModel.flatIndexBytes(n, 64)
+    val b = MemoryModel.trainedIndexBytes(n, 64, 8)
+    val c = MemoryModel.flatIndexBytes(2 * n, 64)
+    var evictions = 0L
+    val protectedKeys = scala.collection.mutable.Set.empty[String]
+    val cache = new graft.core.LruCache[String, Long](
+      maxMemory = a + b + c, estimate = identity,
+      isProtected = protectedKeys.contains,
+      onEvict = (_, _) => evictions += 1)
+    def flag(x: Boolean): Double = if (x) 1.0 else 0.0
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    cache.put("a", a); cache.put("b", b); cache.put("c", c)
+    out += ("fill_size" -> cache.size.toDouble)
+    out += ("fill_mem" -> cache.memoryUsage.toDouble)
+    // touch a → MRU; LRU order is now b, c, a
+    out += ("hit_a" -> flag(cache.get("a").isDefined))
+    // evicting insert: cost b+c forces out exactly the two LRU entries
+    // (b, then c) and cannot touch the just-touched a, for any n
+    cache.put("d", b + c)
+    out += ("insert_size" -> cache.size.toDouble)
+    out += ("insert_mem" -> cache.memoryUsage.toDouble)
+    out += ("a_survives" -> flag(cache.get("a").isDefined))
+    out += ("b_evicted" -> flag(cache.get("b").isEmpty))
+    out += ("c_evicted" -> flag(cache.get("c").isEmpty))
+    // protection honored under a budget collapse: only unprotected d goes
+    protectedKeys += "a"
+    cache.updateMaxMemory(MemoryModel.EmptyDbBytes)
+    out += ("shrink_size" -> cache.size.toDouble)
+    out += ("shrink_mem" -> cache.memoryUsage.toDouble)
+    out += ("protected_survives" -> flag(cache.get("a").isDefined))
+    out += ("evict_count" -> evictions.toDouble)
+    out.toSeq.toDF("metric", "value")
+  }
 
   /** M3/M4 — the auto-(re)train trigger formulas over a churn grid:
     * coverage ratio and both trigger decisions for every combination of

@@ -77,6 +77,32 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got === naive)
   }
 
+  test("rangeJoin differential: bucketed two-probe equals naive range scan") {
+    val rnd = new scala.util.Random(7)
+    val w = 100L
+    val probe = (0 until 250).map(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(2000).toLong, i.toLong))
+    val build = (0 until 400).map(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(2000).toLong, (5000 + i).toLong))
+    val probeDf = probe.toDF("k", "t", "id")
+    val buildDf = build.toDF("k", "bt", "bid")
+      .withColumnRenamed("k", "k") // build key column name must match
+    val got = graft.operators.RangeJoin
+      .joinPreceding(probeDf, buildDf, "k", "t", "bt", w)
+      .select("id", "bid").as[(Long, Long)].collect().toSet
+    val naive = (for {
+      (pk, pt, pid) <- probe
+      (bk, bt, bid) <- build
+      if pk == bk && bt >= pt - w && bt <= pt
+    } yield (pid, bid)).toSet
+    assert(got === naive)
+    // no duplicate pairs from the two-bucket probe replication
+    val gotSeq = graft.operators.RangeJoin
+      .joinPreceding(probeDf, buildDf, "k", "t", "bt", w)
+      .select("id", "bid").as[(Long, Long)].collect().toSeq
+    assert(gotSeq.size === gotSeq.distinct.size)
+  }
+
   test("boilerplateGrams equals SQL-side distinct-gram doc frequency") {
     val docs = Seq(
       (0L, "a b c d e f g"), (1L, "a b c d e x y"),
