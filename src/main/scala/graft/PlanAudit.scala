@@ -15,7 +15,8 @@ object PlanAudit {
         "repetition_score", "embed_quantize", "sim_join_topk",
         "near_dup_jaccard", "dedup_groups",
         "sessionize", "asof_join", "json_props", "boilerplate_ngrams",
-        "range_join_count")) {
+        "range_join_count", "q6_filter_agg", "length_percentiles",
+        "topk_per_group")) {
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -72,7 +72,10 @@ object SparkEntry {
     "json_props"         -> (Queries.jsonProps _),
     "boilerplate_ngrams" -> (Queries.boilerplateNgrams _),
     "cache_lru"          -> (Queries.cacheLru _),
-    "range_join_count"   -> (Queries.rangeJoinCount _)
+    "range_join_count"   -> (Queries.rangeJoinCount _),
+    "q6_filter_agg"      -> (Queries.q6FilterAgg _),
+    "length_percentiles" -> (Queries.lengthPercentiles _),
+    "topk_per_group"     -> (Queries.topkPerGroup _)
   )
 
   /** DuckDB oracle SQL, one per SQL-expressible entry in [[queries]].
@@ -151,6 +154,41 @@ object SparkEntry {
         |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         |  GROUP BY o.o_orderkey, o.o_orderdate)
         |ORDER BY raw_rev DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q6_filter_agg" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    // Exact interpolated percentiles: Spark `percentile` and DuckDB
+    // `quantile_cont` share the linear-interpolation definition.
+    "length_percentiles" ->
+      """SELECT lang,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 6) AS p90,
+        |  round(quantile_cont(n_chars, 0.99), 6) AS p99
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    // Per-source top-3 by the quality formula (identical arithmetic to
+    // the quality_score row), rank ordered by raw score + id tiebreak.
+    "topk_per_group" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |      0.4 * least(CAST(len(list_filter(w, t -> t IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE) / greatest(len(w), 1) * 4.0, 1.0)
+        |    + 0.4 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
+        |    + 0.2 * (1.0 - CAST(length(lt) - length(regexp_replace(lt, '[^a-z0-9\s]', '', 'g')) AS DOUBLE) / greatest(length(lt), 1)) AS q
+        |  FROM (SELECT doc_id, source, lower(text) AS lt,
+        |          regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |        FROM documents)),
+        |ranked AS (
+        |  SELECT source, doc_id, q,
+        |    row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT source, rank, doc_id, round(q, 6) AS quality
+        |FROM ranked WHERE rank <= 3""".stripMargin,
 
     "s5_semi_join" ->
       """SELECT vec_id, label FROM embeddings

@@ -86,6 +86,50 @@ object Queries {
         round(col("raw_rev"), 2).as("revenue"))
   }
 
+  /** Filter-pushdown aggregation (TPC-H Q6 shape): every predicate —
+    * timestamp range, double range, numeric upper bound — must reach the
+    * parquet scan as a PushedFilter; the aggregate itself is one
+    * map-side-combined scalar.
+    */
+  def q6FilterAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** Exact interpolated percentiles per group (`percentile` — Spark's
+    * exact variant, same linear-interpolation definition as DuckDB's
+    * `quantile_cont`). One grouped aggregate; the per-group sort is
+    * inside the agg buffer, sized by group cardinality not corpus. For a
+    * 100 TB corpus the approx_percentile sketch is the cheaper path; this
+    * row gates the EXACT semantics.
+    */
+  def lengthPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").as("p"))
+      .select(col("lang"),
+        round(element_at(col("p"), 1), 6).as("p50"),
+        round(element_at(col("p"), 2), 6).as("p90"),
+        round(element_at(col("p"), 3), 6).as("p99"))
+
+  /** Per-group top-k (curation quota): the 3 highest-quality docs per
+    * source — rank window ordered by the RAW score with id tiebreak,
+    * `row_number ≤ k` (Spark 4 plans the filter as WindowGroupLimit:
+    * each map task forwards ≤ k rows per group before the shuffle).
+    */
+  def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      graft.operators.TextAnalysis.qualityScore(col("text")).as("q"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("q").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("source"), col("rank"), col("doc_id"),
+        round(col("q"), 6).as("quality"))
+  }
+
   /** S5 — KV point-get batch as a broadcast semi-join of an id list. */
   def s5SemiJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
