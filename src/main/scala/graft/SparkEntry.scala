@@ -75,7 +75,8 @@ object SparkEntry {
     "range_join_count"   -> (Queries.rangeJoinCount _),
     "q6_filter_agg"      -> (Queries.q6FilterAgg _),
     "length_percentiles" -> (Queries.lengthPercentiles _),
-    "topk_per_group"     -> (Queries.topkPerGroup _)
+    "topk_per_group"     -> (Queries.topkPerGroup _),
+    "streaming_sessions" -> (Queries.streamingSessions _)
   )
 
   /** DuckDB oracle SQL, one per SQL-expressible entry in [[queries]].
@@ -748,6 +749,33 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value,
         |  min(tus) AS start_us, max(tus) - min(tus) AS duration_us
         |FROM sx GROUP BY user_id, session_idx""".stripMargin,
+
+    // Streaming session_window vs the batch gap rule: identical sessions
+    // for every session CLOSED by end-of-stream (last + gap ≤ global
+    // max); open sessions are each user's last, so the emitted prefix's
+    // session_idx numbering agrees with the batch operator's.
+    "streaming_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |                   OR tus - lag(tus) OVER w > 1800000000
+        |            THEN 1 ELSE 0 END AS is_start
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |sx AS (
+        |  SELECT *, CAST(sum(is_start) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS session_idx
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, session_idx, count(*) AS n_events,
+        |    round(sum(value), 2) AS sum_value,
+        |    min(tus) AS start_us, max(tus) - min(tus) AS duration_us,
+        |    max(tus) AS last_us
+        |  FROM sx GROUP BY user_id, session_idx),
+        |mx AS (SELECT max(tus) AS m FROM e)
+        |SELECT user_id, session_idx, n_events, sum_value, start_us, duration_us
+        |FROM g, mx WHERE last_us + 1800000000 <= m""".stripMargin,
 
     // As-of join gated against DuckDB's NATIVE ASOF LEFT JOIN — the
     // operator's boundary semantics (build row AT the probe timestamp is

@@ -910,6 +910,61 @@ object Queries {
     graft.operators.TextAnalysis.boilerplateGrams(
       spread(t(s, dir, "documents")), "text", w = 5, minDf = 2)
 
+  /** The REAL streaming sessionization pipeline: events staged as two
+    * TIME-ORDERED halves (split at the median µs, modification times
+    * forcing file order) → `readStream` with maxFilesPerTrigger=1 → two
+    * micro-batches through the watermarked `session_window` aggregation
+    * ([[graft.streaming.EventStream.sessionWindows]]) → APPEND-mode
+    * memory sink, AvailableNow. Sessions spanning the split MERGE ACROSS
+    * BATCHES (real cross-batch state), and the watermark after batch A is
+    * exactly the split point, so no B row is late. Sessions still open at
+    * end-of-stream (last event within the final gap window) stay in
+    * state by design — the oracle excludes them closed-form
+    * (`last + gap ≤ global max`). Emitted rows are then numbered
+    * per user (batch post-processing) to match the batch operator's
+    * session_idx contract on the emitted prefix — open sessions are
+    * always a user's LAST, so prefix indexes agree.
+    */
+  def streamingSessions(s: SparkSession, dir: String): DataFrame =
+    sharedFrame(dir, "streaming_sessions") {
+      val ev = t(s, dir, "events")
+      val base = ev.select(tsUs(ev).as("tus"), col("user_id"), col("value"))
+      val split = base.agg(expr("percentile(tus, 0.5D)")).first()
+        .getDouble(0).toLong
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-sess-src")
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-sess-half")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = srcDir.resolve(name)
+        java.nio.file.Files.copy(part, dst)
+        dst.toFile.setLastModified(mtime)
+      }
+      val now = System.currentTimeMillis()
+      stage(base.filter(col("tus") <= split), "a.parquet", now - 60000)
+      stage(base.filter(col("tus") > split), "b.parquet", now)
+      val src = s.readStream
+        .schema("tus LONG, user_id LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .select(timestamp_micros(col("tus")).as("ts"), col("user_id"), col("value"))
+      val qname = s"stream_sessions_${streamSeq.incrementAndGet()}"
+      val q = graft.streaming.EventStream.sessionWindows(src)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+      s.table(qname)
+        .withColumn("session_idx", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          round(col("sum_value"), 2).as("sum_value"), col("start_us"),
+          (col("end_us") - lit(1800000000L) - col("start_us")).as("duration_us"))
+        .localCheckpoint(eager = true)
+    }
+
   /** Streaming ingest through the REAL engine write path: the embeddings
     * table staged as two files, streamed with maxFilesPerTrigger=1 (two
     * micro-batches), `foreachBatch → Engine.add` — the sequential-id

@@ -27,6 +27,27 @@ object EventStream {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Gap-based session windows — the streaming twin of
+    * [[graft.operators.Sessionize]] (same idle rule): watermarked
+    * `session_window` aggregation in APPEND mode, so a session emits
+    * exactly once, when the watermark passes its end (= last event +
+    * gap). State is one row per OPEN session, bounded by the gap horizon
+    * — the streaming-native formulation of what the batch operator does
+    * with a full-shuffle sort. Input columns:
+    * (ts timestamp, user_id long, value double). Output keeps start/end
+    * as epoch µs so the batch/oracle comparison is integer-exact.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+
   /** Per-type running stats via explicit keyed state
     * (mapGroupsWithState) — the custom-state shape for operators that
     * windowed aggs can't express (e.g. monotone counters, model state).

@@ -19,6 +19,48 @@ class StreamingSpec extends SparkSpec {
   private def ts(h: Int, m: Int): Timestamp =
     Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
 
+  test("session windows merge across micro-batches and emit on close") {
+    // two time-ordered files → two micro-batches; u1's second session
+    // spans the split (4000s in batch A, 4010s in batch B) and must MERGE
+    // in state; the final session (9999999s) stays open and never emits
+    val sec = 1000000L // µs per second
+    val a = Seq((0L * sec, 1L, 1.0), (10L * sec, 1L, 2.0), (5L * sec, 2L, 7.0),
+      (4000L * sec, 1L, 3.0))
+    val b = Seq((4010L * sec, 1L, 4.0), (9999999L * sec, 1L, 9.0))
+    val src = java.nio.file.Files.createTempDirectory("sess-spec-src")
+    def stage(rows: Seq[(Long, Long, Double)], name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("sess-spec-half")
+      rows.toDF("tus", "user_id", "value").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = src.resolve(name)
+      java.nio.file.Files.copy(part, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    stage(a, "a.parquet", now - 60000)
+    stage(b, "b.parquet", now)
+    val stream = spark.readStream
+      .schema("tus LONG, user_id LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+      .select(timestamp_micros(col("tus")).as("ts"), col("user_id"), col("value"))
+    val q = EventStream.sessionWindows(stream)
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("sess_test")
+      .select("user_id", "start_us", "n_events", "sum_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === Set(
+      (1L, 0L, 2L, 3.0),               // u1 session 1: 0s + 10s
+      (1L, 4000L * sec, 2L, 7.0),      // u1 session 2: merged ACROSS batches
+      (2L, 5L * sec, 1L, 7.0)))        // u2 single event
+  }
+
   test("watermarked hourly window agg matches the batch aggregation") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
