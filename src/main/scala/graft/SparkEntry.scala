@@ -76,7 +76,9 @@ object SparkEntry {
     "q6_filter_agg"      -> (Queries.q6FilterAgg _),
     "length_percentiles" -> (Queries.lengthPercentiles _),
     "topk_per_group"     -> (Queries.topkPerGroup _),
-    "streaming_sessions" -> (Queries.streamingSessions _)
+    "streaming_sessions" -> (Queries.streamingSessions _),
+    "json_source"        -> (Queries.jsonSourceRoundtrip _),
+    "event_pivot"        -> (Queries.eventPivot _)
   )
 
   /** DuckDB oracle SQL, one per SQL-expressible entry in [[queries]].
@@ -749,6 +751,25 @@ object SparkEntry {
         |  round(sum(value), 2) AS sum_value,
         |  min(tus) AS start_us, max(tus) - min(tus) AS duration_us
         |FROM sx GROUP BY user_id, session_idx""".stripMargin,
+
+    // JSON round-trip: the Spark side aggregates a JSON re-stage of the
+    // events table; the oracle aggregates the parquet directly — any
+    // parse/serialize drift (longs, doubles, µs timestamps) breaks it.
+    "json_source" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  round(sum(value), 2) AS sum_value,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  min(epoch_us(ts)) AS min_tus, max(epoch_us(ts)) AS max_tus
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "event_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup
+        |FROM events GROUP BY user_id""".stripMargin,
 
     // Streaming session_window vs the batch gap rule: identical sessions
     // for every session CLOSED by end-of-stream (last + gap ≤ global

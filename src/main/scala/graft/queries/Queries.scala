@@ -929,21 +929,24 @@ object Queries {
     sharedFrame(dir, "streaming_sessions") {
       val ev = t(s, dir, "events")
       val base = ev.select(tsUs(ev).as("tus"), col("user_id"), col("value"))
-      val split = base.agg(expr("percentile(tus, 0.5D)")).first()
-        .getDouble(0).toLong
+      // time-midpoint split (any time-ordered cut works — no B row may
+      // predate A's max); ONE partitioned write stages both halves
+      val Array(lo, hi) = base.agg(min(col("tus")), max(col("tus"))).first()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val split = lo + (hi - lo) / 2
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sess-half")
+      base.withColumn("half", when(col("tus") <= split, "a").otherwise("b"))
+        .repartition(col("half"))
+        .write.partitionBy("half").mode("overwrite").parquet(tmp.toString)
       val srcDir = java.nio.file.Files.createTempDirectory("graft-sess-src")
-      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-sess-half")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
-          .findFirst().get()
-        val dst = srcDir.resolve(name)
+      val now = System.currentTimeMillis()
+      for ((h, mtime) <- Seq("a" -> (now - 60000), "b" -> now)) {
+        val part = java.nio.file.Files.list(tmp.resolve(s"half=$h"))
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        val dst = srcDir.resolve(s"$h.parquet")
         java.nio.file.Files.copy(part, dst)
         dst.toFile.setLastModified(mtime)
       }
-      val now = System.currentTimeMillis()
-      stage(base.filter(col("tus") <= split), "a.parquet", now - 60000)
-      stage(base.filter(col("tus") > split), "b.parquet", now)
       val src = s.readStream
         .schema("tus LONG, user_id LONG, value DOUBLE")
         .option("maxFilesPerTrigger", 1)
@@ -964,6 +967,46 @@ object Queries {
           (col("end_us") - lit(1800000000L) - col("start_us")).as("duration_us"))
         .localCheckpoint(eager = true)
     }
+
+  /** JSON source/sink round-trip: the events table written as JSON lines
+    * and read back with an explicit schema must aggregate identically to
+    * the parquet scan (the oracle aggregates the parquet directly) —
+    * gates the JSON reader/writer as a source format: schema-directed
+    * parsing, long/double coercion through text and back (doubles
+    * round-trip exactly via shortest-repr serialization).
+    */
+  def jsonSourceRoundtrip(s: SparkSession, dir: String): DataFrame =
+    sharedFrame(dir, "json_source") {
+      val ev = t(s, dir, "events")
+      val staged = java.nio.file.Files
+        .createTempDirectory("graft-json-src").toString
+      ev.select(col("event_id"), col("user_id"), tsUs(ev).as("tus"),
+          col("event_type"), col("value"))
+        .write.mode("overwrite").json(staged)
+      s.read
+        .schema("event_id LONG, user_id LONG, tus LONG, event_type STRING, value DOUBLE")
+        .json(staged)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value")), 2).as("sum_value"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+          // min/max, not sum: a per-group sum of epoch-µs longs overflows
+          // Int64 beyond ~5k rows/group (ANSI mode throws at bench sf)
+          min(col("tus")).as("min_tus"), max(col("tus")).as("max_tus"))
+        .localCheckpoint(eager = true)
+    }
+
+  /** Native pivot (conditional-aggregation reshaping): per-user event
+    * counts pivoted by type — `RelationalGroupedDataset.pivot` with an
+    * EXPLICIT value list (never the value-discovery scan at scale);
+    * the oracle states the equivalent CASE aggregation.
+    */
+  def eventPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
+      .count()
+      .na.fill(0L)
 
   /** Streaming ingest through the REAL engine write path: the embeddings
     * table staged as two files, streamed with maxFilesPerTrigger=1 (two
