@@ -121,10 +121,29 @@ object EmbeddingLSH {
       posexplode(bandKeys(col(vecCol), pl, planesPerBand)).as(Seq("band_idx", "band_key")))
   }
 
-  /** [[candidatePairsRouted]] over precomputed [[signatures]]. */
+  /** [[candidatePairsRouted]] over precomputed [[signatures]].
+    *
+    * Runtime adaptivity (AQE-style): one cheap aggregation over the
+    * (cached) signature table probes the max bucket size first. When no
+    * bucket exceeds the cap — the common case on healthy corpora — the
+    * whole skew apparatus (window count, over-cap routing, exact-vector
+    * star pairs, union) is pruned from the plan and the operator is just
+    * band-join + distinct; the routed plan only materializes when
+    * flooding is actually present. The probe costs one shuffle of rows
+    * the window count would shuffle anyway.
+    */
   def candidatePairsRoutedFromSigs(df: DataFrame, sigs: DataFrame,
                                    idCol: String, vecCol: String,
                                    maxBucket: Int = MinHashLSH.DefaultMaxBucket): DataFrame = {
+    val maxN = sigs.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).first().getLong(0)
+    if (maxN <= maxBucket) {
+      val a = sigs.select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
+      val b = sigs.select(col(idCol).as("id_b"), col("band_idx"), col("band_key"))
+      return a.join(b, Seq("band_idx", "band_key"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band_idx"), col("band_key"))
     val counted = sigs.withColumn("bucket_n", count(lit(1)).over(w))
