@@ -103,6 +103,28 @@ class TemporalOpsSpec extends SparkSpec {
     assert(gotSeq.size === gotSeq.distinct.size)
   }
 
+  test("temporal ops are invariant under input repartitioning") {
+    // the determinism contract behind the EVAL scale runs: arbitrary
+    // input partitioning must not change a single output row
+    val rnd = new scala.util.Random(13)
+    val ev = (0 until 500).map(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(5000).toLong, i.toLong, rnd.nextInt(100) / 10.0))
+    val df1 = ev.toDF("k", "t", "id", "v")
+    val df2 = df1.repartition(17, col("v")) // partition by a NON-key column
+    def sess(df: org.apache.spark.sql.DataFrame) =
+      Sessionize.sessionize(df, "k", "t", "id", gap = 50L)
+        .select("k", "id", "session_idx").as[(Long, Long, Long)].collect().toSet
+    assert(sess(df1) === sess(df2))
+    val probe = df1.filter(col("id") % 2 === 0).select("k", "t", "id")
+    val build = df1.filter(col("id") % 2 === 1)
+      .select(col("k"), col("t"), col("id"), col("id").as("bid"))
+    def asof(p: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      AsOfJoin.asOf(p, b, "k", "t", "id")
+        .select("id", "bid").as[(Long, Option[Long])].collect().toSet
+    assert(asof(probe, build) ===
+      asof(probe.repartition(7), build.repartition(11)))
+  }
+
   test("boilerplateGrams equals SQL-side distinct-gram doc frequency") {
     val docs = Seq(
       (0L, "a b c d e f g"), (1L, "a b c d e x y"),
