@@ -102,6 +102,87 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("hits"), lit(0L)).as("contaminated"))
   }
 
+  /** One-pass scoring kernel: quality + language-ID from a SINGLE
+    * tokenization. The column formulation above re-evaluates
+    * `split(trim(lower(text)))` once per derived ratio after
+    * CollapseProject inlining (≈12 splits/row: 5 language ratios + the
+    * quality terms), which measured 2 ms/doc at the 10M-doc scale run —
+    * the kernel is one tokenize + one scan (same trade as
+    * MinHashLSH.bandKeys). Arithmetic mirrors the column/SQL versions
+    * EXACTLY (same operand order, same `\s`/trim semantics via the
+    * MinHash tokenizer, same [^a-z0-9\s] punctuation class), so the
+    * DuckDB oracle rows stay hash-identical — asserted by the
+    * differential property spec against the column formulation.
+    */
+  final case class DocScores(quality: Double, lang: String, lang_score: Double)
+
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+  private val StopwordSets: Seq[(String, Set[String])] =
+    StopwordProfiles.map { case (l, ws) => (l, ws.toSet) }
+  private val EnStopwords: Set[String] = StopwordSets.toMap.apply("en")
+
+  private def isQualityChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def scoreDoc(text: String): DocScores = {
+    val lowered = text.toLowerCase(java.util.Locale.ROOT)
+    val toks = WsPattern.split(MinHashLSH.sqlTrim(lowered), -1)
+    val n = toks.length
+    val nD = math.max(n, 1).toDouble
+    var en = 0
+    val perLang = new Array[Int](StopwordSets.length)
+    var i = 0
+    while (i < n) {
+      val t = toks(i)
+      var l = 0
+      while (l < StopwordSets.length) {
+        if (StopwordSets(l)._2.contains(t)) perLang(l) += 1
+        l += 1
+      }
+      if (EnStopwords.contains(t)) en += 1
+      i += 1
+    }
+    var punct = 0
+    var j = 0
+    while (j < lowered.length) {
+      if (!isQualityChar(lowered.charAt(j))) punct += 1
+      j += 1
+    }
+    val stopRatio = en.toDouble / nD
+    val lenPrior = math.min(n.toDouble / 100.0, 1.0)
+    val punctFrac = punct.toDouble / math.max(lowered.length, 1).toDouble
+    val quality = 0.4 * math.min(stopRatio * 4.0, 1.0) + 0.4 * lenPrior +
+      0.2 * (1.0 - punctFrac)
+    var best = 0.0
+    var l = 0
+    while (l < perLang.length) {
+      val r = perLang(l).toDouble / nD
+      if (r > best) best = r
+      l += 1
+    }
+    // first language (alphabetical profile order) hitting the max wins —
+    // same tie rule as the nested when() chain in langId
+    var lang = "und"
+    if (best > 0) {
+      var k = 0
+      var found = false
+      while (k < perLang.length && !found) {
+        if (perLang(k).toDouble / nD == best) { lang = StopwordSets(k)._1; found = true }
+        k += 1
+      }
+    }
+    DocScores(quality, lang, best)
+  }
+
+  /** [[scoreDoc]] as a column: struct (quality, lang, lang_score); null
+    * text → null struct.
+    */
+  def docScores(text: Column): Column = {
+    val f = udf { (t: String) => if (t == null) null else scoreDoc(t) }
+    f(text)
+  }
+
   /** Corpus-level boilerplate detection: word `w`-grams ranked by DOCUMENT
     * frequency (each doc contributes its distinct grams once). Grams that
     * recur across ≥ `minDf` documents are header/footer/template

@@ -121,7 +121,8 @@ object Queries {
     */
   def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
     val scored = t(s, dir, "documents").select(col("doc_id"), col("source"),
-      graft.operators.TextAnalysis.qualityScore(col("text")).as("q"))
+      graft.operators.TextAnalysis.docScores(col("text"))
+        .getField("quality").as("q"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("q").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -509,17 +510,21 @@ object Queries {
   // -------------------------------------------- LLM-pipeline: text analysis
 
   /** Language-ID by stopword-profile argmax (n-gram heuristic). */
-  def langId(s: SparkSession, dir: String): DataFrame = {
-    val toks = graft.operators.TextAnalysis.tokens(col("text"))
-    val (pred, best) = graft.operators.TextAnalysis.langId(toks)
-    t(s, dir, "documents").select(col("doc_id"), pred.as("pred_lang"),
-      round(best, 6).as("score"))
-  }
+  def langId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.docScores(col("text")).as("sc"))
+      .select(col("doc_id"), col("sc.lang").as("pred_lang"),
+        round(col("sc.lang_score"), 6).as("score"))
 
-  /** Heuristic quality score (stopword coverage + length prior − punct). */
+  /** Heuristic quality score (stopword coverage + length prior − punct);
+    * served by the one-pass kernel (PropertySpec proves it equal to the
+    * column formulation on the corpus).
+    */
   def qualityScore(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
-      round(graft.operators.TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      round(graft.operators.TextAnalysis.docScores(col("text"))
+        .getField("quality"), 6).as("quality"))
 
   /** BPE-ish regex token count (letter runs / digit runs / punct marks). */
   def bpeTokens(s: SparkSession, dir: String): DataFrame =

@@ -125,6 +125,30 @@ class TemporalOpsSpec extends SparkSpec {
       asof(probe.repartition(7), build.repartition(11)))
   }
 
+  test("scoring kernel is BIT-EXACT vs the column formulation on the corpus") {
+    // the kernel serves the oracle rows AND the topk ordering, so it must
+    // match the HOF/SQL arithmetic exactly (raw doubles, not rounded),
+    // on the real sf table plus adversarial edge strings
+    val docs = sf("sf0.01", "documents").select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (100001L, ""), (100002L, "   "), (100003L, "\tthe a\n"),
+        (100004L, "der die das der die das"), (100005L, "el y the a 的 了"),
+        (100006L, "x!@#$%^&*()"), (100007L, "le les et the a and of to")
+      ).toDF("doc_id", "text"))
+    val toks = TextAnalysis.tokens(col("text"))
+    val (pred, best) = TextAnalysis.langId(toks)
+    val hof = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("q"), pred.as("l"), best.as("s"))
+    val kern = docs.select(col("doc_id"),
+      TextAnalysis.docScores(col("text")).as("sc"))
+      .select(col("doc_id"), col("sc.quality").as("q"),
+        col("sc.lang").as("l"), col("sc.lang_score").as("s"))
+    val a = hof.as[(Long, Double, String, Double)].collect().sortBy(_._1)
+    val b = kern.as[(Long, Double, String, Double)].collect().sortBy(_._1)
+    assert(a.length === b.length)
+    a.zip(b).foreach { case (x, y) => assert(x === y, s"mismatch: $x vs $y") }
+  }
+
   test("boilerplateGrams equals SQL-side distinct-gram doc frequency") {
     val docs = Seq(
       (0L, "a b c d e f g"), (1L, "a b c d e x y"),
