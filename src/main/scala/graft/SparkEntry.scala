@@ -78,7 +78,9 @@ object SparkEntry {
     "topk_per_group"     -> (Queries.topkPerGroup _),
     "streaming_sessions" -> (Queries.streamingSessions _),
     "json_source"        -> (Queries.jsonSourceRoundtrip _),
-    "event_pivot"        -> (Queries.eventPivot _)
+    "event_pivot"        -> (Queries.eventPivot _),
+    "rolling_stats"      -> (Queries.rollingStats _),
+    "stratified_sample"  -> (Queries.stratifiedSample _)
   )
 
   /** DuckDB oracle SQL, one per SQL-expressible entry in [[queries]].
@@ -761,6 +763,29 @@ object SparkEntry {
         |  min(event_id) AS min_id, max(event_id) AS max_id,
         |  min(epoch_us(ts)) AS min_tus, max(epoch_us(ts)) AS max_tus
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // Sliding rows-frame + running total per user (both frames share one
+    // exchange + sort).
+    "rolling_stats" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tus, value FROM events)
+        |SELECT event_id, user_id,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS avg5,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS UNBOUNDED PRECEDING), 6) AS cum_value
+        |FROM e""".stripMargin,
+
+    // Content-addressed per-source downsampling: even-numbered sources
+    // keep 20%, odd keep 80% of their md5 buckets.
+    "stratified_sample" ->
+      """SELECT doc_id, source, bucket, rate FROM (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket,
+        |    CASE WHEN CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 2 = 0
+        |         THEN 20 ELSE 80 END AS rate
+        |  FROM documents)
+        |WHERE bucket < rate""".stripMargin,
 
     "event_pivot" ->
       """SELECT user_id,

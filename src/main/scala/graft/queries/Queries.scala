@@ -973,6 +973,39 @@ object Queries {
         .localCheckpoint(eager = true)
     }
 
+  /** Sliding-frame window analytics (the rows-frame family the rank/lag
+    * rows don't cover): per user, moving average of the last 5 events and
+    * the running total — one shuffle on user_id, both frames in one sort
+    * order. 6dp rounding absorbs the fold-order noise of the moving sum.
+    */
+  def rollingStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    ev.select(col("event_id"), col("user_id"), tsUs(ev).as("tus"), col("value"))
+      .select(col("event_id"), col("user_id"),
+        round(avg(col("value")).over(order.rowsBetween(-4, 0)), 6).as("avg5"),
+        round(sum(col("value")).over(
+          order.rowsBetween(Window.unboundedPreceding, 0)), 6).as("cum_value"))
+  }
+
+  /** Per-source stratified downsampling with a content-addressed hash
+    * rule (the curation move that rebalances over-represented sources):
+    * keep a doc iff its md5 bucket (mod 100) falls under the source's
+    * rate — deterministic, reproducible, join-free; rates ship as a tiny
+    * broadcast map baked into the expression.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10)
+      .cast("long") % 100
+    // even sources keep 20%, odd keep 80% — a stand-in rate table
+    val rate = when(regexp_extract(col("source"), "(\\d+)$", 1)
+      .cast("long") % 2 === 0, 20L).otherwise(80L)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), bucket.as("bucket"), rate.as("rate"))
+      .filter(col("bucket") < col("rate"))
+  }
+
   /** JSON source/sink round-trip: the events table written as JSON lines
     * and read back with an explicit schema must aggregate identically to
     * the parquet scan (the oracle aggregates the parquet directly) —
