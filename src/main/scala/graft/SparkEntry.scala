@@ -80,7 +80,8 @@ object SparkEntry {
     "json_source"        -> (Queries.jsonSourceRoundtrip _),
     "event_pivot"        -> (Queries.eventPivot _),
     "rolling_stats"      -> (Queries.rollingStats _),
-    "stratified_sample"  -> (Queries.stratifiedSample _)
+    "stratified_sample"  -> (Queries.stratifiedSample _),
+    "frame_sample"       -> ((s, d) => Queries.multimodalFrameSample(s, d))
   )
 
   /** DuckDB oracle SQL, one per SQL-expressible entry in [[queries]].
@@ -786,6 +787,20 @@ object SparkEntry {
         |         THEN 20 ELSE 80 END AS rate
         |  FROM documents)
         |WHERE bucket < rate""".stripMargin,
+
+    // Frame-sampling schedule from the md5-derived video fields the
+    // synthesized MP4s carry (same closed forms as multimodal_video);
+    // pts uses the per-frame stts delta = timescale // 24.
+    "frame_sample" ->
+      """SELECT doc_id, i AS sample_idx,
+        |  (i * nf) // 4 AS frame_idx,
+        |  ((i * nf) // 4) * (tsc // 24) * 1000 // tsc AS pts_ms
+        |FROM (
+        |  SELECT doc_id, 24 + ('0x' || substr(h, 6, 2))::BIGINT AS nf,
+        |    600 * (1 + ('0x' || substr(h, 5, 1))::BIGINT % 4) AS tsc
+        |  FROM (SELECT doc_id, md5(text) AS h FROM documents
+        |        WHERE text IS NOT NULL)),
+        |  generate_series(0, 3) t(i)""".stripMargin,
 
     "event_pivot" ->
       """SELECT user_id,

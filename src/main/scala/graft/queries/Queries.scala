@@ -758,6 +758,31 @@ object Queries {
         col("v.video_tracks").as("video_tracks"))
   }
 
+  /** Uniform frame-sampling SCHEDULE from the parsed video metadata: the
+    * distributed pre-pass a multimodal pipeline runs before handing byte
+    * ranges to a decoder — k sample frame indexes per video plus their
+    * presentation times derived from the REAL stts/timescale the box walk
+    * read back (pts = frame · per-frame-delta · 1000 div timescale, all
+    * integer arithmetic). One projection + a 4-element posexplode.
+    */
+  def multimodalFrameSample(s: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val payloadUdf = udf { (text: String) =>
+      if (text == null) null
+      else graft.operators.Multimodal.synthesizeVideoPayload(text)
+    }
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.operators.Multimodal.videoStats(payloadUdf(col("text"))).as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("doc_id"), col("v.n_frames").as("nf"),
+        col("v.timescale").as("tsc"),
+        posexplode(sequence(lit(0), lit(k - 1))).as(Seq("pos", "sample_idx")))
+      .select(col("doc_id"), col("sample_idx").cast("long").as("sample_idx"),
+        expr(s"sample_idx * nf div $k").as("frame_idx"),
+        expr(s"(sample_idx * nf div $k) * (tsc div 24) * 1000 div tsc")
+          .as("pts_ms"))
+  }
+
   // ---------------------------------------------------------------- events
 
   /** Tumbling hourly window aggregation over the event stream table.
