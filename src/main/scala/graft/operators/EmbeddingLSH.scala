@@ -135,8 +135,11 @@ object EmbeddingLSH {
   def candidatePairsRoutedFromSigs(df: DataFrame, sigs: DataFrame,
                                    idCol: String, vecCol: String,
                                    maxBucket: Int = MinHashLSH.DefaultMaxBucket): DataFrame = {
-    val maxN = sigs.groupBy(col("band_idx"), col("band_key"))
-      .agg(count(lit(1)).as("n")).agg(max(col("n"))).first().getLong(0)
+    val maxRow = sigs.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).first()
+    // Global max over zero groups is a null row: empty input takes the
+    // fast path (empty band join → empty result) instead of an NPE.
+    val maxN = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     if (maxN <= maxBucket) {
       val a = sigs.select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
       val b = sigs.select(col(idCol).as("id_b"), col("band_idx"), col("band_key"))

@@ -41,9 +41,15 @@ object RangeJoin {
     // the build-side key/bucket get private names so a probe and build
     // carved from the SAME scan (the common case) never hit Spark's
     // ambiguous-self-join resolution
+    // FLOOR division, not `div`: `div` truncates toward zero, which for
+    // negative (pre-epoch / signed) timestamps breaks the invariant
+    // floor((t−w)/w) = floor(t/w) − 1 and would silently drop matches —
+    // a build row at ts −1 must bucket to −1, not 0.
+    def floorDiv(c: String) =
+      expr(s"CAST(IF($c >= 0, $c div $window, -(((-$c) + $window - 1) div $window)) AS BIGINT)")
     val b = build.withColumnRenamed(key, "_rj_key")
-      .withColumn("_rj_bbucket", expr(s"$buildTs div $window"))
-    val pb = expr(s"$ts div $window") // integer div — no double round-trip
+      .withColumn("_rj_bbucket", floorDiv(buildTs))
+    val pb = floorDiv(ts) // integer math — no double round-trip
     val p = probe.withColumn("_rj_bucket", explode(array(pb - 1, pb)))
     p.join(b, col("_rj_bucket") === col("_rj_bbucket") &&
         col(key) === col("_rj_key") &&

@@ -260,14 +260,19 @@ object TextAnalysis {
                      textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = df.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-    // The dictionary is consumed twice (total-count action + scoring
-    // join); persist it so the corpus-wide explode+aggregate runs ONCE —
-    // it is vocabulary-sized (Zipf), so caching it is cheap at any corpus
-    // scale, and without the persist the scoring join would recompute the
-    // full corpus pass a second (and third, for the total) time.
-    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt")).persist()
-    val total = freq.agg(sum(col("cnt"))).first().getLong(0)
-    toks.join(broadcast(freq), Seq("tok"))
+    // The dictionary is consumed twice (total count + scoring join), and
+    // the scoring join BROADCASTS it — i.e. it must fit on the driver
+    // regardless. So materialize it there once: one corpus-wide
+    // explode+aggregate, total summed locally, and the scoring side
+    // joins a rebuilt local frame. No persist → nothing cached for the
+    // life of the session (the old persisted frame could never be
+    // unpersisted safely because the returned lazy plan referenced it).
+    val freqRows = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val dictRows = freqRows.collect() // vocabulary-sized (Zipf)
+    val total = dictRows.iterator.map(_.getLong(1)).sum.max(1L)
+    val dict = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(dictRows: _*), freqRows.schema)
+    toks.join(broadcast(dict), Seq("tok"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_toks"),
         round(avg(log(col("cnt").cast("double") / total)), 6).as("logprob"))

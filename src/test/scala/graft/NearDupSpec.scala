@@ -406,4 +406,13 @@ class NearDupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(out == again)
   }
+
+  test("embedding LSH routed path returns empty on empty input (no NPE)") {
+    // round-7 ADVICE: the bucket-size probe's global max over zero groups
+    // is a null row — must take the fast path, not throw
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val pairs = EmbeddingLSH.candidatePairsRouted(
+      empty, "vec_id", "embedding", numBands = 3, planesPerBand = 2, dim = 4)
+    assert(pairs.collect().isEmpty)
+  }
 }

@@ -175,6 +175,34 @@ class TemporalOpsSpec extends SparkSpec {
     assert(df === Set(("click", 2L, 2L, Some(7L)), ("view", 1L, 0L, None)))
   }
 
+  test("rangeJoin handles negative (pre-epoch) timestamps — floor bucketing") {
+    // `div` truncates toward zero; the bucket expression must FLOOR, or a
+    // build row at a negative ts lands in a bucket neither probe replica
+    // covers and the match silently disappears (round-7 ADVICE).
+    val rnd = new scala.util.Random(21)
+    val w = 100L
+    val probe = (0 until 200).map(i =>
+      (rnd.nextInt(4).toLong, (rnd.nextInt(2000) - 1000).toLong, i.toLong))
+    val build = (0 until 300).map(i =>
+      (rnd.nextInt(4).toLong, (rnd.nextInt(2000) - 1000).toLong, (9000 + i).toLong))
+    val got = graft.operators.RangeJoin
+      .joinPreceding(probe.toDF("k", "t", "id"), build.toDF("k", "bt", "bid"),
+        "k", "t", "bt", w)
+      .select("id", "bid").as[(Long, Long)].collect().toSet
+    val naive = (for {
+      (pk, pt, pid) <- probe
+      (bk, bt, bid) <- build
+      if pk == bk && bt >= pt - w && bt <= pt
+    } yield (pid, bid)).toSet
+    assert(got === naive)
+    // the specific failure shape: probe at t=0 must see build at bt=-1
+    val one = graft.operators.RangeJoin
+      .joinPreceding(Seq((1L, 0L, 1L)).toDF("k", "t", "id"),
+        Seq((1L, -1L, 2L)).toDF("k", "bt", "bid"), "k", "t", "bt", w)
+      .select("id", "bid").as[(Long, Long)].collect().toSet
+    assert(one === Set((1L, 2L)))
+  }
+
   private implicit class SeqToMap2[A, B, C](s: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = s.map(x => x._1 -> ((x._2, x._3))).toMap
   }
