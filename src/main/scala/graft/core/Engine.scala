@@ -65,6 +65,38 @@ class Engine(val spark: SparkSession, val root: String) {
     })
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Per-db monitor serializing every catalog read-modify-write (add,
+    * remove, compact, the train swap, the post-train drain). The
+    * reference serializes the same sections with its LMDB/faiss locks
+    * (fastapi.py:23-28); queries stay lock-free — they read an immutable
+    * snapshot resolved through one atomic catalog load.
+    */
+  private val dbLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def dbLock(name: String): Object =
+    dbLocks.getOrElseUpdate(name, new Object)
+
+  /** M5/M6 — training-operation status per db, reference parity with the
+    * `operations` dict behind GET /db/{name}/train (fastapi.py:262-338):
+    * "not started" → "in progress" → "trained" (index swapped, drain of
+    * during-train adds running) → "complete"; "failed" on any error OR
+    * when the train produced no new index (the reference's swap finds
+    * `new_faiss_index is None` → "failed", which is also what its <5000
+    * bypass reports).
+    */
+  private val trainOps = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** GET /db/{name}/train parity (fastapi.py:334-338). */
+  def trainingStatus(name: String): String = trainOps.getOrElse(name, "not started")
+
+  /** Atomically claim the training slot (fastapi.py:314-326 rejects a
+    * second train while one is in progress).
+    */
+  private def beginTraining(name: String): Unit = dbLock(name).synchronized {
+    require(trainingStatus(name) != "in progress",
+      s"database '$name' is in the process of training already")
+    trainOps(name) = "in progress"
+  }
+
   /** Cache-budget control (fastapi.py `update_max_memory_usage`). */
   def updateMaxMemoryUsage(bytes: Long): Unit = indexCache.updateMaxMemory(bytes)
 
@@ -115,11 +147,16 @@ class Engine(val spark: SparkSession, val root: String) {
 
   def exists(name: String): Boolean = Catalog.exists(root, name)
 
-  /** S12 — drop db (mindb.py:549-551). */
-  def delete(name: String): Unit = {
+  /** S12 — drop db (mindb.py:549-551). A drop while a train is in flight
+    * is allowed (the reference's cleanup re-checks existence,
+    * fastapi.py:218-222); the training swap re-checks the catalog and
+    * fails cleanly.
+    */
+  def delete(name: String): Unit = dbLock(name).synchronized {
     indexCache.removeIf { case (n, _) => n == name }
     dropModelBroadcasts(name, keepBelow = Int.MaxValue)
     Catalog.delete(root, name)
+    if (trainingStatus(name) != "in progress") trainOps.remove(name)
   }
 
   /** Main table of the current snapshot (deletion vectors applied). */
@@ -163,7 +200,7 @@ class Engine(val spark: SparkSession, val root: String) {
     * window: `zipWithIndex` does one count pass per partition and assigns
     * offset-based indices fully distributed.
     */
-  def add(name: String, rows: DataFrame): (Long, Long) = {
+  def add(name: String, rows: DataFrame): (Long, Long) = dbLock(name).synchronized {
     var doc = load(name)
     val d0 = doc.vectorDimension
     // A7 — dimension inference costs one extra driver job; only pay it on
@@ -255,7 +292,7 @@ class Engine(val spark: SparkSession, val root: String) {
     * Returns the number of rows actually deleted.
     */
   def remove(name: String, ids: Seq[Long],
-             compactionThreshold: Double = Engine.CompactionThreshold): Long = {
+             compactionThreshold: Double = Engine.CompactionThreshold): Long = dbLock(name).synchronized {
     require(ids.forall(_ >= 0), "negative ids found; all ids must be non-negative")
     var doc = load(name)
     val idDf = spark.createDataFrame(ids.distinct.map(Tuple1(_))).toDF("id")
@@ -290,9 +327,17 @@ class Engine(val spark: SparkSession, val root: String) {
     * versions atomically, reset the deletes table. Idempotent no-op when
     * nothing is pending.
     */
-  def compact(name: String): CatalogDoc = {
+  def compact(name: String): CatalogDoc = dbLock(name).synchronized {
     var doc = load(name)
     if (doc.numPendingDeletes == 0) return doc
+    // Deferred while a train is in flight (the reference defers LMDB
+    // removal the same way, fastapi.py:191-205): a compaction here would
+    // bump the index version the training swap already allocated. The
+    // post-train drain re-checks the threshold and compacts then.
+    if (trainingStatus(name) == "in progress") {
+      log.info(s"compaction of '$name' deferred: training in progress")
+      return doc
+    }
     val old = doc
     val newVersion = doc.dataVersion + 1
     snapshot(doc).write.mode("overwrite").parquet(s"$root/$name/data/v$newVersion")
@@ -484,6 +529,19 @@ class Engine(val spark: SparkSession, val root: String) {
     * IVFPQ. No-op below the flat floor (T3, mindb.py:276-287);
     * `minTrainRows` lowers that floor for fixtures/tests only — the
     * reference default stands for real callers.
+    *
+    * Safe to run CONCURRENTLY with adds/removes on the same db (M5/M6 —
+    * the reference's training-thread semantics, fastapi.py:246-311):
+    * training reads a PINNED snapshot (file listing frozen at start, plus
+    * an `id <= snapshotMaxId` fence); the swap recomputes the churn
+    * counters from the then-live rows so mutations that landed mid-train
+    * reconcile exactly; and a post-swap drain encodes rows added during
+    * training into the new coded table (the reference's
+    * `unassigned_vectors` cleanup, fastapi.py:264-287) — after "complete",
+    * every live row is servable from the trained index. Status lifecycle
+    * via [[trainingStatus]]. `onSnapshot` is a deterministic test seam:
+    * called once, right after the snapshot is pinned — mutations made
+    * inside it are by construction "during training".
     */
   def train(name: String,
             params: Option[IndexParams] = None,
@@ -491,12 +549,93 @@ class Engine(val spark: SparkSession, val root: String) {
             kmeansIters: Int = 25,
             maxMemoryUsage: Long = Engine.DefaultMaxMemoryUsage,
             seed: Long = 42L,
-            minTrainRows: Int = Heuristics.FlatIndexFloor): CatalogDoc = {
-    var doc = load(name)
-    val table = snapshot(doc)
-      .select("id", "vector")
+            minTrainRows: Int = Heuristics.FlatIndexFloor,
+            onSnapshot: () => Unit = () => ()): CatalogDoc = {
+    beginTraining(name)
+    try {
+      val (doc, didTrain, snapshotMaxId, reconcileTo) = trainImpl(name, params,
+        useTwoLevelClustering, kmeansIters, maxMemoryUsage, seed, minTrainRows,
+        onSnapshot)
+      if (!didTrain) {
+        // reference parity: a train that produced no new index reports
+        // "failed" at the status endpoint (fastapi.py:288-296)
+        trainOps(name) = "failed"
+        doc
+      } else {
+        trainOps(name) = "trained"
+        val out = reconcileAfterTrain(name, snapshotMaxId, reconcileTo)
+        trainOps(name) = "complete"
+        out
+      }
+    } catch {
+      case e: Throwable => trainOps(name) = "failed"; throw e
+    }
+  }
+
+  /** The async training verb (POST /db/{name}/train, fastapi.py:314-331):
+    * claims the training slot, runs [[train]] on a background thread, and
+    * returns immediately. Progress via [[trainingStatus]]; failures are
+    * logged and reported as status "failed" (T20 — the catalog is left
+    * untouched). Adds/removes/queries against the db proceed while it
+    * runs; join the returned thread to wait for "complete".
+    */
+  def trainAsync(name: String,
+                 params: Option[IndexParams] = None,
+                 useTwoLevelClustering: Option[Boolean] = None,
+                 kmeansIters: Int = 25,
+                 maxMemoryUsage: Long = Engine.DefaultMaxMemoryUsage,
+                 seed: Long = 42L,
+                 minTrainRows: Int = Heuristics.FlatIndexFloor,
+                 onSnapshot: () => Unit = () => ()): Thread = {
+    beginTraining(name)
+    val t = new Thread(() => {
+      try {
+        val (_, didTrain, snapshotMaxId, reconcileTo) = trainImpl(name, params,
+          useTwoLevelClustering, kmeansIters, maxMemoryUsage, seed, minTrainRows,
+          onSnapshot)
+        if (!didTrain) trainOps(name) = "failed"
+        else {
+          trainOps(name) = "trained"
+          reconcileAfterTrain(name, snapshotMaxId, reconcileTo)
+          trainOps(name) = "complete"
+        }
+      } catch {
+        case e: Throwable =>
+          log.warn(s"async train of '$name' failed: ${e.getMessage}")
+          trainOps(name) = "failed"
+      }
+    }, s"graft-train-$name")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  /** Returns (finalDoc, didTrain, snapshotMaxId, reconcileTo): the swap
+    * runs inside the db lock; `reconcileTo` is the highest id assigned
+    * when the swap landed — ids in (snapshotMaxId, reconcileTo] were
+    * added DURING training and still need encoding into the new coded
+    * table (ids above it arrive after the swap and go through the normal
+    * A6 incremental-insert path).
+    */
+  private def trainImpl(name: String,
+            params: Option[IndexParams],
+            useTwoLevelClustering: Option[Boolean],
+            kmeansIters: Int,
+            maxMemoryUsage: Long,
+            seed: Long,
+            minTrainRows: Int,
+            onSnapshot: () => Unit): (CatalogDoc, Boolean, Long, Long) = {
+    // Pin the training snapshot under the lock: the parquet file listing
+    // is frozen when the DataFrame resolves, and the id fence excludes
+    // any row a concurrent add assigns after this point.
+    val (doc, pinnedFull, snapshotMaxId) = dbLock(name).synchronized {
+      val d = load(name)
+      (d, snapshot(d).filter(col("id") <= d.maxId), d.maxId)
+    }
+    onSnapshot() // test seam — deterministic "during training" window
+    val table = pinnedFull.select("id", "vector")
     val n = table.count()
-    if (n < minTrainRows) return doc // T3 small-db bypass
+    if (n < minTrainRows) return (doc, false, snapshotMaxId, snapshotMaxId) // T3 small-db bypass
 
     val d = doc.vectorDimension
     // T2 — train validation (input_validation.py:15-51)
@@ -520,7 +659,6 @@ class Engine(val spark: SparkSession, val root: String) {
         "pca_dimension must be divisible by compressed_vector_bytes")
     val nlist = math.max(1, Heuristics.numClusters(n))
     val nprobe = math.max(1, Heuristics.nProbe(nlist))
-    val snapshotMaxId = doc.maxId
 
     // T10 — PCA fit on a 100·d sample; optional OPQ rotation fit in PCA
     // space, composed into ONE effective projection matrix (Pca.compose)
@@ -576,23 +714,64 @@ class Engine(val spark: SparkSession, val root: String) {
     // the covering coded table (vector + metadata ride along so serving
     // never rescans the base table)
     val model = IndexModel(pca, centroids, pq)
+    // the index version is stable for the whole train: the only other
+    // writers that bump it (compact, coded-table bin-packing) defer while
+    // the status is "in progress"
     val newVersion = doc.indexVersion + 1
     val indexDir = s"$root/$name/index/v$newVersion"
-    writeCoded(snapshot(doc), model, s"$indexDir/coded")
+    writeCoded(pinnedFull, model, s"$indexDir/coded")
     IndexStore.saveModel(spark, indexDir, model)
 
-    // T19 — atomic swap + counter reset
-    val oldIndexPath = if (doc.isTrained) Some(doc.indexPath(root)) else None
-    doc = Catalog.withParams(doc, p, nlist, nprobe).copy(
-      indexVersion = newVersion,
-      maxTrainedId = snapshotMaxId,
-      numVectorsTrainedOn = n,
-      numTrainedVectorsRemoved = 0L,
-      numNewVectors = math.max(0L, doc.maxId - snapshotMaxId))
-    Catalog.save(root, doc)
-    oldIndexPath.foreach(markSuperseded(_))
-    doc
+    // T19 — atomic swap. Counters are RECOMPUTED from the then-live rows
+    // (not carried from train start) so adds/removes that landed during
+    // training reconcile exactly: trained_on = snapshot size, removed =
+    // snapshot rows no longer live, new = live rows past the snapshot
+    // fence (reference counter semantics, mindb.py:459-489 +
+    // test_fastapi.py:102-152's 32,000 / 0.9375 assertions).
+    dbLock(name).synchronized {
+      require(Catalog.exists(root, name), s"'$name' was dropped during training")
+      var cur = load(name)
+      val live = snapshot(cur).agg(
+        sum(when(col("id") <= snapshotMaxId, 1L).otherwise(0L)),
+        sum(when(col("id") > snapshotMaxId, 1L).otherwise(0L))).first()
+      val liveTrained = if (live.isNullAt(0)) 0L else live.getLong(0)
+      val liveNew = if (live.isNullAt(1)) 0L else live.getLong(1)
+      val oldIndexPath = if (cur.isTrained) Some(cur.indexPath(root)) else None
+      val reconcileTo = cur.maxId
+      cur = Catalog.withParams(cur, p, nlist, nprobe).copy(
+        indexVersion = newVersion,
+        maxTrainedId = snapshotMaxId,
+        numVectorsTrainedOn = n,
+        numTrainedVectorsRemoved = n - liveTrained,
+        numNewVectors = liveNew)
+      Catalog.save(root, cur)
+      oldIndexPath.foreach(markSuperseded(_))
+      (cur, true, snapshotMaxId, reconcileTo)
+    }
   }
+
+  /** Post-swap reconciliation (the reference's `unassigned_vectors` drain
+    * + deferred-removal cleanup, fastapi.py:264-287, 215-243): encode the
+    * live rows added during training — ids in (snapshotMaxId,
+    * reconcileTo] — into the NEW coded table, then apply any compaction
+    * the in-progress guard deferred. After this returns, the coded table
+    * serves every live row (`n_total == num_vectors` in reference terms).
+    */
+  private def reconcileAfterTrain(name: String, snapshotMaxId: Long,
+                                  reconcileTo: Long): CatalogDoc =
+    dbLock(name).synchronized {
+      var doc = load(name)
+      if (doc.isTrained && reconcileTo > snapshotMaxId) {
+        val pending = snapshot(doc)
+          .filter(col("id") > snapshotMaxId && col("id") <= reconcileTo)
+        appendToCodedTable(doc, indexModel(doc), pending)
+      }
+      val physicalRows = doc.maxId + 1
+      if (physicalRows > 0 &&
+          doc.numPendingDeletes.toDouble / physicalRows >= Engine.CompactionThreshold)
+        doc = compact(name)
+      doc
+    }
 
   /** `(id, pvec)` PCA-space view of `(id, vector)` rows. Identity PCA is a
     * plain cast (no d×d matmul); otherwise the matrix ships as a broadcast.
@@ -642,6 +821,9 @@ class Engine(val spark: SparkSession, val root: String) {
   private def maybeCompactCoded(name: String): Unit = {
     val doc = load(name)
     if (!doc.isTrained) return
+    // defers while a train is in flight — same version-allocation rule
+    // as compact(); the post-train drain's threshold check picks it up
+    if (trainingStatus(name) == "in progress") return
     val clusters = math.max(1, doc.numClusters)
     val files = codedFileCount(doc)
     if (files <= Engine.CodedFilesPerCluster * clusters) return
@@ -759,10 +941,11 @@ class Engine(val spark: SparkSession, val root: String) {
   def maybeAutoTrain(name: String, kmeansIters: Int = 25): Boolean = {
     val doc = load(name)
     val n = count(name)
+    val inProgress = trainingStatus(name) == "in progress"
     val due =
-      Heuristics.needsInitialTraining(n, !doc.isTrained, trainingInProgress = false) ||
+      Heuristics.needsInitialTraining(n, !doc.isTrained, inProgress) ||
         (doc.isTrained && Heuristics.needsRetraining(n, coverageRatio(name),
-          trainingInProgress = false))
+          inProgress))
     if (due) { train(name, kmeansIters = kmeansIters); true } else false
   }
 
