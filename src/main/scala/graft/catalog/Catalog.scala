@@ -33,7 +33,10 @@ final case class CatalogDoc(
     opqDimension: Int,
     compressedVectorBytes: Int,
     numClusters: Int,
-    nProbe: Int) {
+    nProbe: Int,
+    usedTwoLevel: Int,             // T7 decision at last train: -1 never, 0 subsample, 1 two-level
+    createdAt: Long) {             // creation stamp — a train started against an older
+                                   // incarnation must never swap onto a drop+recreate
 
   def isTrained: Boolean = indexVersion >= 0
 
@@ -48,7 +51,8 @@ object CatalogDoc {
       numTrainedVectorsRemoved = 0L, numNewVectors = 0L,
       numPendingDeletes = 0L,
       pcaDimension = -1, opqDimension = -1, compressedVectorBytes = -1,
-      numClusters = -1, nProbe = -1)
+      numClusters = -1, nProbe = -1, usedTwoLevel = -1,
+      createdAt = System.nanoTime())
 }
 
 /** Tiny flat-JSON codec + atomic file swap for the catalog doc. All fields
@@ -89,7 +93,9 @@ object Catalog {
          |  "opqDimension": ${doc.opqDimension},
          |  "compressedVectorBytes": ${doc.compressedVectorBytes},
          |  "numClusters": ${doc.numClusters},
-         |  "nProbe": ${doc.nProbe}
+         |  "nProbe": ${doc.nProbe},
+         |  "usedTwoLevel": ${doc.usedTwoLevel},
+         |  "createdAt": ${doc.createdAt}
          |}""".stripMargin
     // write-then-move so a concurrent reader never sees a torn doc
     val tmp = dir.resolve("catalog.json.tmp")
@@ -104,6 +110,9 @@ object Catalog {
     def str(k: String): String =
       s""""$k"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(raw)
         .map(_.group(1)).getOrElse(sys.error(s"catalog missing $k"))
+    def numOr(k: String, default: Long): Long =
+      s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(raw)
+        .map(_.group(1).toLong).getOrElse(default)
     def num(k: String): Long =
       s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(raw)
         .map(_.group(1).toLong).getOrElse(sys.error(s"catalog missing $k"))
@@ -113,7 +122,9 @@ object Catalog {
       num("numNewVectors"), num("numPendingDeletes"),
       num("pcaDimension").toInt,
       num("opqDimension").toInt, num("compressedVectorBytes").toInt,
-      num("numClusters").toInt, num("nProbe").toInt)
+      num("numClusters").toInt, num("nProbe").toInt,
+      // both absent from pre-r9 catalogs — defaults keep old roots loadable
+      numOr("usedTwoLevel", -1L).toInt, numOr("createdAt", 0L))
   }
 
   def delete(root: String, name: String): Unit =

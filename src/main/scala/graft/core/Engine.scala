@@ -82,23 +82,77 @@ class Engine(val spark: SparkSession, val root: String) {
     * when the train produced no new index (the reference's swap finds
     * `new_faiss_index is None` → "failed", which is also what its <5000
     * bypass reports).
+    *
+    * Each entry is tagged with the owning train's EPOCH: a train may only
+    * transition the status it claimed. Reference parity allows a second
+    * train to claim the slot once the first reaches "trained" (its drain
+    * still running — fastapi.py:314-326 only rejects "in progress"), so
+    * without the tag the first train's final "complete"/"failed" write
+    * would clobber the second's "in progress" — silently disabling the
+    * double-train guard and the compaction deferral while it runs.
     */
-  private val trainOps = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val trainOps = scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+  private val trainEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** GET /db/{name}/train parity (fastapi.py:334-338). */
-  def trainingStatus(name: String): String = trainOps.getOrElse(name, "not started")
+  def trainingStatus(name: String): String =
+    trainOps.get(name).map(_._2).getOrElse("not started")
 
   /** Atomically claim the training slot (fastapi.py:314-326 rejects a
-    * second train while one is in progress).
+    * second train while one is in progress). Returns the claim's epoch —
+    * the token every later status transition must present.
     */
-  private def beginTraining(name: String): Unit = dbLock(name).synchronized {
-    require(trainingStatus(name) != "in progress",
-      s"database '$name' is in the process of training already")
-    trainOps(name) = "in progress"
+  private def beginTraining(name: String): Long = dbLock(name).synchronized {
+    if (trainingStatus(name) == "in progress")
+      throw new Engine.AlreadyTrainingException(
+        s"database '$name' is in the process of training already")
+    val e = trainEpoch.incrementAndGet()
+    trainOps(name) = (e, "in progress")
+    e
   }
+
+  /** CAS a status transition: applied only while the entry still carries
+    * `epoch` — a train that lost its slot (db dropped, or a newer train
+    * claimed after "trained") writes nothing.
+    */
+  @annotation.tailrec
+  private def setTrainStatus(name: String, epoch: Long, status: String): Unit =
+    trainOps.get(name) match {
+      case Some(cur @ (e, _)) if e == epoch =>
+        if (!trainOps.replace(name, cur, (epoch, status)))
+          setTrainStatus(name, epoch, status)
+      case _ => ()
+    }
+
+  /** Remove the entry iff this train still owns it (drop-during-train
+    * cleanup: a deleted db must read "not started", not a stale "failed").
+    */
+  private def clearTrainStatus(name: String, epoch: Long): Unit =
+    trainOps.get(name) match {
+      case Some(cur @ (e, _)) if e == epoch => trainOps.remove(name, cur)
+      case _ => ()
+    }
 
   /** Cache-budget control (fastapi.py `update_max_memory_usage`). */
   def updateMaxMemoryUsage(bytes: Long): Unit = indexCache.updateMaxMemory(bytes)
+
+  /** M1 tail — GET /db/view_cache parity (fastapi.py:447-457): the cached
+    * db names (deduped across index versions) plus the current/max memory
+    * of the model cache. Keys only, never the artifacts.
+    */
+  def viewCache(): Engine.CacheView = Engine.CacheView(
+    indexCache.keys.map(_._1).distinct.sorted,
+    indexCache.memoryUsage, indexCache.maxMemory)
+
+  /** M1 tail — POST /db/{name}/remove_from_cache parity
+    * (fastapi.py:460-470): drop every cached index version of `name` and
+    * release the matching model broadcasts + coded frames. The db itself
+    * is untouched — the next query reloads from disk.
+    */
+  def removeFromCache(name: String): Unit = {
+    indexCache.removeIf { case (n, _) => n == name }
+    dropModelBroadcasts(name, keepBelow = Int.MaxValue)
+  }
 
   // ---------------------------------------------------------------- schema
 
@@ -135,6 +189,14 @@ class Engine(val spark: SparkSession, val root: String) {
   def create(name: String, vectorDimension: Int = -1): CatalogDoc = {
     Catalog.validateName(name)
     require(!Catalog.exists(root, name), s"database '$name' already exists")
+    // a terminal status left by a previous incarnation (e.g. trained then
+    // dropped) must not leak onto the fresh db; a live train keeps its
+    // entry — it will fail its swap's incarnation check and self-clean
+    trainOps.get(name) match {
+      case Some(cur @ (_, s)) if s == "failed" || s == "complete" =>
+        trainOps.remove(name, cur)
+      case _ => ()
+    }
     val doc = CatalogDoc.empty(name, vectorDimension)
     Catalog.save(root, doc)
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
@@ -550,8 +612,10 @@ class Engine(val spark: SparkSession, val root: String) {
             maxMemoryUsage: Long = Engine.DefaultMaxMemoryUsage,
             seed: Long = 42L,
             minTrainRows: Int = Heuristics.FlatIndexFloor,
-            onSnapshot: () => Unit = () => ()): CatalogDoc = {
-    beginTraining(name)
+            onSnapshot: () => Unit = () => (),
+            onSwapped: () => Unit = () => ()): CatalogDoc = {
+    val epoch = beginTraining(name)
+    val incarnation = scala.util.Try(load(name).createdAt).getOrElse(-1L)
     try {
       val (doc, didTrain, snapshotMaxId, reconcileTo) = trainImpl(name, params,
         useTwoLevelClustering, kmeansIters, maxMemoryUsage, seed, minTrainRows,
@@ -559,18 +623,33 @@ class Engine(val spark: SparkSession, val root: String) {
       if (!didTrain) {
         // reference parity: a train that produced no new index reports
         // "failed" at the status endpoint (fastapi.py:288-296)
-        trainOps(name) = "failed"
+        setTrainStatus(name, epoch, "failed")
         doc
       } else {
-        trainOps(name) = "trained"
+        setTrainStatus(name, epoch, "trained")
+        onSwapped() // test seam — deterministic swapped-but-draining window
         val out = reconcileAfterTrain(name, snapshotMaxId, reconcileTo)
-        trainOps(name) = "complete"
+        setTrainStatus(name, epoch, "complete")
         out
       }
     } catch {
-      case e: Throwable => trainOps(name) = "failed"; throw e
+      case e: Throwable => failTrainStatus(name, epoch, incarnation, e); throw e
     }
   }
+
+  /** Failure-path status: a db that no longer exists — or exists only as a
+    * NEWER incarnation (dropped and recreated while this train ran; its
+    * pinned files vanishing is a typical proximate failure) — gets its
+    * entry CLEARED: trainingStatus must read "not started", never a stale
+    * "failed" leaked from a previous incarnation. Every genuine failure of
+    * a still-live db reports "failed".
+    */
+  private def failTrainStatus(name: String, epoch: Long, incarnation: Long,
+                              e: Throwable): Unit =
+    if (e.isInstanceOf[Engine.DroppedDuringTrainingException] ||
+        scala.util.Try(load(name).createdAt).getOrElse(-1L) != incarnation)
+      clearTrainStatus(name, epoch)
+    else setTrainStatus(name, epoch, "failed")
 
   /** The async training verb (POST /db/{name}/train, fastapi.py:314-331):
     * claims the training slot, runs [[train]] on a background thread, and
@@ -586,23 +665,26 @@ class Engine(val spark: SparkSession, val root: String) {
                  maxMemoryUsage: Long = Engine.DefaultMaxMemoryUsage,
                  seed: Long = 42L,
                  minTrainRows: Int = Heuristics.FlatIndexFloor,
-                 onSnapshot: () => Unit = () => ()): Thread = {
-    beginTraining(name)
+                 onSnapshot: () => Unit = () => (),
+                 onSwapped: () => Unit = () => ()): Thread = {
+    val epoch = beginTraining(name)
+    val incarnation = scala.util.Try(load(name).createdAt).getOrElse(-1L)
     val t = new Thread(() => {
       try {
         val (_, didTrain, snapshotMaxId, reconcileTo) = trainImpl(name, params,
           useTwoLevelClustering, kmeansIters, maxMemoryUsage, seed, minTrainRows,
           onSnapshot)
-        if (!didTrain) trainOps(name) = "failed"
+        if (!didTrain) setTrainStatus(name, epoch, "failed")
         else {
-          trainOps(name) = "trained"
+          setTrainStatus(name, epoch, "trained")
+          onSwapped()
           reconcileAfterTrain(name, snapshotMaxId, reconcileTo)
-          trainOps(name) = "complete"
+          setTrainStatus(name, epoch, "complete")
         }
       } catch {
         case e: Throwable =>
           log.warn(s"async train of '$name' failed: ${e.getMessage}")
-          trainOps(name) = "failed"
+          failTrainStatus(name, epoch, incarnation, e)
       }
     }, s"graft-train-$name")
     t.setDaemon(true)
@@ -729,7 +811,12 @@ class Engine(val spark: SparkSession, val root: String) {
     // fence (reference counter semantics, mindb.py:459-489 +
     // test_fastapi.py:102-152's 32,000 / 0.9375 assertions).
     dbLock(name).synchronized {
-      require(Catalog.exists(root, name), s"'$name' was dropped during training")
+      // same-name is not enough: a drop + recreate during training must
+      // not receive the old incarnation's index (the coded table would
+      // serve rows the new db never had) — the creation stamp pins it
+      if (!Catalog.exists(root, name) ||
+          load(name).createdAt != doc.createdAt)
+        throw new Engine.DroppedDuringTrainingException(name)
       var cur = load(name)
       val live = snapshot(cur).agg(
         sum(when(col("id") <= snapshotMaxId, 1L).otherwise(0L)),
@@ -739,6 +826,7 @@ class Engine(val spark: SparkSession, val root: String) {
       val oldIndexPath = if (cur.isTrained) Some(cur.indexPath(root)) else None
       val reconcileTo = cur.maxId
       cur = Catalog.withParams(cur, p, nlist, nprobe).copy(
+        usedTwoLevel = if (twoLevel) 1 else 0,
         indexVersion = newVersion,
         maxTrainedId = snapshotMaxId,
         numVectorsTrainedOn = n,
@@ -770,7 +858,11 @@ class Engine(val spark: SparkSession, val root: String) {
       if (physicalRows > 0 &&
           doc.numPendingDeletes.toDouble / physicalRows >= Engine.CompactionThreshold)
         doc = compact(name)
-      doc
+      // a coded-table bin-pack the in-progress guard deferred is applied
+      // here too (both no-op below their thresholds, or re-defer if a
+      // SECOND train already claimed the slot during our drain window)
+      maybeCompactCoded(name)
+      load(name)
     }
 
   /** `(id, pvec)` PCA-space view of `(id, vector)` rows. Identity PCA is a
@@ -822,7 +914,7 @@ class Engine(val spark: SparkSession, val root: String) {
     val doc = load(name)
     if (!doc.isTrained) return
     // defers while a train is in flight — same version-allocation rule
-    // as compact(); the post-train drain's threshold check picks it up
+    // as compact(); reconcileAfterTrain re-runs this check post-drain
     if (trainingStatus(name) == "in progress") return
     val clusters = math.max(1, doc.numClusters)
     val files = codedFileCount(doc)
@@ -946,7 +1038,13 @@ class Engine(val spark: SparkSession, val root: String) {
       Heuristics.needsInitialTraining(n, !doc.isTrained, inProgress) ||
         (doc.isTrained && Heuristics.needsRetraining(n, coverageRatio(name),
           inProgress))
-    if (due) { train(name, kmeansIters = kmeansIters); true } else false
+    if (due) {
+      // two sweeps can both compute due=true before either claims the
+      // slot — the loser observes the documented Boolean, not the claim
+      // rejection (the winner's train covers the need)
+      try { train(name, kmeansIters = kmeansIters); true }
+      catch { case _: Engine.AlreadyTrainingException => false }
+    } else false
   }
 
   /** All databases under this engine root (catalog-backed directories). */
@@ -1067,6 +1165,24 @@ object Engine {
   /** Per-db outcome of one [[Engine.maintenanceSweep]] pass. */
   final case class SweepResult(db: String, trained: Boolean,
                                compacted: Boolean, vacuumed: Int)
+
+  /** GET /db/view_cache response shape (fastapi.py:447-457). */
+  final case class CacheView(cachedDbs: Seq[String], currentMemoryUsage: Long,
+                             maxMemoryUsage: Long)
+
+  /** The double-train rejection (fastapi.py:314-326) — a typed rejection
+    * so callers (maybeAutoTrain, schedulers) can distinguish "someone
+    * already trains this db" from a genuine argument error.
+    */
+  final class AlreadyTrainingException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** The db was dropped (or dropped and recreated) while its train was in
+    * flight — the train aborts and clears its status entry (the reference's
+    * cleanup re-checks existence, fastapi.py:218-222).
+    */
+  final class DroppedDuringTrainingException(name: String)
+    extends IllegalStateException(s"'$name' was dropped during training")
 
   /** Actual driver bytes of a loaded IndexModel (centroids + codebooks +
     * PCA matrix), the LRU eviction cost.

@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Vocabulary ceiling for [[unigramLogProb]]'s driver-materialized
+    * dictionary: 20M types ≈ 1-2 GB driver heap — far beyond any natural
+    * language's Zipf vocabulary, low enough to fail loud before an OOM.
+    */
+  val MaxUnigramVocab: Long = 20L * 1000 * 1000
+
   /** Stopword profiles per language, alphabetical by code — the n-gram
     * heuristic's model. Tiny by design; swap in real profiles at will.
     */
@@ -268,7 +274,22 @@ object TextAnalysis {
     // life of the session (the old persisted frame could never be
     // unpersisted safely because the returned lazy plan referenced it).
     val freqRows = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val dictRows = freqRows.collect() // vocabulary-sized (Zipf)
+    // Guard before collecting: natural-language vocabularies are Zipf
+    // (≲ millions of types at any corpus size), but an adversarial corpus
+    // of random strings grows the dictionary with the corpus — collecting
+    // that OOMs the driver. Count executor-side and fail loud with the
+    // remedy instead; the short-lived cache keeps the corpus pass single
+    // (count and collect read the same materialized aggregate).
+    freqRows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dictRows =
+      try {
+        val vocabSize = freqRows.count()
+        require(vocabSize <= MaxUnigramVocab,
+          s"unigramLogProb: vocabulary has $vocabSize types (> $MaxUnigramVocab). " +
+            "The dictionary must be broadcast-small; pre-filter tokens (min " +
+            "frequency, length caps) or score against a fixed dictionary.")
+        freqRows.collect()
+      } finally freqRows.unpersist()
     val total = dictRows.iterator.map(_.getLong(1)).sum.max(1L)
     val dict = df.sparkSession.createDataFrame(
       java.util.Arrays.asList(dictRows: _*), freqRows.schema)
