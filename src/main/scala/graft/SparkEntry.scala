@@ -686,11 +686,20 @@ object SparkEntry {
         |UNION ALL SELECT 'add_failure_max_id', CAST(c - 1 AS DOUBLE) FROM f
         |UNION ALL SELECT 'query_dim_mismatch_rejected', 1.0
         |UNION ALL SELECT 'train_small_bypass_trained', 0.0
+        |UNION ALL SELECT 'status_bypass_failed', 1.0
         |UNION ALL SELECT 'train_invalid_params_rejected', 1.0
+        |UNION ALL SELECT 'status_invalid_failed', 1.0
         |UNION ALL SELECT 'train_failure_trained', 0.0
         |UNION ALL SELECT 'train_failure_live', CAST(live AS DOUBLE) FROM f
         |UNION ALL SELECT 'train_failure_data_version', 1.0
         |UNION ALL SELECT 'dim_inferred', CAST(dim AS DOUBLE) FROM f
+        |UNION ALL SELECT 'status_real_in_progress', 1.0
+        |UNION ALL SELECT 'status_real_trained_at_swap', 1.0
+        |UNION ALL SELECT 'status_real_complete', 1.0
+        |UNION ALL SELECT 'train_real_two_level',
+        |  CAST(CASE WHEN (CAST(trunc((CAST(4294967296 AS DOUBLE)
+        |    / (live * dim * 4 * 3)) * live) AS BIGINT) // nlist) < 39
+        |    THEN 1 ELSE 0 END AS DOUBLE) FROM f
         |UNION ALL SELECT 'train_real_trained', 1.0
         |UNION ALL SELECT 'train_real_trained_on', CAST(live AS DOUBLE) FROM f
         |UNION ALL SELECT 'train_real_new', 0.0
@@ -704,7 +713,17 @@ object SparkEntry {
         |UNION ALL SELECT 'posttrain_add_max_id', CAST(c + 9 AS DOUBLE) FROM f
         |UNION ALL SELECT 'posttrain_coverage',
         |  round(CAST(live AS DOUBLE) / (live + 10), 6) FROM f
-        |UNION ALL SELECT 'posttrain_autotrain_due', 0.0""".stripMargin
+        |UNION ALL SELECT 'posttrain_autotrain_due', 0.0
+        |UNION ALL SELECT 'async_status_in_progress', 1.0
+        |UNION ALL SELECT 'async_double_train_rejected', 1.0
+        |UNION ALL SELECT 'async_status_complete', 1.0
+        |UNION ALL SELECT 'async_retrain_trained_on', CAST(live + 10 AS DOUBLE) FROM f
+        |UNION ALL SELECT 'async_retrain_new', 0.0
+        |UNION ALL SELECT 'drop_during_train_status_cleared', 1.0
+        |UNION ALL SELECT 'cache_view_has_db', 1.0
+        |UNION ALL SELECT 'cache_view_mem_positive', 1.0
+        |UNION ALL SELECT 'cache_removed', 1.0
+        |UNION ALL SELECT 'cache_reload_rows', 5.0""".stripMargin
         .replace("FACTOR_EXPR", nprobeFactorSql("nlist")),
 
     // M3/M4 auto-(re)train trigger formulas over the churn grid: coverage

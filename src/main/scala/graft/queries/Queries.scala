@@ -1228,8 +1228,10 @@ object Queries {
         catch { case _: IllegalArgumentException => true }))
 
       // T3 — small-db bypass: train() below the flat-index floor returns
-      // without training
+      // without training, and the status endpoint reports "failed" (the
+      // reference's swap finds no new index, fastapi.py:288-296)
       out += ("train_small_bypass_trained" -> flag(eng.train("cp").isTrained))
+      out += ("status_bypass_failed" -> flag(eng.trainingStatus("cp") == "failed"))
 
       // T2/T20 — invalid params (pca_dimension > vector dim) rejected;
       // the failed train leaves the catalog untouched
@@ -1243,6 +1245,7 @@ object Queries {
       out += ("train_failure_trained" -> flag(doc.isTrained))
       out += ("train_failure_live" -> eng.count("cp").toDouble)
       out += ("train_failure_data_version" -> doc.dataVersion.toDouble)
+      out += ("status_invalid_failed" -> flag(eng.trainingStatus("cp") == "failed"))
 
       // A7 — first-add dimension inference: create with NO declared dim,
       // infer from the first batch
@@ -1254,10 +1257,24 @@ object Queries {
       // T19 (live, non-fixture) — a REAL train on the compacted db with
       // explicit small params: index swap resets the churn counters to
       // trained_on = n, new = removed = 0, coverage = 1, and picks the
-      // heuristic nlist/nprobe for the post-compaction count
+      // heuristic nlist/nprobe for the post-compaction count. The M5
+      // status lifecycle is captured in its deterministic windows via the
+      // seams: "in progress" inside the training window, "trained" in the
+      // swapped-but-draining window, "complete" after (fastapi.py:262-305).
+      var statusInTrain = ""
+      var statusAtSwap = ""
       eng.train("cp", params = Some(graft.index.IndexParams(16, 16, 8)),
-        minTrainRows = 1)
+        kmeansIters = 3, minTrainRows = 1,
+        onSnapshot = () => statusInTrain = eng.trainingStatus("cp"),
+        onSwapped = () => statusAtSwap = eng.trainingStatus("cp"))
+      out += ("status_real_in_progress" -> flag(statusInTrain == "in progress"))
+      out += ("status_real_trained_at_swap" -> flag(statusAtSwap == "trained"))
+      out += ("status_real_complete" -> flag(eng.trainingStatus("cp") == "complete"))
       doc = eng.load("cp")
+      // T7 — the strategy decision the LIVE train path took, recorded in
+      // the catalog at swap (subsampling here: the chooser flips to
+      // two-level only past ~63M vectors at d=64 / 4 GiB)
+      out += ("train_real_two_level" -> flag(doc.usedTwoLevel == 1))
       val nTrained = eng.count("cp")
       out += ("train_real_trained" -> flag(doc.isTrained))
       out += ("train_real_trained_on" -> doc.numVectorsTrainedOn.toDouble)
@@ -1285,6 +1302,59 @@ object Queries {
       // M3 — auto-train no-op: n is far below the 25k initial-training
       // cutoff and coverage is far above the 0.5 retrain cutoff
       out += ("posttrain_autotrain_due" -> flag(eng.maybeAutoTrain("cp")))
+
+      // M5 — the ASYNC training verb (POST /db/{name}/train): claim is
+      // observable as "in progress", a second train is rejected while it
+      // holds the slot (fastapi.py:314-326), and after join the retrain's
+      // swap recomputed the counters from the then-live rows
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val pinned = new java.util.concurrent.CountDownLatch(1)
+      val th = eng.trainAsync("cp",
+        params = Some(graft.index.IndexParams(16, 16, 8)),
+        kmeansIters = 3, minTrainRows = 1,
+        onSnapshot = () => { pinned.countDown(); gate.await() })
+      pinned.await()
+      out += ("async_status_in_progress" -> flag(
+        eng.trainingStatus("cp") == "in progress"))
+      out += ("async_double_train_rejected" -> flag(
+        try { eng.train("cp", minTrainRows = 1); false }
+        catch { case _: graft.core.Engine.AlreadyTrainingException => true }))
+      gate.countDown()
+      th.join(600000)
+      out += ("async_status_complete" -> flag(eng.trainingStatus("cp") == "complete"))
+      doc = eng.load("cp")
+      out += ("async_retrain_trained_on" -> doc.numVectorsTrainedOn.toDouble)
+      out += ("async_retrain_new" -> doc.numNewVectors.toDouble)
+
+      // S12/M5 — drop DURING training: the in-flight train observes the
+      // drop and clears its status entry — the name must read
+      // "not started" afterwards, never a stale "failed"
+      eng.create("dd", vectorDimension = 64)
+      eng.add("dd", emb)
+      val gate2 = new java.util.concurrent.CountDownLatch(1)
+      val pinned2 = new java.util.concurrent.CountDownLatch(1)
+      val th2 = eng.trainAsync("dd",
+        params = Some(graft.index.IndexParams(16, 16, 8)),
+        kmeansIters = 3, minTrainRows = 1,
+        onSnapshot = () => { pinned2.countDown(); gate2.await() })
+      pinned2.await()
+      eng.delete("dd")
+      gate2.countDown()
+      th2.join(600000)
+      out += ("drop_during_train_status_cleared" -> flag(
+        eng.trainingStatus("dd") == "not started"))
+
+      // M1 tail — cache introspection (view_cache / remove_from_cache,
+      // fastapi.py:447-470): a trained query loads the model into the LRU
+      // cache; removal drops it; the next query transparently reloads
+      val probe = Array.tabulate(64)(j => 0.01f * (j + 1))
+      eng.query("cp", probe, preliminaryTopK = 50, finalTopK = 5).count()
+      out += ("cache_view_has_db" -> flag(eng.viewCache().cachedDbs.contains("cp")))
+      out += ("cache_view_mem_positive" -> flag(eng.viewCache().currentMemoryUsage > 0))
+      eng.removeFromCache("cp")
+      out += ("cache_removed" -> flag(!eng.viewCache().cachedDbs.contains("cp")))
+      out += ("cache_reload_rows" ->
+        eng.query("cp", probe, preliminaryTopK = 50, finalTopK = 5).count().toDouble)
 
       out.toSeq.toDF("metric", "value")
         .withColumn("value", round(col("value"), 6))
