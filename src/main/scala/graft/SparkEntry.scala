@@ -1018,7 +1018,9 @@ object SparkEntry {
       """WITH grid AS (
         |  SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) * m AS n, d
         |  FROM (SELECT unnest([1, 10, 100, 1000, 10000, 100000]) AS m),
-        |       (SELECT unnest([64, 256, 768, 1536]) AS d)),
+        |       (SELECT unnest([64, 256, 768, 1536]) AS d)
+        |  UNION ALL
+        |  SELECT unnest([5000000, 1000000]) AS n, 768 AS d),
         |base AS (
         |  SELECT n, d,
         |    CAST(trunc(pow(CAST(n AS DOUBLE), 0.75) * 0.2) AS BIGINT) AS nlist,

@@ -677,11 +677,14 @@ object Queries {
     import graft.index.{Heuristics, MemoryModel}
     val n0 = t(s, dir, "embeddings").count()
     val maxMem = 4294967296L // 4 GiB training budget (reference default scale)
-    val rows = for {
-      m <- Seq(1L, 10L, 100L, 1000L, 10000L, 100000L)
-      d <- Seq(64, 256, 768, 1536)
-    } yield {
-      val n = n0 * m
+    // the scaled grid PLUS the reference's exact chooser golden points:
+    // 5M×768 → two-level, 1M×768 → subsample (tests/unit/test_utils.py:51-63)
+    val points =
+      (for {
+        m <- Seq(1L, 10L, 100L, 1000L, 10000L, 100000L)
+        d <- Seq(64, 256, 768, 1536)
+      } yield (n0 * m, d)) ++ Seq((5000000L, 768), (1000000L, 768))
+    val rows = for ((n, d) <- points) yield {
       val nlist = Heuristics.numClusters(n)
       val p = Heuristics.defaultIndexParams(d)
       (n, d.toLong, nlist.toLong, Heuristics.nProbe(nlist).toLong,
