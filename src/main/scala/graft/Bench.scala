@@ -7,7 +7,21 @@ import org.apache.spark.sql.SparkSession
   * throws is recorded as -1 (and logged to stderr) — never as a fast time.
   */
 object Bench {
+
+  /** 1-minute load average — recorded before and after the run so a
+    * measurement contaminated by concurrent machine load is detectable
+    * from the artifact alone (a clean run on this 32-way box should start
+    * near 0 and end near the in-run parallelism; a high load BEFORE the
+    * run means another workload shared the cores and every number is
+    * inflated — re-measure, don't compare).
+    */
+  private def loadAvg1(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadBefore = loadAvg1()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -43,7 +57,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val loadAfter = loadAvg1()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -24,6 +24,10 @@ object Eval {
     val nQ = sys.env.getOrElse("GRAFT_EVAL_Q", "32").toInt
     val twoLevel = sys.env.getOrElse("GRAFT_EVAL_TWOLEVEL", "false").toBoolean
     val withOpq = sys.env.getOrElse("GRAFT_EVAL_OPQ", "false").toBoolean
+    // the published-eval replication point (reference README.md:14-22):
+    // prelim_k=200, final_k=20 → recall 20@20 against exact top-20
+    val prelimK = sys.env.getOrElse("GRAFT_EVAL_PRELIM_K", "500").toInt
+    val finalK = sys.env.getOrElse("GRAFT_EVAL_FINAL_K", "50").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -69,11 +73,11 @@ object Eval {
         var s = 0.0; var j = 0
         while (j < v.length) { s += v(j).toDouble * q(j).toDouble; j += 1 }
         (s, id)
-      }.sortBy { case (s, id) => (-s, id) }.take(50).map(_._2).toSet
+      }.sortBy { case (s, id) => (-s, id) }.take(finalK).map(_._2).toSet
       val q0 = System.nanoTime()
-      val ids = engine.query("eval", q, 500, 50).collect().map(_.getLong(1))
+      val ids = engine.query("eval", q, prelimK, finalK).collect().map(_.getLong(1))
       val ms = (System.nanoTime() - q0) / 1e6
-      recallSum += ids.count(gt.contains).toDouble / 50.0
+      recallSum += ids.count(gt.contains).toDouble / finalK
       ms
     }.sorted
     val recall = recallSum / nQ
@@ -83,14 +87,14 @@ object Eval {
     val qdf = queries.zipWithIndex.map { case (q, i) => (i.toLong, q.toSeq) }
       .toSeq.toDF("query_id", "qvec")
     val b0 = System.nanoTime()
-    val batchRows = engine.queryBatchTrained("eval", qdf, 500, 50).count()
+    val batchRows = engine.queryBatchTrained("eval", qdf, prelimK, finalK).count()
     val batchSec = (System.nanoTime() - b0) / 1e9
 
     val doc = engine.load("eval")
     println(
       s"""{"n":$n,"d":$d,"queries":$nQ,"two_level":$twoLevel,"opq":$withOpq,""" +
         s""""nlist":${doc.numClusters},"nprobe":${doc.nProbe},""" +
-        s""""recall_50_at_500":${"%.4f".format(recall)},""" +
+        s""""recall_${finalK}_at_$prelimK":${"%.4f".format(recall)},""" +
         s""""train_sec":${"%.1f".format(trainSec)},""" +
         s""""query_ms_p50":${"%.0f".format(latencies(nQ / 2))},""" +
         s""""query_ms_p95":${"%.0f".format(latencies((nQ * 95) / 100))},""" +

@@ -137,14 +137,25 @@ object ScaleEval {
         .count(gt(qi.toLong).contains).toDouble / finalK
     }.sum / nQ
 
-    // single-query latency (sequential)
+    // single-query latency (sequential), split into the driver-side share
+    // (catalog load + probe selection + plan build + Catalyst planning,
+    // forced via executedPlan) and the cluster-side share (job + collect) —
+    // pins how much of the p50 is the platform's job-submission floor vs
+    // actual scan/kernel work (round-7 #8 experiment)
     val nSingle = math.min(8, nQ)
-    val singles = (0 until nSingle).map { qi =>
+    val splits = (0 until nSingle).map { qi =>
       val s0 = System.nanoTime()
-      engine.query("scale", queries(qi), prelimK, finalK).collect()
-      (System.nanoTime() - s0) / 1e6
-    }.sorted
+      val df = engine.query("scale", queries(qi), prelimK, finalK)
+      df.queryExecution.executedPlan
+      val s1 = System.nanoTime()
+      df.collect()
+      val s2 = System.nanoTime()
+      ((s1 - s0) / 1e6, (s2 - s1) / 1e6, (s2 - s0) / 1e6)
+    }
+    val singles = splits.map(_._3).sorted
     val p50 = singles(nSingle / 2)
+    val planP50 = splits.map(_._1).sorted.apply(nSingle / 2)
+    val execP50 = splits.map(_._2).sorted.apply(nSingle / 2)
 
     // concurrent serving: nThreads callers × single queries, shared session
     val nConc = nThreads * 2
@@ -176,6 +187,8 @@ object ScaleEval {
         s""""batch_total_sec":${"%.2f".format(batchSec)},""" +
         s""""batch_per_query_ms":${"%.0f".format(batchSec * 1000 / nQ)},""" +
         s""""query_ms_p50":${"%.0f".format(p50)},""" +
+        s""""query_plan_ms_p50":${"%.0f".format(planP50)},""" +
+        s""""query_exec_ms_p50":${"%.0f".format(execP50)},""" +
         s""""concurrent_threads":$nThreads,"concurrent_queries":$nConc,""" +
         s""""concurrent_sec":${"%.1f".format(concSec)},""" +
         s""""concurrent_qps":${"%.2f".format(concurrentQps)},""" +
