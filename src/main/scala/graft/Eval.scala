@@ -36,9 +36,14 @@ object Eval {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // corpus structure knob: rows-per-center controls how many
+    // near-duplicates compete inside each query's true top-k — the main
+    // difficulty axis for PQ-compressed candidate selection on synthetic
+    // data (real embedding corpora sit between the extremes)
+    val rowsPerCenter = sys.env.getOrElse("GRAFT_EVAL_ROWS_PER_CENTER", "500").toInt
     val seed = 42L
     val rnd = new Random(seed)
-    val centers = Array.fill(math.max(10, n / 500), d)(rnd.nextGaussian().toFloat)
+    val centers = Array.fill(math.max(10, n / rowsPerCenter), d)(rnd.nextGaussian().toFloat)
     val corpus = Array.tabulate(n) { i =>
       val c = centers(i % centers.length)
       Array.tabulate(d)(j => c(j) + 0.35f * rnd.nextGaussian().toFloat)
@@ -92,7 +97,8 @@ object Eval {
 
     val doc = engine.load("eval")
     println(
-      s"""{"n":$n,"d":$d,"queries":$nQ,"two_level":$twoLevel,"opq":$withOpq,""" +
+      s"""{"n":$n,"d":$d,"rows_per_center":$rowsPerCenter,""" +
+        s""""queries":$nQ,"two_level":$twoLevel,"opq":$withOpq,""" +
         s""""nlist":${doc.numClusters},"nprobe":${doc.nProbe},""" +
         s""""recall_${finalK}_at_$prelimK":${"%.4f".format(recall)},""" +
         s""""train_sec":${"%.1f".format(trainSec)},""" +
