@@ -35,7 +35,10 @@ object LocalCheck {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.staticOracleSql.filter(kv => names(kv._1))
+    // dynamic (trained-fixture) oracle rows register their SQL as a side
+    // effect of the query running above, so merge them in after the dumps
+    val json = (SparkEntry.staticOracleSql ++
+      graft.queries.TrainedFixture.oracleSql.toMap).filter(kv => names(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -176,6 +176,45 @@ object ScaleEval {
     val concurrentQps = nConc / concSec
     val singleQps = 1000.0 / p50
 
+    // prepared in-memory serving path (Engine.prepareServing): one fused
+    // job per query over cached blocks — the latency-floor answer. Gate
+    // its equality against the regular path before timing it.
+    val doPrepared = sys.env.getOrElse("GRAFT_SCALE_PREPARED", "true").toBoolean
+    val preparedJson = if (!doPrepared) "" else {
+      val pb0 = System.nanoTime()
+      val prep = engine.prepareServing("scale")
+      val prepBuildSec = (System.nanoTime() - pb0) / 1e9
+      val matches = (0 until 2).forall { qi =>
+        val exp = engine.query("scale", queries(qi), prelimK, finalK)
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(3))).toSeq
+        val got = prep.query(queries(qi), prelimK, finalK)
+          .map(h => (h.rank, h.id, h.cosineSimilarity)).toSeq
+        got == exp
+      }
+      prep.query(queries(0), prelimK, finalK) // warm the code path
+      val pLat = (0 until nSingle).map { qi =>
+        val s0 = System.nanoTime()
+        prep.query(queries(qi), prelimK, finalK)
+        (System.nanoTime() - s0) / 1e6
+      }.sorted
+      val pP50 = pLat(nSingle / 2)
+      val pPool = Executors.newFixedThreadPool(nThreads)
+      val pTasks = (0 until nConc).map { qi =>
+        new Callable[Long] {
+          def call(): Long = { prep.query(queries(qi % nQ), prelimK, finalK); 1L }
+        }
+      }
+      val pc0 = System.nanoTime()
+      pPool.invokeAll(new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(pTasks).asJava)).forEach(f => f.get())
+      val pConcSec = (System.nanoTime() - pc0) / 1e9
+      pPool.shutdown(); pPool.awaitTermination(1, TimeUnit.MINUTES)
+      s""""prepared_build_sec":${"%.1f".format(prepBuildSec)},""" +
+        s""""prepared_matches_regular":$matches,""" +
+        s""""prepared_query_ms_p50":${"%.0f".format(pP50)},""" +
+        s""""prepared_concurrent_qps":${"%.2f".format(nConc / pConcSec)},"""
+    }
+
     println(
       s"""{"n":$n,"d":$d,"opq":$withOpq,"two_level":true,""" +
         s""""nlist":${doc.numClusters},"nprobe":${doc.nProbe},""" +
@@ -189,6 +228,7 @@ object ScaleEval {
         s""""query_ms_p50":${"%.0f".format(p50)},""" +
         s""""query_plan_ms_p50":${"%.0f".format(planP50)},""" +
         s""""query_exec_ms_p50":${"%.0f".format(execP50)},""" +
+        preparedJson +
         s""""concurrent_threads":$nThreads,"concurrent_queries":$nConc,""" +
         s""""concurrent_sec":${"%.1f".format(concSec)},""" +
         s""""concurrent_qps":${"%.2f".format(concurrentQps)},""" +

@@ -54,6 +54,7 @@ object SparkEntry {
     "events_hourly"      -> (Queries.eventsHourly _),
     "trained_adc_topk"   -> (Queries.trainedAdcTopk _),
     "trained_knn"        -> (Queries.trainedKnn _),
+    "prepared_knn"       -> (Queries.preparedKnn _),
     "knn_filtered_trained" -> (Queries.knnFilteredTrained _),
     "dataset_split"      -> (Queries.datasetSplit _),
     "contamination"      -> (Queries.contamination _),

@@ -568,6 +568,35 @@ class Engine(val spark: SparkSession, val root: String) {
       candidates, qs, finalTopK)
   }
 
+  /** Pin the trained index into a memory-resident [[PreparedIndex]] —
+    * the low-latency serving form: the covering coded table is cached
+    * once as partition-local primitive blocks and each query becomes ONE
+    * job (fused ADC + exact rerank in-task, driver merge) instead of a
+    * per-query Catalyst plan. Results are bit-identical to
+    * [[query]] (gated by the `prepared_knn` DuckDB replay row and
+    * PreparedIndexSpec); mutations are handled by delta-refresh
+    * (removes) or transparent fallback to the regular path (adds /
+    * retrain / compact) — see [[PreparedIndex]].
+    *
+    * `numParts` defaults to the scheduler's parallelism: tasks are pure
+    * in-memory scans of (nprobe/nlist)·n/numParts rows, so more, smaller
+    * tasks only add scheduling overhead.
+    */
+  def prepareServing(name: String, numParts: Int = -1): PreparedIndex = {
+    val doc = load(name)
+    require(doc.isTrained, s"'$name' has no trained index to prepare")
+    val parts =
+      if (numParts > 0) numParts else spark.sparkContext.defaultParallelism
+    val blocks = graft.operators.PreparedANN.buildBlocks(codedDf(doc), parts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    blocks.count() // materialize the cache at prepare time, not first query
+    val collectDeleted = (d: CatalogDoc) =>
+      if (d.numPendingDeletes == 0) Array.empty[Long]
+      else deletes(d).orderBy("id").collect().map(_.getLong(0))
+    new PreparedIndex(this, spark, doc, blocks, modelBroadcast(doc),
+      collectDeleted)
+  }
+
   /** The live rows of the probed coded partitions: partition-pruned scan of
     * the covering index minus pending soft-deletes (D2 — the index never
     * serves dead rows; the deletes side is broadcast-small by the

@@ -1,0 +1,177 @@
+package graft.operators
+
+import scala.collection.mutable
+import scala.collection.mutable.PriorityQueue
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+
+import graft.core.Engine.IndexModel
+
+/** Executor-resident serving blocks for the prepared low-latency query
+  * path (reference mindb.py:368-442 semantics, served the way the
+  * reference actually serves them: from memory).
+  *
+  * The regular trained path builds a Catalyst plan per query — correct,
+  * and the right shape for batches, but a single query pays plan
+  * analysis plus several job round-trips: a ~600 ms p50 at 10M vectors
+  * where the in-memory reference gates at 30 ms. This module pins the
+  * COVERING coded table (cluster_id, id, code, vector, metadata) into
+  * partition-local primitive-array blocks, cached once; a query is then
+  * ONE `sc.runJob` whose tasks fuse the coarse ADC scan and the exact
+  * rerank scoring over only the probed clusters, followed by a
+  * driver-side merge of ≤ partitions·prelimK candidates.
+  *
+  * Every arithmetic step replicates the regular path bit-for-bit:
+  *  - ADC: reconstruction `centroid + codebook residual` per row, Σ(qp−r)²
+  *    in left-to-right double, bounded heap under (dist asc, id asc) —
+  *    the [[BatchANN.coarseCandidates]] kernel verbatim;
+  *  - rerank: Σ v·q in left-to-right double over the stored float vectors
+  *    — the codegen `dot` kernel
+  *    ([[graft.functions.VectorKernels.dotFF]]) verbatim;
+  * so a prepared query returns EXACTLY the rows `Engine.query` returns
+  * (gated by the `prepared_knn` oracle row, which replays the full
+  * two-stage computation in DuckDB, and by PreparedIndexSpec equality).
+  *
+  * At cluster scale this is the standard serving layout: each executor
+  * holds its slice of the coded table (ids 8B + codes m·1B + vectors
+  * d·4B + metadata per row — the same artifacts the reference holds in
+  * one process, spread over the cluster), and a query fans one tiny task
+  * per partition instead of planning a distributed scan.
+  */
+object PreparedANN {
+
+  /** One IVF cluster's rows in flat primitive arrays: `codes` holds
+    * m bytes per row (PQ codebook entries are 256-wide so a byte spans
+    * the code space; read back with `& 0xFF`), `vecs` d floats per row.
+    */
+  final class ClusterBlock(
+      val ids: Array[Long],
+      val codes: Array[Byte],
+      val vecs: Array[Float],
+      val meta: Array[String]) extends Serializable {
+    def size: Int = ids.length
+  }
+
+  /** A surviving candidate: ADC distance (the preliminary-stage key),
+    * exact cosine (the rerank key, computed in-task from the co-located
+    * vector) and the hydrated metadata.
+    */
+  final case class Cand(adcDist: Double, id: Long, sim: Double, meta: String)
+
+  /** Pin the covering coded table into `numParts` cached partitions of
+    * cluster-keyed blocks. One shuffle, executed once at prepare time.
+    */
+  def buildBlocks(coded: DataFrame, numParts: Int): RDD[Map[Int, ClusterBlock]] = {
+    coded.select("cluster_id", "id", "code", "vector", "metadata").rdd
+      .map(r => (r.getInt(0), r))
+      .partitionBy(new HashPartitioner(numParts))
+      .mapPartitions ({ it =>
+        val ids = mutable.Map.empty[Int, mutable.ArrayBuilder.ofLong]
+        val codes = mutable.Map.empty[Int, mutable.ArrayBuilder.ofByte]
+        val vecs = mutable.Map.empty[Int, mutable.ArrayBuilder.ofFloat]
+        val metas = mutable.Map.empty[Int, mutable.ArrayBuffer[String]]
+        it.foreach { case (cid, r) =>
+          ids.getOrElseUpdate(cid, new mutable.ArrayBuilder.ofLong) += r.getLong(1)
+          val cb = codes.getOrElseUpdate(cid, new mutable.ArrayBuilder.ofByte)
+          r.getSeq[Int](2).foreach(c => cb += c.toByte)
+          val vb = vecs.getOrElseUpdate(cid, new mutable.ArrayBuilder.ofFloat)
+          r.getSeq[Float](3).foreach(vb += _)
+          metas.getOrElseUpdate(cid, mutable.ArrayBuffer.empty[String]) +=
+            (if (r.isNullAt(4)) null else r.getString(4))
+        }
+        val m = ids.keysIterator.map { cid =>
+          cid -> new ClusterBlock(ids(cid).result(), codes(cid).result(),
+            vecs(cid).result(), metas(cid).toArray)
+        }.toMap
+        Iterator.single(m)
+      }, preservesPartitioning = true)
+  }
+
+  /** Serve one query against one partition's blocks: ADC top-`prelimK`
+    * over the probed clusters present here (BatchANN math), then exact
+    * cosine over just those survivors (dotFF math). `deleted` is the
+    * sorted pending-delete id set — rows in it never enter the heap,
+    * matching the regular path's anti-join-before-ADC.
+    */
+  def servePartition(blocks: Map[Int, ClusterBlock], model: IndexModel,
+                     probes: Array[Int], qp: Array[Float], qn: Array[Float],
+                     prelimK: Int, deleted: Array[Long]): Array[Cand] = {
+    val centroids = model.centroids
+    val codebooks = model.pq.codebooks
+    val subDim = model.pq.subDim
+    val m = codebooks.length
+    val p = qp.length
+    val d = qn.length
+    // max-heap on (dist, id, cluster, row): head = worst kept under
+    // (dist asc, id asc) — same ordering as the BatchANN heap
+    val heapOrd =
+      Ordering.by[(Double, Long, Int, Int), (Double, Long)](e => (e._1, e._2))
+    val heap = PriorityQueue.empty[(Double, Long, Int, Int)](heapOrd)
+    val recon = new Array[Double](p)
+    var pi = 0
+    while (pi < probes.length) {
+      val cid = probes(pi)
+      blocks.get(cid).foreach { blk =>
+        val cc = centroids(cid)
+        val n = blk.size
+        var row = 0
+        while (row < n) {
+          val id = blk.ids(row)
+          if (deleted.length == 0 ||
+              java.util.Arrays.binarySearch(deleted, id) < 0) {
+            val base = row * m
+            var j = 0
+            while (j < m) {
+              val cb = codebooks(j)(blk.codes(base + j) & 0xFF)
+              val off = j * subDim
+              var t = 0
+              while (t < subDim) {
+                recon(off + t) = cc(off + t).toDouble + cb(t); t += 1
+              }
+              j += 1
+            }
+            val full = heap.size >= prelimK
+            val bound = if (full) heap.head._1 else Double.MaxValue
+            var dist = 0.0
+            var x = 0
+            while (x < p && dist <= bound) {
+              val df = qp(x) - recon(x); dist += df * df; x += 1
+            }
+            if (!full) heap.enqueue((dist, id, cid, row))
+            else {
+              val (wd, wid, _, _) = heap.head
+              if (dist < wd || (dist == wd && id < wid)) {
+                heap.dequeue(); heap.enqueue((dist, id, cid, row))
+              }
+            }
+          }
+          row += 1
+        }
+      }
+      pi += 1
+    }
+    // exact rerank scoring fused in-task: the survivors' vectors are
+    // co-located, so the global merge needs no second fetch round-trip
+    heap.dequeueAll[(Double, Long, Int, Int)].iterator.map { case (dist, id, cid, row) =>
+      val blk = blocks(cid)
+      val vo = row * d
+      var s = 0.0
+      var i = 0
+      while (i < d) { s += blk.vecs(vo + i).toDouble * qn(i).toDouble; i += 1 }
+      Cand(dist, id, s, blk.meta(row))
+    }.toArray
+  }
+
+  /** Driver-side merge: global preliminary top-`prelimK` by (adc, id) —
+    * the window the regular path computes — then final top-`finalK` by
+    * (cosine desc, id).
+    */
+  def merge(parts: Array[Array[Cand]], prelimK: Int,
+            finalK: Int): Array[Cand] = {
+    val prelim = parts.iterator.flatten.toArray
+      .sortBy(c => (c.adcDist, c.id)).take(prelimK)
+    prelim.sortBy(c => (-c.sim, c.id)).take(finalK)
+  }
+}

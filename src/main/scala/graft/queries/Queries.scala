@@ -733,6 +733,13 @@ object Queries {
   def trainedKnn(s: SparkSession, dir: String): DataFrame =
     TrainedFixture.knn(s, dir)
 
+  /** The same fixture query through the PREPARED in-memory serving path
+    * (`Engine.prepareServing` — one fused job per query); shares
+    * `trained_knn`'s full DuckDB two-stage replay as its oracle.
+    */
+  def preparedKnn(s: SparkSession, dir: String): DataFrame =
+    TrainedFixture.preparedKnn(s, dir)
+
   /** Filtered trained query driving the under-fill guard to its exact
     * flat fallback (see [[TrainedFixture.knnFiltered]]).
     */

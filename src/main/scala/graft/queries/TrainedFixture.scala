@@ -109,6 +109,25 @@ object TrainedFixture {
         round(col("cosine_similarity"), 6).as("cosine_similarity"))
   }
 
+  private val prepCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.core.PreparedIndex]
+
+  /** The same two-stage query through the PREPARED low-latency path
+    * (one-job in-memory serving, Engine.prepareServing): hash-gated
+    * against the identical DuckDB replay as `trained_knn`, proving the
+    * prepared kernel is bit-identical to the regular plan end-to-end.
+    */
+  def preparedKnn(s: SparkSession, dir: String): DataFrame = {
+    val f = get(s, dir)
+    val prep = prepCache.getOrElseUpdate(dir, f.eng.prepareServing("tf"))
+    val hits = prep.query(f.qRaw, preliminaryTopK = PrelimK, finalTopK = FinalK)
+    oracleSql.put("prepared_knn", knnSql(f))
+    import s.implicits._
+    hits.toSeq.toDF("rank", "id", "label", "cosine_similarity")
+      .select(col("rank"), col("id"), col("label"),
+        round(col("cosine_similarity"), 6).as("cosine_similarity"))
+  }
+
   /** Filtered query through the TRAINED engine exercising the under-fill
     * guard end-to-end: the predicate matches fewer live rows than
     * `FinalK`, so the preliminary stage under-fills, the widened retry
