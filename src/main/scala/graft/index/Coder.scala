@@ -30,9 +30,11 @@ object Coder {
   /** argmin_c ‖v − centroid_c‖² as a column (0-based id), over an
     * already-created broadcast. Caller owns the broadcast lifecycle —
     * iterative fitters must `destroy()` it after the pass collects.
+    * The [[CentroidIndex]] prunes the argmin exactly (triangle
+    * inequality); at small nlist it degrades to the brute loop.
     */
-  def nearestCentroidCol(bc: Broadcast[Array[Array[Float]]], vec: Column): Column = {
-    val f = udf { (v: Seq[Double]) => nearest(bc.value, v.toArray) }
+  def nearestCentroidCol(bc: Broadcast[CentroidIndex], vec: Column): Column = {
+    val f = udf { (v: Seq[Double]) => bc.value.nearest(v.toArray) }
     f(vec)
   }
 
@@ -41,7 +43,7 @@ object Coder {
     */
   def nearestCentroidCol(spark: SparkSession, centroids: Array[Array[Float]],
                          vec: Column): Column =
-    nearestCentroidCol(spark.sparkContext.broadcast(centroids), vec)
+    nearestCentroidCol(spark.sparkContext.broadcast(CentroidIndex.build(centroids)), vec)
 
   /** Fused assign + residual + PQ-encode in one pass over the PCA-space
     * vector: returns `struct(cluster_id int, code array<int>)`. One scan,
@@ -49,15 +51,15 @@ object Coder {
     */
   def assignEncodeCol(spark: SparkSession, centroids: Array[Array[Float]],
                       pq: PqModel, vec: Column): Column = {
-    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcC = spark.sparkContext.broadcast(CentroidIndex.build(centroids))
     val bcB = spark.sparkContext.broadcast(pq.codebooks)
     val m = pq.m
     val subDim = pq.subDim
     val f = udf { (v: Seq[Double]) =>
       val arr = v.toArray
-      val cs = bcC.value
-      val cid = nearest(cs, arr)
-      val cc = cs(cid)
+      val ci = bcC.value
+      val cid = ci.nearest(arr)
+      val cc = ci.centroids(cid)
       val cbs = bcB.value
       val codes = new Array[Int](m)
       var j = 0
@@ -92,10 +94,10 @@ object Coder {
     */
   def residualCol(spark: SparkSession, centroids: Array[Array[Float]],
                   vec: Column): Column = {
-    val bc = spark.sparkContext.broadcast(centroids)
+    val bc = spark.sparkContext.broadcast(CentroidIndex.build(centroids))
     val f = udf { (v: Seq[Double]) =>
       val arr = v.toArray
-      val cc = bc.value(nearest(bc.value, arr))
+      val cc = bc.value.centroids(bc.value.nearest(arr))
       val out = new Array[Double](arr.length)
       var i = 0
       while (i < arr.length) { out(i) = arr(i) - cc(i); i += 1 }
@@ -127,25 +129,5 @@ object Coder {
       out
     }
     f(vec)
-  }
-
-  /** Early-exit argmin over the centroid matrix. */
-  private def nearest(cs: Array[Array[Float]], arr: Array[Double]): Int = {
-    var best = 0
-    var bestD = Double.MaxValue
-    var c = 0
-    while (c < cs.length) {
-      val cc = cs(c)
-      var s = 0.0
-      var j = 0
-      while (j < cc.length && s < bestD) {
-        val df = arr(j) - cc(j)
-        s += df * df
-        j += 1
-      }
-      if (s < bestD) { bestD = s; best = c }
-      c += 1
-    }
-    best
   }
 }

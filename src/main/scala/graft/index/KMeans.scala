@@ -124,7 +124,10 @@ object KMeansDF {
     }
     try {
       for (_ <- 0 until iters) {
-        val bc = spark.sparkContext.broadcast(centroids)
+        // the pruned index rebuilds per iteration (centroids moved) — its
+        // build is one k-means over k points, negligible next to the
+        // full-sample assignment pass it accelerates ~√k-fold
+        val bc = spark.sparkContext.broadcast(CentroidIndex.build(centroids))
         val cl = Coder.nearestCentroidCol(bc, col(vecCol))
         val aggs = (0 until d).map(i => avg(col(vecCol)(i)).as(s"c$i"))
         val updated =
