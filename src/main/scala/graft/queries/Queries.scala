@@ -857,7 +857,9 @@ object Queries {
     val ev = t(s, dir, "events")
     val tsCol = ev.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
-      case _ => col("ts")
+      // NTZ (current testdata) → LTZ under the session's UTC tz = DuckDB's
+      // naive read; a no-op cast when the column is already TIMESTAMP
+      case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
     }
     ev.groupBy(date_format(date_trunc("hour", tsCol), "yyyy-MM-dd HH:00").as("hour"),
         col("event_type"))
@@ -887,7 +889,9 @@ object Queries {
       val src = s.readStream.schema(ev.schema).parquet(srcDir.toString)
       val tsCol = ev.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
-        case _ => col("ts")
+        // NTZ → LTZ (session tz UTC): watermarks require TIMESTAMP, and the
+        // instant matches the batch twin / DuckDB oracle exactly
+        case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
       }
       val qname = s"stream_hourly_${streamSeq.incrementAndGet()}"
       val q = graft.streaming.EventStream.hourlyCounts(
@@ -905,15 +909,16 @@ object Queries {
         .localCheckpoint(eager = true)
     }
 
-  /** Event time as epoch MICROS (long). The parquet stores TIMESTAMP(NANOS);
-    * the driver session surfaces it as long nanos (`nanosAsLong`) while
-    * DuckDB floor-truncates to its µs-precision TIMESTAMP — so µs via
-    * integer floor-div is the exact common precision of both engines
-    * (verified: DuckDB `epoch_us` == Spark `ts div 1000` row-for-row).
+  /** Event time as epoch MICROS (long), robust to every shape the testdata
+    * has shipped with: TIMESTAMP(NANOS) surfaced as long nanos (via
+    * `nanosAsLong` — µs floor-div is then the exact common precision with
+    * DuckDB's µs TIMESTAMP), plain TIMESTAMP, and TIMESTAMP_NTZ (current
+    * driver testdata: timestamp[us], no tz). For NTZ the cast to LTZ under
+    * the session's UTC timezone yields exactly DuckDB's naive `epoch_us`.
     */
   private def tsUs(ev: DataFrame) = ev.schema("ts").dataType match {
     case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-    case _ => unix_micros(col("ts"))
+    case _ => unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
   }
 
   /** Gap-based sessionization ([[graft.operators.Sessionize]]) with the
