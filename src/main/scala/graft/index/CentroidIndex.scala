@@ -107,7 +107,10 @@ final class CentroidIndex private (
         oi += 1
       }
     }
-    bestIdx
+    // Degenerate queries (NaN/Inf components) fail every partial-sum
+    // acceptance, so no candidate ever lands: fall back to the brute loop
+    // so pruned and brute paths agree (brute returns 0 for such inputs).
+    if (bestIdx < 0) CentroidIndex.brute(centroids, arr) else bestIdx
   }
 
   /** Number of centroids indexed. */
@@ -148,18 +151,24 @@ object CentroidIndex {
     val assign = new Array[Int](n)
     val threads = math.max(1, Runtime.getRuntime.availableProcessors())
     val chunk = (n + threads - 1) / threads
+    // a worker failure (e.g. ragged centroid dims) must fail the build,
+    // not silently leave its chunk assigned to parent 0
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
     val workers = (0 until threads).map { t =>
       val from = t * chunk
       val until = math.min(n, from + chunk)
       new Thread(() => {
-        var i = from
-        while (i < until) {
-          assign(i) = bruteF(parents, centroids(i))
-          i += 1
-        }
+        try {
+          var i = from
+          while (i < until) {
+            assign(i) = bruteF(parents, centroids(i))
+            i += 1
+          }
+        } catch { case e: Throwable => failure.compareAndSet(null, e) }
       })
     }
     workers.foreach(_.start()); workers.foreach(_.join())
+    if (failure.get() != null) throw failure.get()
 
     val groups = Array.fill(kP)(scala.collection.mutable.ArrayBuffer.empty[(Double, Int)])
     var i = 0
@@ -246,19 +255,23 @@ object CentroidIndex {
     lo
   }
 
-  /** Indices of `a` in ascending value order (stable). */
+  /** Indices of `a` in ascending (value, index) order. EXACT ordering is
+    * load-bearing: the visit loop's global early-stop assumes every
+    * remaining parent has dp ≥ the current one. O(kP log kP) — the
+    * insertion-sort predecessor was O(kP²), which at nlist ≈ 1M
+    * (kP ≈ 1000) rivaled the parent-distance pass itself.
+    */
   private def sortedIndices(a: Array[Double]): Array[Int] = {
-    val idx = Array.range(0, a.length)
-    // insertion sort is fine at kP ≈ √n (a few hundred)
-    var i = 1
-    while (i < idx.length) {
-      val v = idx(i)
-      val dv = a(v)
-      var j = i - 1
-      while (j >= 0 && a(idx(j)) > dv) { idx(j + 1) = idx(j); j -= 1 }
-      idx(j + 1) = v
-      i += 1
-    }
+    val boxed = new Array[Integer](a.length)
+    var i = 0
+    while (i < boxed.length) { boxed(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(boxed, (x: Integer, y: Integer) => {
+      val c = java.lang.Double.compare(a(x.intValue), a(y.intValue))
+      if (c != 0) c else Integer.compare(x.intValue, y.intValue)
+    })
+    val idx = new Array[Int](a.length)
+    i = 0
+    while (i < idx.length) { idx(i) = boxed(i).intValue; i += 1 }
     idx
   }
 }
