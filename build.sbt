@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// SIMD encode kernel (graft.index.SimdArgmin) uses jdk.incubator.vector:
+// compile the Java source against the module, and run/test forks load it.
+// The module is RUNTIME-OPTIONAL — FlatCentroids feature-detects per JVM
+// and falls back to the scalar kernel where a cluster omits the flag.
+// JavaThenScala so scalac resolves SimdArgmin from its classfile (public
+// signature is primitives-only) instead of parsing the Java source.
+compileOrder := CompileOrder.JavaThenScala
+// the -J option forces zinc to FORK javac — the in-process compiler loads
+// incubator classes into the unnamed module and fails the superclass check
+Compile / javacOptions ++= Seq("--add-modules", "jdk.incubator.vector", "-J-Xmx512m")
+javaOptions += "--add-modules=jdk.incubator.vector"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -972,11 +972,11 @@ class Engine(val spark: SparkSession, val root: String) {
         rows.withColumn("pvec", col("vector").cast("array<double>"))
       else
         rows.withColumn("pvec", Coder.pcaApplyCol(spark, model.pca, col("vector")))
-    withP
+    Coder.assignEncodeBatched(
+        withP.select(col("id"), col("vector"), col("metadata"), col("pvec")),
+        "pvec", model.centroids, model.pq)
       .select(col("id"), col("vector"), col("metadata"),
-        Coder.assignEncodeCol(spark, model.centroids, model.pq, col("pvec")).as("ac"))
-      .select(col("id"), col("vector"), col("metadata"),
-        col("ac.code").as("code"), col("ac.cluster_id").as("cluster_id"))
+        col("code"), col("cluster_id"))
   }
 
   /** Drop unreferenced snapshot/index/deletes versions (everything below

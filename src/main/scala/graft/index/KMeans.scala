@@ -124,14 +124,12 @@ object KMeansDF {
     }
     try {
       for (_ <- 0 until iters) {
-        // the pruned index rebuilds per iteration (centroids moved) — its
-        // build is one k-means over k points, negligible next to the
-        // full-sample assignment pass it accelerates ~√k-fold
-        val bc = spark.sparkContext.broadcast(CentroidIndex.build(centroids))
-        val cl = Coder.nearestCentroidCol(bc, col(vecCol))
+        // flat layout + norms rebuild per iteration (centroids moved) —
+        // O(k·d) next to the full-sample assignment pass it accelerates
+        val bc = spark.sparkContext.broadcast(FlatCentroids.build(centroids))
         val aggs = (0 until d).map(i => avg(col(vecCol)(i)).as(s"c$i"))
         val updated =
-          try work.select(cl.as("cluster"), col(vecCol))
+          try Coder.withNearestBatched(work, vecCol, "cluster", bc)
             .groupBy("cluster").agg(aggs.head, aggs.tail: _*)
             .collect()
             .map(r => r.getInt(0) -> Array.tabulate(d)(i => r.getDouble(i + 1).toFloat))

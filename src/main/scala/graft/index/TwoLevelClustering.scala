@@ -45,9 +45,9 @@ object TwoLevelClustering {
     // histogram pass and the sub-sample pass both read it, and without the
     // cache the PCA-projection + assignment kernel would run the full scan
     // twice — two complete passes over the data at 100 TB where one does.
-    val assigned = projected.select(
-      Coder.nearestCentroidCol(spark, coarse, col(vecCol)).as("coarse_id"),
-      col(vecCol))
+    val assigned = Coder.withNearestBatched(
+        projected.select(col(vecCol)), vecCol, "coarse_id",
+        spark.sparkContext.broadcast(FlatCentroids.build(coarse)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     try {
