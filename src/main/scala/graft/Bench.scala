@@ -41,12 +41,24 @@ object Bench {
     try graft.queries.Queries.prewarm(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] prewarm failed: $e") }
 
+    // Diagnosis knobs (full runs leave both unset): SPARK_GRAFT_BENCH_ONLY
+    // = comma-separated query names; SPARK_GRAFT_BENCH_REPEAT = run each
+    // query N times and report every timing to stderr (JSON keeps the last
+    // — the warmest — run, so repeat!=1 is NOT a comparable artifact).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+    val selected = only.fold(SparkEntry.queries)(n => SparkEntry.queries.filter(kv => n(kv._1)))
     var failed = 0
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    val results = selected.map { case (name, fn) =>
+      var last = -1.0
       try {
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
+        (1 to repeat).foreach { r =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          last = (System.nanoTime() - t0) / 1e9
+          if (repeat > 1) System.err.println(f"[bench] $name run $r: $last%.3f s")
+        }
+        name -> last
       } catch {
         case e: Throwable =>
           failed += 1
@@ -58,7 +70,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val loadAfter = loadAvg1()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter}""")
+    // Heap telemetry: a run whose used-after is near max was GC-bound —
+    // its per-query times measure collector pauses, not operators (the
+    // 8g-heap failure mode: 2.5x total inflation, recorded r10).
+    val rt = Runtime.getRuntime
+    val heapUsedMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
+    val heapMaxMb = rt.maxMemory / (1024 * 1024)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"heap_used_mb":$heapUsedMb,"heap_max_mb":$heapMaxMb}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }
