@@ -35,8 +35,11 @@ final case class CatalogDoc(
     numClusters: Int,
     nProbe: Int,
     usedTwoLevel: Int,             // T7 decision at last train: -1 never, 0 subsample, 1 two-level
-    createdAt: Long) {             // creation stamp — a train started against an older
+    createdAt: Long,               // creation stamp — a train started against an older
                                    // incarnation must never swap onto a drop+recreate
+    codedBucketShift: Int) {       // coded-table layout: clusters 2^shift-grouped into
+                                   // `cluster_bucket` partition dirs (-1 = legacy one
+                                   // hive dir per cluster_id)
 
   def isTrained: Boolean = indexVersion >= 0
 
@@ -52,7 +55,7 @@ object CatalogDoc {
       numPendingDeletes = 0L,
       pcaDimension = -1, opqDimension = -1, compressedVectorBytes = -1,
       numClusters = -1, nProbe = -1, usedTwoLevel = -1,
-      createdAt = System.nanoTime())
+      createdAt = System.nanoTime(), codedBucketShift = -1)
 }
 
 /** Tiny flat-JSON codec + atomic file swap for the catalog doc. All fields
@@ -95,7 +98,8 @@ object Catalog {
          |  "numClusters": ${doc.numClusters},
          |  "nProbe": ${doc.nProbe},
          |  "usedTwoLevel": ${doc.usedTwoLevel},
-         |  "createdAt": ${doc.createdAt}
+         |  "createdAt": ${doc.createdAt},
+         |  "codedBucketShift": ${doc.codedBucketShift}
          |}""".stripMargin
     // write-then-move so a concurrent reader never sees a torn doc
     val tmp = dir.resolve("catalog.json.tmp")
@@ -123,8 +127,10 @@ object Catalog {
       num("pcaDimension").toInt,
       num("opqDimension").toInt, num("compressedVectorBytes").toInt,
       num("numClusters").toInt, num("nProbe").toInt,
-      // both absent from pre-r9 catalogs — defaults keep old roots loadable
-      numOr("usedTwoLevel", -1L).toInt, numOr("createdAt", 0L))
+      // absent from older catalogs — defaults keep old roots loadable
+      // (codedBucketShift -1 = the pre-r10 one-dir-per-cluster layout)
+      numOr("usedTwoLevel", -1L).toInt, numOr("createdAt", 0L),
+      numOr("codedBucketShift", -1L).toInt)
   }
 
   def delete(root: String, name: String): Unit =

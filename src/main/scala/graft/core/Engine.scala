@@ -21,9 +21,13 @@ import graft.index._
   *
   * Architectural translation (SURVEY §1.3/§4): LMDB row-KV → Parquet
   * columnar snapshots; Faiss index file → centroid/codebook/PCA DataFrames
-  * + a PQ-coded table partitioned by `cluster_id` (IVF inverted lists →
-  * partition pruning); locks/queues/dual-writes → immutable versioned
-  * tables with an atomic catalog pointer swap.
+  * + a PQ-coded table in a bucketed IVF layout — `2^shift` consecutive
+  * clusters per `cluster_bucket` hive dir, rows sorted by `cluster_id`
+  * within each ~32 MB file ([[Engine.codedBucketShift]]), so probe
+  * pruning runs on partition dirs first and parquet row-group/page stats
+  * second while file count tracks data bytes, not nlist; locks/queues/
+  * dual-writes → immutable versioned tables with an atomic catalog
+  * pointer swap.
   */
 class Engine(val spark: SparkSession, val root: String) {
   import Engine._
@@ -64,6 +68,14 @@ class Engine(val spark: SparkSession, val root: String) {
       codedDfCache.remove(k)
     })
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  // The probe filter on the bucketed coded layout is `cluster_id IN
+  // (nprobe values)` with nprobe in the thousands; Spark only pushes In
+  // to parquet when the list is under this threshold (default 10 —
+  // larger lists aren't pushed at all), and the pushed In is what lets
+  // parquet row-group/page stats prune the cluster_id-sorted files.
+  // Runtime SQLConf, so setting it here covers every session user.
+  spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "131072")
 
   /** Per-db monitor serializing every catalog read-modify-write (add,
     * remove, compact, the train swap, the post-train drain). The
@@ -407,10 +419,10 @@ class Engine(val spark: SparkSession, val root: String) {
     if (doc.isTrained) {
       val model = indexModel(doc)
       val newIdxVersion = doc.indexVersion + 1
-      spark.read.schema(codedSchema).parquet(s"${doc.indexPath(root)}/coded")
-        .join(broadcast(deletes(doc)), Seq("id"), "left_anti")
-        .write.mode("overwrite").partitionBy("cluster_id")
-        .parquet(s"$root/$name/index/v$newIdxVersion/coded")
+      writeCodedRows(
+        codedDf(doc).join(broadcast(deletes(doc)), Seq("id"), "left_anti"),
+        doc.codedBucketShift, math.max(1, doc.numClusters),
+        s"$root/$name/index/v$newIdxVersion/coded", "overwrite")
       IndexStore.saveModel(spark, s"$root/$name/index/v$newIdxVersion", model)
       doc = doc.copy(indexVersion = newIdxVersion)
     }
@@ -603,15 +615,41 @@ class Engine(val spark: SparkSession, val root: String) {
     * compaction threshold).
     */
   private def prunedLiveCoded(doc: CatalogDoc, probes: Array[Int]): DataFrame = {
-    val pruned = codedDf(doc)
+    val base = codedDf(doc)
       .filter(col("cluster_id").isin(probes.toIndexedSeq.map(Integer.valueOf): _*))
+    // bucketed layout: partition pruning runs on the bucket dirs; the
+    // cluster_id predicate above then prunes row-groups/pages within each
+    // bucket's cluster_id-sorted file (and filters residual rows exactly)
+    val pruned =
+      if (doc.codedBucketShift < 0) base
+      else base.filter(col("cluster_bucket").isin(
+        probes.map(_ >>> doc.codedBucketShift).distinct
+          .toIndexedSeq.map(Integer.valueOf): _*))
     if (doc.numPendingDeletes == 0) pruned
     else pruned.join(broadcast(deletes(doc)), Seq("id"), "left_anti")
   }
 
   private def codedDf(doc: CatalogDoc): DataFrame =
     codedDfCache.getOrElseUpdate((doc.name, doc.indexVersion),
-      spark.read.schema(codedSchema).parquet(s"${doc.indexPath(root)}/coded"))
+      spark.read.schema(codedReadSchema(doc.codedBucketShift))
+        .parquet(s"${doc.indexPath(root)}/coded"))
+
+  /** Coded-table layout sizing at train time — overridable so specs can
+    * force a multi-bucket layout on a corpus small enough for `sbt test`
+    * (the production rule needs ≥32 MB per extra bucket).
+    */
+  protected def chooseCodedBucketShift(n: Long, nlist: Int, d: Int,
+                                       m: Int): Int =
+    Engine.codedBucketShift(n, nlist, d, m)
+
+  /** Read schema for a coded table: the bucketed layout's partition column
+    * joins the declared schema (legacy layout reconstructs `cluster_id`
+    * from its hive dirs instead).
+    */
+  private def codedReadSchema(shift: Int): StructType =
+    if (shift < 0) codedSchema
+    else StructType(codedSchema.fields :+
+      StructField("cluster_bucket", IntegerType, nullable = false))
 
   // ----------------------------------------------------------------- train
 
@@ -830,7 +868,9 @@ class Engine(val spark: SparkSession, val root: String) {
     // the status is "in progress"
     val newVersion = doc.indexVersion + 1
     val indexDir = s"$root/$name/index/v$newVersion"
-    writeCoded(pinnedFull, model, s"$indexDir/coded")
+    val bucketShift = chooseCodedBucketShift(n, nlist, d,
+      p.compressedVectorBytes)
+    writeCoded(pinnedFull, model, bucketShift, nlist, s"$indexDir/coded")
     IndexStore.saveModel(spark, indexDir, model)
 
     // T19 — atomic swap. Counters are RECOMPUTED from the then-live rows
@@ -856,6 +896,7 @@ class Engine(val spark: SparkSession, val root: String) {
       val reconcileTo = cur.maxId
       cur = Catalog.withParams(cur, p, nlist, nprobe).copy(
         usedTwoLevel = if (twoLevel) 1 else 0,
+        codedBucketShift = bucketShift,
         indexVersion = newVersion,
         maxTrainedId = snapshotMaxId,
         numVectorsTrainedOn = n,
@@ -904,20 +945,45 @@ class Engine(val spark: SparkSession, val root: String) {
       rows.select(col("id"), Coder.pcaApplyCol(spark, pca, col("vector")).as("pvec"))
 
   /** T18 — one full pass: fused project+assign+residual+PQ-encode
-    * (broadcast kernel, plan size O(1) in nlist/m), written partitioned by
-    * `cluster_id` — the IVF inverted lists as partition pruning. Carries
-    * the covering columns (vector, metadata).
+    * (broadcast kernel, plan size O(1) in nlist/m), written in the
+    * bucketed IVF layout (`shift` from [[Engine.codedBucketShift]]).
+    * Carries the covering columns (vector, metadata).
     */
-  private def writeCoded(rows: DataFrame, model: IndexModel, path: String): Unit =
-    assignEncode(rows, model)
-      .repartition(col("cluster_id"))
-      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+  private def writeCoded(rows: DataFrame, model: IndexModel, shift: Int,
+                         nlist: Int, path: String): Unit =
+    writeCodedRows(assignEncode(rows, model), shift, nlist, path, "overwrite")
+
+  /** The one coded-table writer: IVF inverted lists as parquet layout.
+    *
+    * `shift >= 0` (bucketed): `2^shift` consecutive clusters share one
+    * `cluster_bucket` hive dir; rows sort by `cluster_id` within each
+    * file so parquet stats prune inside a bucket. File count tracks data
+    * bytes (≈32 MB each), not nlist — at nlist 91k the legacy layout laid
+    * down 78,969 ~125 KB files (EVAL_r09), a small-file storm per query
+    * and an object-store bomb at 100 TB. `shift < 0` keeps the legacy
+    * one-dir-per-cluster layout of pre-r10 tables (reads stay
+    * compatible; every retrain upgrades in place).
+    */
+  private def writeCodedRows(coded: DataFrame, shift: Int, nlist: Int,
+                             path: String, mode: String): Unit =
+    if (shift < 0)
+      coded.drop("cluster_bucket")
+        .repartition(col("cluster_id"))
+        .write.mode(mode).partitionBy("cluster_id").parquet(path)
+    else {
+      val buckets = Engine.codedBucketCount(nlist, shift)
+      coded.drop("cluster_bucket")
+        .withColumn("cluster_bucket",
+          expr(s"cluster_id div ${1L << shift}").cast("int"))
+        .repartition(buckets, col("cluster_bucket"))
+        .sortWithinPartitions("cluster_bucket", "cluster_id")
+        .write.mode(mode).partitionBy("cluster_bucket").parquet(path)
+    }
 
   private def appendToCodedTable(doc: CatalogDoc, model: IndexModel,
                                  rows: DataFrame): Unit = {
-    assignEncode(rows, model)
-      .write.mode("append").partitionBy("cluster_id")
-      .parquet(s"${doc.indexPath(root)}/coded")
+    writeCodedRows(assignEncode(rows, model), doc.codedBucketShift,
+      math.max(1, doc.numClusters), s"${doc.indexPath(root)}/coded", "append")
     // same-version append: the cached frame's FileIndex is now stale
     codedDfCache.remove((doc.name, doc.indexVersion))
   }
@@ -945,21 +1011,22 @@ class Engine(val spark: SparkSession, val root: String) {
     // defers while a train is in flight — same version-allocation rule
     // as compact(); reconcileAfterTrain re-runs this check post-drain
     if (trainingStatus(name) == "in progress") return
-    val clusters = math.max(1, doc.numClusters)
+    val units =
+      if (doc.codedBucketShift < 0) math.max(1, doc.numClusters)
+      else Engine.codedBucketCount(math.max(1, doc.numClusters), doc.codedBucketShift)
     val files = codedFileCount(doc)
-    if (files <= Engine.CodedFilesPerCluster * clusters) return
+    if (files <= Engine.CodedFilesPerCluster * units) return
     val model = indexModel(doc)
     val newVersion = doc.indexVersion + 1
     val newDir = s"$root/$name/index/v$newVersion"
-    spark.read.schema(codedSchema).parquet(s"${doc.indexPath(root)}/coded")
-      .repartition(col("cluster_id"))
-      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$newDir/coded")
+    writeCodedRows(codedDf(doc), doc.codedBucketShift,
+      math.max(1, doc.numClusters), s"$newDir/coded", "overwrite")
     IndexStore.saveModel(spark, newDir, model)
     val oldPath = doc.indexPath(root)
     Catalog.save(root, doc.copy(indexVersion = newVersion))
     markSuperseded(oldPath)
     log.info(s"coded-table compaction: '$name' index v${doc.indexVersion} → " +
-      s"v$newVersion ($files files exceeded ${Engine.CodedFilesPerCluster}×$clusters)")
+      s"v$newVersion ($files files exceeded ${Engine.CodedFilesPerCluster}×$units)")
   }
 
   /** (id, vector, metadata) rows → covering coded rows. The projection and
@@ -1179,11 +1246,51 @@ object Engine {
   val CompactionThreshold: Double = 0.1
 
   /** Rewrite the coded table when post-train appends push its file count
-    * past this many files per cluster (each append lays down one file-set
-    * per touched partition; unchecked, the pruned scan becomes a
-    * small-file storm).
+    * past this many files per layout unit (bucket when bucketed, cluster
+    * on the legacy layout; each append lays down one file-set per touched
+    * partition; unchecked, the pruned scan becomes a small-file storm).
     */
   val CodedFilesPerCluster: Int = 4
+
+  /** Target parquet-file size for the bucketed coded-table layout. */
+  val TargetCodedFileBytes: Long = 32L * 1024 * 1024
+
+  /** Ceiling on coded-table buckets — bounds partition-dir count (and the
+    * listing cost of every coded read) no matter the corpus size; past it
+    * files simply grow beyond the 32 MB target, which scans tolerate.
+    */
+  val MaxCodedBuckets: Long = 4096L
+
+  /** Coded-table layout sizing: group `2^shift` consecutive cluster_ids
+    * into one `cluster_bucket` partition dir so each bucket's file lands
+    * near [[TargetCodedFileBytes]].
+    *
+    * Rationale (measured, EVAL_r09 `scale_run_35m`): one hive dir per
+    * cluster is healthy at nlist ≈ 35k but at nlist 91,008 the layout
+    * degrades to 78,969 files of ~125 KB — the single-query candidate
+    * fetch opens thousands of tiny files (exec-bound 2,071 ms of a
+    * 2,302 ms p50) and a 100 TB deployment would put millions of objects
+    * per index version on the object store. Bucketing keeps file count
+    * ∝ data bytes (not nlist); files sort by `cluster_id` so parquet
+    * row-group/page stats still prune within a bucket.
+    *
+    * `0` means bucket == cluster_id (few huge clusters: per-cluster dirs
+    * already right-sized); returns at least that. Estimation only needs
+    * to land within ~2× of the target — `rowBytes` is the covering row:
+    * id 8 + length/offsets ~8 + 4·d vector + m code bytes + ~64 metadata.
+    */
+  def codedBucketShift(n: Long, nlist: Int, d: Int, m: Int): Int = {
+    val rowBytes = 16L + 4L * math.max(1, d) + math.max(0, m) + 64L
+    val buckets = math.max(1L, math.min(MaxCodedBuckets,
+      (n * rowBytes + TargetCodedFileBytes - 1) / TargetCodedFileBytes))
+    val cpb = math.max(1L, (nlist + buckets - 1) / buckets)
+    if (cpb <= 1L) 0
+    else math.min(30, 64 - java.lang.Long.numberOfLeadingZeros(cpb - 1L))
+  }
+
+  /** Bucket-dir count the shift yields for an nlist. */
+  def codedBucketCount(nlist: Int, shift: Int): Int =
+    math.max(1, ((nlist.toLong + (1L << shift) - 1) >> shift).toInt)
 
   /** Ceiling for the under-fill guard's widened preliminary stage; past
     * this the exact flat scan is the better plan (bounded per-partition

@@ -1,0 +1,187 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+import scala.util.Random
+
+import graft.core.Engine
+import graft.index.IndexParams
+
+/** Bucketed coded-table layout (round 10): `2^shift` consecutive clusters
+  * share one `cluster_bucket` hive dir, rows sorted by `cluster_id` within
+  * each file. Replaces the one-dir-per-cluster layout whose file count
+  * tracked nlist (78,969 ~125 KB files at the 35M/nlist-91k scale point,
+  * EVAL_r09) instead of data bytes.
+  *
+  * The invariant under test: layout is INVISIBLE to every result. A
+  * bucketed engine and a legacy (per-cluster) engine trained on identical
+  * data with the same seed produce bit-identical query results through
+  * train, post-train appends, and delete+compact — only the directory
+  * shape differs.
+  */
+class CodedLayoutSpec extends SparkSpec {
+
+  private val D = 16
+  private val N = 3000
+  private val Seed = 11L
+
+  private def mkCorpus(n: Int): (Seq[Array[Float]], Seq[String]) = {
+    val rnd = new Random(Seed)
+    val centers = Array.fill(12, D)(rnd.nextGaussian().toFloat)
+    val vecs = Seq.tabulate(n) { i =>
+      val c = centers(i % 12)
+      Array.tabulate(D)(j => c(j) + 0.3f * rnd.nextGaussian().toFloat)
+    }
+    (vecs, Seq.tabulate(n)(i => s"""{"i":$i}"""))
+  }
+
+  private def mkQueries(k: Int): Seq[Array[Float]] = {
+    val rnd = new Random(Seed + 1)
+    Seq.fill(k)(Array.fill(D)(rnd.nextGaussian().toFloat))
+  }
+
+  /** (rank, id, metadata, 6dp sim) rows of a query — the full result
+    * surface, so any layout-induced divergence (dropped probe bucket,
+    * wrong row-group pruning, lost append) fails loudly.
+    */
+  private def results(eng: Engine, db: String, q: Array[Float]): Seq[(Int, Long, String, Double)] =
+    eng.query(db, q, preliminaryTopK = 200, finalTopK = 20).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        math.rint(r.getDouble(3) * 1e6) / 1e6)).toSeq
+
+  private def hiveDirs(eng: Engine, db: String, prefix: String): Seq[String] = {
+    val dir = java.nio.file.Paths.get(eng.load(db).indexPath(eng.root), "coded")
+    val s = java.nio.file.Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith(prefix)).toSeq
+    finally s.close()
+  }
+
+  private def parquetFiles(eng: Engine, db: String): Int = {
+    val dir = java.nio.file.Paths.get(eng.load(db).indexPath(eng.root), "coded")
+    val s = java.nio.file.Files.walk(dir)
+    try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    finally s.close()
+  }
+
+  // ------------------------------------------------------------ sizing math
+
+  test("sizing: tiny corpus collapses to one bucket") {
+    val shift = Engine.codedBucketShift(500L, 743, 64, 32)
+    assert(Engine.codedBucketCount(743, shift) == 1)
+  }
+
+  test("sizing: the 35M x 64-d scale geometry lands near the 32 MB file target") {
+    val shift = Engine.codedBucketShift(35000000L, 91008, 64, 32)
+    val buckets = Engine.codedBucketCount(91008, shift)
+    // ~12.9 GB estimate / 32 MB target → a few hundred buckets, three
+    // orders of magnitude fewer dirs than nlist
+    assert(buckets >= 64 && buckets <= 1024, s"got $buckets buckets")
+  }
+
+  test("sizing: huge rows-per-cluster keeps shift 0 (per-cluster dirs already right-sized)") {
+    assert(Engine.codedBucketShift(1000000000L, 100, 768, 64) == 0)
+  }
+
+  test("sizing: bucket-count ceiling bounds dir count at any corpus size") {
+    val shift = Engine.codedBucketShift(10000000000L, 200000, 768, 64)
+    assert(Engine.codedBucketCount(200000, shift) <= Engine.MaxCodedBuckets)
+  }
+
+  // ------------------------------------- layout-invisibility differential
+
+  private lazy val (corpusV, corpusM) = mkCorpus(N)
+
+  /** Legacy engine: the pre-r10 per-cluster layout via shift -1. */
+  private lazy val legacy: Engine = {
+    val e = new Engine(spark, tmpDir("graft-coded-legacy")) {
+      override protected def chooseCodedBucketShift(n: Long, nlist: Int,
+                                                    d: Int, m: Int): Int = -1
+    }
+    e.create("db", vectorDimension = D)
+    e.addLocal("db", corpusV, corpusM)
+    e.train("db", params = Some(IndexParams(D, D, 4, omitOpq = true)),
+      kmeansIters = 6, seed = Seed, minTrainRows = 1)
+    e
+  }
+
+  /** Bucketed engine: shift 2 forced so the small corpus still spreads
+    * over many cluster_bucket dirs (the production rule would collapse
+    * 3000 rows into one bucket).
+    */
+  private lazy val bucketed: Engine = {
+    val e = new Engine(spark, tmpDir("graft-coded-bucket")) {
+      override protected def chooseCodedBucketShift(n: Long, nlist: Int,
+                                                    d: Int, m: Int): Int = 2
+    }
+    e.create("db", vectorDimension = D)
+    e.addLocal("db", corpusV, corpusM)
+    e.train("db", params = Some(IndexParams(D, D, 4, omitOpq = true)),
+      kmeansIters = 6, seed = Seed, minTrainRows = 1)
+    e
+  }
+
+  test("disk shape: bucketed root has cluster_bucket dirs, legacy has cluster_id dirs") {
+    val ldoc = legacy.load("db")
+    val bdoc = bucketed.load("db")
+    assert(ldoc.codedBucketShift == -1 && bdoc.codedBucketShift == 2)
+    assert(ldoc.numClusters == bdoc.numClusters,
+      "same data + seed must give the same nlist on both engines")
+    assert(hiveDirs(legacy, "db", "cluster_id=").nonEmpty)
+    assert(hiveDirs(legacy, "db", "cluster_bucket=").isEmpty)
+    val bucketDirs = hiveDirs(bucketed, "db", "cluster_bucket=")
+    assert(hiveDirs(bucketed, "db", "cluster_id=").isEmpty)
+    // multi-bucket for real: shift 2 over nlist clusters
+    val expected = Engine.codedBucketCount(bdoc.numClusters, 2)
+    assert(bucketDirs.size > 1 && bucketDirs.size <= expected,
+      s"got ${bucketDirs.size} bucket dirs for nlist ${bdoc.numClusters}")
+  }
+
+  test("trained queries are bit-identical across layouts") {
+    mkQueries(8).foreach { q =>
+      assert(results(bucketed, "db", q) == results(legacy, "db", q))
+    }
+  }
+
+  test("post-train appends land in the bucketed layout and stay identical") {
+    val rnd = new Random(Seed + 2)
+    val extraV = Seq.fill(120)(Array.fill(D)(rnd.nextGaussian().toFloat))
+    val extraM = Seq.tabulate(120)(i => s"""{"x":$i}""")
+    legacy.addLocal("db", extraV, extraM)
+    bucketed.addLocal("db", extraV, extraM)
+    assert(bucketed.count("db") == legacy.count("db"))
+    mkQueries(5).foreach { q =>
+      assert(results(bucketed, "db", q) == results(legacy, "db", q))
+    }
+  }
+
+  test("delete + compact rewrites preserve the layout and the results") {
+    val ids = (0L until N.toLong by 7L).toSeq
+    legacy.remove("db", ids, compactionThreshold = 0.01)
+    bucketed.remove("db", ids, compactionThreshold = 0.01)
+    assert(legacy.load("db").numPendingDeletes == 0L,
+      "threshold 0.01 must have forced a physical compaction")
+    assert(bucketed.load("db").numPendingDeletes == 0L)
+    // compaction rewrote into a NEW version dir in the SAME layout
+    assert(hiveDirs(bucketed, "db", "cluster_bucket=").nonEmpty)
+    assert(hiveDirs(legacy, "db", "cluster_id=").nonEmpty)
+    mkQueries(5).foreach { q =>
+      assert(results(bucketed, "db", q) == results(legacy, "db", q))
+    }
+  }
+
+  test("a fresh engine loads the bucketed layout from the catalog and matches") {
+    val fresh = new Engine(spark, bucketed.root)
+    assert(fresh.load("db").codedBucketShift == 2)
+    val q = mkQueries(1).head
+    assert(results(fresh, "db", q) == results(bucketed, "db", q))
+  }
+
+  test("bucketed file count tracks buckets, not clusters") {
+    // after train + appends + compaction the bin-pack bound applies per
+    // bucket: far fewer files than the legacy per-cluster layout
+    val bdoc = bucketed.load("db")
+    val units = Engine.codedBucketCount(bdoc.numClusters, bdoc.codedBucketShift)
+    assert(parquetFiles(bucketed, "db") <= Engine.CodedFilesPerCluster * units)
+    assert(units < bdoc.numClusters)
+  }
+}
