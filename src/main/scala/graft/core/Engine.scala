@@ -70,12 +70,15 @@ class Engine(val spark: SparkSession, val root: String) {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   // The probe filter on the bucketed coded layout is `cluster_id IN
-  // (nprobe values)` with nprobe in the thousands; Spark only pushes In
-  // to parquet when the list is under this threshold (default 10 —
-  // larger lists aren't pushed at all), and the pushed In is what lets
-  // parquet row-group/page stats prune the cluster_id-sorted files.
-  // Runtime SQLConf, so setting it here covers every session user.
-  spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "131072")
+  // (…)`; a pushed In is what lets parquet page stats prune the
+  // cluster_id-sorted files. Spark's default threshold (10) never
+  // pushes a probe list — but the push compiles to a LEFT-NESTED OR
+  // CHAIN whose evaluation recurses once per value, so a large
+  // threshold is a StackOverflowError at scale (measured: a 40k-value
+  // probe-union filter killed every scan task at 35M/nlist-91k).
+  // 512 keeps the chain shallow; [[prunedLiveCoded]] chunks bigger
+  // probe lists into ≤[[probePushChunk]]-value disjoint scans instead.
+  spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "512")
 
   /** Per-db monitor serializing every catalog read-modify-write (add,
     * remove, compact, the train swap, the post-train drain). The
@@ -614,17 +617,42 @@ class Engine(val spark: SparkSession, val root: String) {
     * serves dead rows; the deletes side is broadcast-small by the
     * compaction threshold).
     */
+  /** Probe-list chunk size for the bucketed pruned scan. Each chunk's
+    * `cluster_id IN (…)` stays under the parquet push threshold (512, see
+    * the constructor conf) so it reaches the reader as a page-prunable
+    * predicate; chunks of the SORTED list cover disjoint cluster-id
+    * ranges, so their bucket sets barely overlap and each bucket file is
+    * still opened ~once across the union. Overridable so specs can force
+    * the multi-chunk path on a small nprobe.
+    */
+  protected def probePushChunk: Int = 500
+
+  /** Past this many probes the chunked union stops paying: the scan is
+    * near-full anyway (batch probe unions), so one bucket-pruned scan
+    * with a row-level residual filter is the better plan.
+    */
+  protected def maxChunkedProbePush: Int = 4096
+
   private def prunedLiveCoded(doc: CatalogDoc, probes: Array[Int]): DataFrame = {
-    val base = codedDf(doc)
-      .filter(col("cluster_id").isin(probes.toIndexedSeq.map(Integer.valueOf): _*))
-    // bucketed layout: partition pruning runs on the bucket dirs; the
-    // cluster_id predicate above then prunes row-groups/pages within each
-    // bucket's cluster_id-sorted file (and filters residual rows exactly)
     val pruned =
-      if (doc.codedBucketShift < 0) base
-      else base.filter(col("cluster_bucket").isin(
-        probes.map(_ >>> doc.codedBucketShift).distinct
-          .toIndexedSeq.map(Integer.valueOf): _*))
+      if (doc.codedBucketShift < 0)
+        // legacy layout: one hive dir per cluster — the In is a pure
+        // partition-pruning predicate, never pushed to parquet
+        codedDf(doc).filter(
+          col("cluster_id").isin(probes.toIndexedSeq.map(Integer.valueOf): _*))
+      else {
+        val shift = doc.codedBucketShift
+        def branch(chunk: Array[Int]): DataFrame =
+          codedDf(doc)
+            .filter(col("cluster_bucket").isin(
+              chunk.map(_ >>> shift).distinct.toIndexedSeq.map(Integer.valueOf): _*))
+            .filter(col("cluster_id").isin(
+              chunk.toIndexedSeq.map(Integer.valueOf): _*))
+        val sorted = probes.sorted
+        if (sorted.length <= maxChunkedProbePush)
+          sorted.grouped(probePushChunk).map(branch).reduce(_ union _)
+        else branch(sorted) // row-level only; bucket pruning still applies
+      }
     if (doc.numPendingDeletes == 0) pruned
     else pruned.join(broadcast(deletes(doc)), Seq("id"), "left_anti")
   }
@@ -977,7 +1005,14 @@ class Engine(val spark: SparkSession, val root: String) {
           expr(s"cluster_id div ${1L << shift}").cast("int"))
         .repartition(buckets, col("cluster_bucket"))
         .sortWithinPartitions("cluster_bucket", "cluster_id")
-        .write.mode(mode).partitionBy("cluster_bucket").parquet(path)
+        .write.mode(mode)
+        // small pages sharpen the page-level probe pruning: each page's
+        // cluster_id min/max spans ~1-2 clusters instead of ~10, so a
+        // pushed probe-In skips all but ~the probed clusters' pages —
+        // near the old per-cluster-dir read precision from ~200x fewer
+        // files. Costs ~page-header overhead on this table only.
+        .option("parquet.page.size", (64 * 1024).toString)
+        .partitionBy("cluster_bucket").parquet(path)
     }
 
   private def appendToCodedTable(doc: CatalogDoc, model: IndexModel,

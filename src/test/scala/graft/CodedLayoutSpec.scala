@@ -120,6 +120,45 @@ class CodedLayoutSpec extends SparkSpec {
     e
   }
 
+  /** Bucketed engine whose pruned scan is forced through the CHUNKED
+    * probe-push union (chunk 4 ≪ nprobe): many disjoint In-branches,
+    * each small enough for parquet page pruning.
+    */
+  private lazy val chunked: Engine = {
+    val e = new Engine(spark, tmpDir("graft-coded-chunk")) {
+      override protected def chooseCodedBucketShift(n: Long, nlist: Int,
+                                                    d: Int, m: Int): Int = 2
+      override protected def probePushChunk: Int = 4
+    }
+    e.create("db", vectorDimension = D)
+    e.addLocal("db", corpusV, corpusM)
+    e.train("db", params = Some(IndexParams(D, D, 4, omitOpq = true)),
+      kmeansIters = 6, seed = Seed, minTrainRows = 1)
+    e
+  }
+
+  test("chunked probe-push union is bit-identical to the legacy scan") {
+    assert(chunked.load("db").nProbe > 4,
+      "fixture must span multiple probe chunks for this test to bite")
+    mkQueries(8).foreach { q =>
+      assert(results(chunked, "db", q) == results(legacy, "db", q))
+    }
+  }
+
+  test("the probe In-filter reaches parquet on the bucketed layout") {
+    import spark.implicits._
+    val qdf = Seq((0L, mkQueries(1).head.toSeq)).toDF("query_id", "qvec")
+    val plan = bucketed.queryBatchTrained("db", qdf, 50, 10)
+      .queryExecution.executedPlan.toString
+    // data-filter push: page-level pruning inside a bucket's
+    // cluster_id-sorted file hangs off exactly this
+    assert(plan.contains("PushedFilters") && plan.contains("In(cluster_id"),
+      s"probe In-filter not pushed to parquet:\n${plan.take(3000)}")
+    // partition-filter push: bucket-dir pruning
+    assert(plan.contains("cluster_bucket"),
+      "bucket partition filter missing from the pruned scan")
+  }
+
   test("disk shape: bucketed root has cluster_bucket dirs, legacy has cluster_id dirs") {
     val ldoc = legacy.load("db")
     val bdoc = bucketed.load("db")
