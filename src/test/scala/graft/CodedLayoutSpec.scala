@@ -159,6 +159,48 @@ class CodedLayoutSpec extends SparkSpec {
       "bucket partition filter missing from the pruned scan")
   }
 
+  test("coded files carry fine-grained pages (the read-precision knob lands on disk)") {
+    // shift 10 collapses the corpus into ONE bucket file big enough to
+    // have to split into many 512-row pages
+    val one = new Engine(spark, tmpDir("graft-coded-pages")) {
+      override protected def chooseCodedBucketShift(n: Long, nlist: Int,
+                                                    d: Int, m: Int): Int = 10
+    }
+    one.create("db", vectorDimension = D)
+    one.addLocal("db", corpusV, corpusM)
+    one.train("db", params = Some(IndexParams(D, D, 4, omitOpq = true)),
+      kmeansIters = 6, seed = Seed, minTrainRows = 1)
+    val codedDir = java.nio.file.Paths.get(
+      one.load("db").indexPath(one.root), "coded")
+    val file = {
+      val s = java.nio.file.Files.walk(codedDir)
+      try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toString),
+      spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val block = r.getFooter.getBlocks.get(0)
+      val cidCol = block.getColumns.asScala
+        .find(_.getPath.toDotString == "cluster_id").get
+      val oi = r.readOffsetIndex(cidCol)
+      assert(oi != null, "cluster_id column must carry an offset index")
+      val rows = block.getRowCount
+      val pages = oi.getPageCount
+      // 512-row pages: a file of R rows must split into >= R/512 pages.
+      // If parquet.page.row.count.limit didn't propagate through the
+      // writer, default 20k-row pages make this fail for any file
+      // bigger than ~1024 rows.
+      assert(rows > 1024, s"fixture file too small to assert paging ($rows rows)")
+      assert(pages >= rows / 512,
+        s"$pages pages for $rows rows - expected >= ${rows / 512} " +
+          "(512-row page limit did not reach the parquet writer)")
+    } finally r.close()
+  }
+
   test("disk shape: bucketed root has cluster_bucket dirs, legacy has cluster_id dirs") {
     val ldoc = legacy.load("db")
     val bdoc = bucketed.load("db")
