@@ -22,6 +22,8 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val loadBefore = loadAvg1()
+    val canaryMs = Canary.cpuCanaryMs()
+    val kernelCanary = Canary.kernelCanaryRowsPerSec()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -76,7 +78,7 @@ object Bench {
     val rt = Runtime.getRuntime
     val heapUsedMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
     val heapMaxMb = rt.maxMemory / (1024 * 1024)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"heap_used_mb":$heapUsedMb,"heap_max_mb":$heapMaxMb}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"cpu_canary_ms":$canaryMs,"kernel_canary_rows_per_sec":$kernelCanary,"heap_used_mb":$heapUsedMb,"heap_max_mb":$heapMaxMb}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

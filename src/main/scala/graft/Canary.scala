@@ -1,0 +1,88 @@
+package graft
+
+/** Machine-health canary for benchmark artifacts.
+  *
+  * Wall-clock numbers from this VM are only comparable when the host
+  * gives it the same effective CPU — and that is NOT observable from
+  * loadavg (host-level contention is invisible to the guest except
+  * through wall-clock itself). Round 8's bench artifact was invalidated
+  * by exactly this; round 10 measured the SAME single-thread kernel at
+  * 0.4× its recorded throughput hours apart. So every measurement main
+  * records `cpuCanaryMs()`: the time for a FIXED deterministic
+  * single-thread float workload. Two artifacts are comparable iff their
+  * canary values are close; a run whose canary is far above the repo's
+  * healthy reference (~95 ms, see BENCH/EVAL history) is contaminated
+  * and must be re-measured, not compared.
+  */
+object Canary {
+
+  /** Milliseconds for a fixed single-thread workload (min of 3 reps —
+    * the least-contended estimate). ~95 ms on this box when healthy.
+    */
+  def cpuCanaryMs(): Double = {
+    var best = Double.MaxValue
+    var rep = 0
+    while (rep < 3) {
+      val t0 = System.nanoTime()
+      sink = kernel()
+      val ms = (System.nanoTime() - t0) / 1e6
+      if (ms < best) best = ms
+      rep += 1
+    }
+    math.rint(best * 10) / 10
+  }
+
+  @volatile private var sink: Float = 0f
+
+  /** The fixed workload: a float mul-add chain over an xorshift stream —
+    * the same dependency-chain shape as the encode kernels, so it slows
+    * by the same factor the real work does.
+    */
+  private def kernel(): Float = {
+    var s = 0x9E3779B97F4A7C15L
+    var acc = 1.0f
+    var i = 0
+    while (i < 40000000) {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      acc = acc * 0.9999999f + (s & 0xFFFF) * 1e-9f
+      i += 1
+    }
+    acc
+  }
+
+  /** Rows/s for a fixed single-thread batched-argmin workload over a
+    * 131,072×64 centroid matrix (33 MB — streams from RAM). This is the
+    * repo's own encode kernel (SIMD where available), so it measures the
+    * throughput resources (vector units + memory bandwidth) the real
+    * work uses — which host contention degrades FIRST, and which the
+    * latency-chain canary above cannot see (measured on this box:
+    * chain canary flat at ~86 ms while this kernel ran at 0.26× its
+    * healthy rate). Min-of-2 reps. Healthy reference lives in the
+    * artifact history (EncodeBench rows).
+    */
+  def kernelCanaryRowsPerSec(): Double = {
+    val nlist = 131072; val d = 64; val nQ = 256
+    val rnd = new java.util.Random(7)
+    val cs = Array.fill(nlist)(Array.fill(d)(rnd.nextFloat()))
+    val fc = graft.index.FlatCentroids.build(cs)
+    val qs = Array.fill(nQ)(Array.fill(d)(rnd.nextDouble()))
+    val out = new Array[Int](nQ)
+    fc.nearestBatch(qs.take(32), new Array[Int](32)) // JIT warm
+    var best = Double.MaxValue
+    var rep = 0
+    while (rep < 2) {
+      val t0 = System.nanoTime()
+      fc.nearestBatch(qs, out)
+      val s = (System.nanoTime() - t0) / 1e9
+      if (s < best) best = s
+      rep += 1
+    }
+    math.rint(nQ / best)
+  }
+
+  /** 1-minute load average (guest-visible contention; -1 if unreadable). */
+  def loadAvg1(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+}

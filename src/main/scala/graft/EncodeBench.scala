@@ -79,6 +79,8 @@ object EncodeBench {
       s""""simd_available":${FlatCentroids.simdAvailable},"build_sec":${f"$buildS%.2f"},""" +
       s""""brute_rows_per_sec":${f"$bruteRows%.0f"},"scalar_rows_per_sec":${f"$scalarRows%.0f"},""" +
       s""""simd_rows_per_sec":${f"$simdRows%.0f"},"batch_rows_per_sec":${f"$batchRows%.0f"},""" +
-      s""""speedup_vs_brute":${f"${batchRows / bruteRows}%.1f"},"results_equal":$equal}""")
+      s""""speedup_vs_brute":${f"${batchRows / bruteRows}%.1f"},"results_equal":$equal,""" +
+      s""""cpu_canary_ms":${Canary.cpuCanaryMs()},""" +
+      s""""kernel_canary_rows_per_sec":${Canary.kernelCanaryRowsPerSec()}}""")
   }
 }

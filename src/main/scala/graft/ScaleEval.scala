@@ -233,7 +233,10 @@ object ScaleEval {
         s""""concurrent_sec":${"%.1f".format(concSec)},""" +
         s""""concurrent_qps":${"%.2f".format(concurrentQps)},""" +
         s""""single_thread_qps":${"%.2f".format(singleQps)},""" +
-        s""""concurrency_speedup":${"%.1f".format(concurrentQps / singleQps)}}""")
+        s""""concurrency_speedup":${"%.1f".format(concurrentQps / singleQps)},""" +
+        s""""cpu_canary_ms":${Canary.cpuCanaryMs()},""" +
+        s""""kernel_canary_rows_per_sec":${Canary.kernelCanaryRowsPerSec()},""" +
+        s""""load_after":${Canary.loadAvg1()}}""")
     spark.stop()
   }
 }
