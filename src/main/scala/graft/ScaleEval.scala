@@ -59,6 +59,7 @@ object ScaleEval {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val prelimK = 500
     val finalK = 50
+    val canaryBefore = (Canary.cpuCanaryMs(), Canary.kernelCanaryRowsPerSec())
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -234,6 +235,8 @@ object ScaleEval {
         s""""concurrent_qps":${"%.2f".format(concurrentQps)},""" +
         s""""single_thread_qps":${"%.2f".format(singleQps)},""" +
         s""""concurrency_speedup":${"%.1f".format(concurrentQps / singleQps)},""" +
+        s""""cpu_canary_ms_before":${canaryBefore._1},""" +
+        s""""kernel_canary_before_rows_per_sec":${canaryBefore._2},""" +
         s""""cpu_canary_ms":${Canary.cpuCanaryMs()},""" +
         s""""kernel_canary_rows_per_sec":${Canary.kernelCanaryRowsPerSec()},""" +
         s""""load_after":${Canary.loadAvg1()}}""")
