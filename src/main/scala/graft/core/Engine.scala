@@ -627,11 +627,24 @@ class Engine(val spark: SparkSession, val root: String) {
     */
   protected def probePushChunk: Int = 500
 
-  /** Past this many probes the chunked union stops paying: the scan is
-    * near-full anyway (batch probe unions), so one bucket-pruned scan
-    * with a row-level residual filter is the better plan.
+  /** Probe-count ceiling for the chunked-union plan, given the table's
+    * nlist. Two independent reasons to stop chunking and take one
+    * bucket-pruned scan with a row-level residual filter instead:
+    * (a) RELATIVE — past ~1/8 of all clusters the page index passes most
+    * pages anyway (512-row pages hold 1-2 clusters, but probed clusters
+    * this dense leave few prunable gaps), so the union buys little;
+    * (b) ABSOLUTE — each 500-probe chunk is its own scan subtree, and
+    * Catalyst planning cost grows with the union width (measured ~450 ms
+    * at 8 chunks), so cap the width at 32 chunks regardless of nlist.
+    * A fixed 4096 cap here was wrong at the 100M geometry (heuristic
+    * ceiling nlist 200k, nprobe 6000): 6000 probes are 3% of clusters —
+    * page pruning still skips ~97% of the table, and the full-scan
+    * branch would read ~33x the bytes of the chunked one.
     */
-  protected def maxChunkedProbePush: Int = 4096
+  protected def maxChunkedProbePush(nlist: Int): Int =
+    math.max(512, math.min(nlist / 8, 32 * probePushChunk))
+    // (512 floor: below it either plan reads a trivial table — keep the
+    // pushed-In shape small fixtures and specs rely on)
 
   private def prunedLiveCoded(doc: CatalogDoc, probes: Array[Int]): DataFrame = {
     val pruned =
@@ -649,7 +662,7 @@ class Engine(val spark: SparkSession, val root: String) {
             .filter(col("cluster_id").isin(
               chunk.toIndexedSeq.map(Integer.valueOf): _*))
         val sorted = probes.sorted
-        if (sorted.length <= maxChunkedProbePush)
+        if (sorted.length <= maxChunkedProbePush(doc.numClusters))
           sorted.grouped(probePushChunk).map(branch).reduce(_ union _)
         else branch(sorted) // row-level only; bucket pruning still applies
       }
