@@ -91,7 +91,12 @@ object ScaleEval {
 
     val params =
       if (withOpq) Some(IndexParams(256, 128, 32, omitOpq = false))
-      else None // heuristic default for d
+      else sys.env.get("GRAFT_SCALE_PQM").map { m =>
+        // explicit no-OPQ chain for dimensions the heuristic table
+        // rejects by reference parity (d < 64 → pca default 64 > d)
+        val pca = sys.env.getOrElse("GRAFT_SCALE_PCA", d.toString).toInt
+        IndexParams(pca, pca, m.toInt, omitOpq = true)
+      } // unset → heuristic default for d
     val t0 = System.nanoTime()
     engine.train("scale", params = params, useTwoLevelClustering = Some(true),
       seed = seed)
