@@ -475,18 +475,28 @@ class Engine(val spark: SparkSession, val root: String) {
         val probes = model.nearestClusters(qp, doc.nProbe)
         val live = prunedLiveCoded(doc, probes)
         def probedCandidates(prelim: Int): DataFrame = {
-          val cands = graft.operators.BatchANN.coarseCandidates(
+          val candRows = graft.operators.BatchANN.coarseCandidates(
             spark, live, modelBroadcast(doc), Array(0L -> qp), Array(probes),
-            prelim).select("id", "cluster_id")
-          // Q4 — candidate fetch stays INSIDE the probed partitions: the
-          // covering columns turn it into a second pruned scan (bytes ∝
-          // nprobe/nlist) instead of the full base-table scan that made
-          // the 1M×768 trained path slower than brute force; joining on
-          // (cluster_id, id) lets dynamic partition pruning cut that scan
-          // further, to just the partitions holding surviving candidates
-          val fetched = live.select("cluster_id", "id", "vector", "metadata")
-            .join(broadcast(cands), Seq("cluster_id", "id"))
-            .select("id", "vector", "metadata")
+            prelim).select("id", "cluster_id").collect()
+          // Q4 — candidate fetch reads ∝ CANDIDATES, not ∝ probes: the
+          // surviving ids land on the driver (≤ prelim rows — the same
+          // bound the old broadcast build already imposed), and the fetch
+          // scan's pushed probe list is just the clusters that HOLD
+          // survivors (≤ prelim distinct, vs nprobe). At the 100M
+          // geometry that is ~250k decoded covering rows instead of 3M —
+          // the vector/metadata decode of probed-but-candidate-less
+          // clusters was the single-query exec bottleneck (profiled
+          // 5-10 s, QueryProfile). This is the Parquet form of the
+          // reference's fetch-by-id from LMDB after the Faiss search.
+          val fetched =
+            if (candRows.isEmpty)
+              live.select("id", "vector", "metadata").filter(lit(false))
+            else
+              prunedLiveCoded(doc, candRows.map(_.getInt(1)).distinct)
+                .select("id", "vector", "metadata")
+                .filter(col("id").isInCollection(
+                  candRows.map(r => java.lang.Long.valueOf(r.getLong(0)))
+                    .toIndexedSeq))
           predicate.fold(fetched)(fetched.filter)
         }
         predicate match {
@@ -574,13 +584,26 @@ class Engine(val spark: SparkSession, val root: String) {
     val probes = qsP.map { case (_, qp) => model.nearestClusters(qp, doc.nProbe) }
     val probeUnion = probes.flatten.distinct
     val live = prunedLiveCoded(doc, probeUnion)
-    val candidates = graft.operators.BatchANN.coarseCandidates(
+    val candRows = graft.operators.BatchANN.coarseCandidates(
       spark, live, modelBroadcast(doc), qsP, probes, preliminaryTopK)
-    // rerank fetches candidates from the same pruned covering scan — the
-    // base table is never touched on the trained serving path
-    graft.operators.BatchANN.rerank(spark,
-      live.select("cluster_id", "id", "vector", "metadata"),
-      candidates, qs, finalTopK)
+      .select("query_id", "id", "cluster_id").collect()
+    // rerank fetches from a scan pruned to the clusters HOLDING candidates
+    // (≤ q·prelim rows on the driver — the bound the broadcast build
+    // already imposed), not the full probe union: fetch bytes ∝
+    // candidates, never ∝ nprobe — the base table and the
+    // candidate-less probed clusters are never decoded (see [[query]])
+    val candidates = spark.createDataFrame(
+      java.util.Arrays.asList(candRows: _*),
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("id", LongType, nullable = false),
+        StructField("cluster_id", IntegerType, nullable = false))))
+    val fetchScan =
+      if (candRows.isEmpty)
+        live.select("cluster_id", "id", "vector", "metadata").filter(lit(false))
+      else prunedLiveCoded(doc, candRows.map(_.getInt(2)).distinct)
+        .select("cluster_id", "id", "vector", "metadata")
+    graft.operators.BatchANN.rerank(spark, fetchScan, candidates, qs, finalTopK)
   }
 
   /** Pin the trained index into a memory-resident [[PreparedIndex]] —

@@ -41,10 +41,9 @@ object BatchANN {
     * @param probes   per-query probed cluster ids (same order as queriesP)
     * @return (query_id, id, adc_dist, cluster_id) candidate rows, ≤ prelimK
     *         per query, smallest (adc_dist, id) first within each query.
-    *         cluster_id rides along so the downstream fetch can join on
-    *         (cluster_id, id) — dynamic partition pruning then narrows the
-    *         covering-table fetch to the partitions that actually hold
-    *         candidates, a strict subset of the probed set
+    *         cluster_id rides along so the downstream fetch can prune its
+    *         scan to exactly the clusters that hold candidates — a strict
+    *         (typically much smaller) subset of the probed set
     */
   def coarseCandidates(spark: SparkSession, coded: DataFrame,
                        bcModel: Broadcast[IndexModel],
@@ -132,12 +131,11 @@ object BatchANN {
     * query vectors join in as a broadcast-small column and scoring is the
     * native codegen `dot`, so the whole stage stays in whole-stage codegen.
     * `table`: (cluster_id, id, vector, metadata) — on the trained path
-    * this is the partition-pruned COVERING coded scan, so rerank bytes
-    * stay ∝ nprobe/nlist (a full base-table fetch here measured 20 s/query
-    * at 1M×768 — slower than brute force). Joining on (cluster_id, id)
-    * lets dynamic partition pruning narrow the fetch further, to only the
-    * partitions holding surviving candidates. `qn`: normalized full-dim
-    * queries.
+    * this is the COVERING coded scan pruned to the clusters that HOLD
+    * candidates (never the base table — a full base-table fetch measured
+    * 20 s/query at 1M×768; and never the full probe union — decoding
+    * candidate-less probed clusters measured 5-10 s/query at 100M).
+    * `qn`: normalized full-dim queries.
     */
   def rerank(spark: SparkSession, table: DataFrame, candidates: DataFrame,
              qn: Array[(Long, Array[Float])], finalTopK: Int): DataFrame = {

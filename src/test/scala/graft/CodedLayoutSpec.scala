@@ -265,4 +265,25 @@ class CodedLayoutSpec extends SparkSpec {
     assert(parquetFiles(bucketed, "db") <= Engine.CodedFilesPerCluster * units)
     assert(units < bdoc.numClusters)
   }
+
+  test("chunk/full-scan cutover is relative to nlist") {
+    // expose the protected threshold through a probe subclass — the
+    // decision table is the contract (a fixed 4096 cap chose the
+    // full-scan branch at the 100M heuristic geometry, reading ~33x
+    // the bytes a chunked page-pruned union needs)
+    val probe = new Engine(spark, tmpDir("graft-cutover")) {
+      def cutoverAt(nlist: Int): Int = maxChunkedProbePush(nlist)
+    }
+    // 35M geometry (nlist 91,008, nprobe 3,561): chunked, as shipped
+    assert(probe.cutoverAt(91008) == 11376 && 3561 <= 11376)
+    // 100M heuristic ceiling (nlist 200,000, nprobe 6,000): the union
+    // width cap (32 x 500-probe chunks) binds — and still admits 6,000
+    assert(probe.cutoverAt(200000) == 16000 && 6000 <= 16000)
+    // a 16-query batch union at the 35M geometry (~40k distinct probes)
+    // takes the single bucket-pruned scan: the probes cover far too many
+    // clusters for page pruning to pay for 80 scan subtrees
+    assert(40000 > probe.cutoverAt(91008))
+    // tiny tables keep the pushed-In plan shape regardless of nlist/8
+    assert(probe.cutoverAt(800) == 512)
+  }
 }
