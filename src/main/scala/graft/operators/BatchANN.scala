@@ -63,7 +63,13 @@ object BatchANN {
     val src = coded.select(col("id").cast("long"), col("cluster_id").cast("int"),
       col("code"))
 
-    val partialRdd = src.rdd.mapPartitions { it =>
+    // InternalRow scan (queryExecution.toRdd), not the boxing Row API:
+    // this kernel touches every probed row, and `getSeq[Int]` boxed each
+    // of the m code bytes (100M geometry: 3M rows × 16 codes per query
+    // batch = 48M boxed Integers of pure GC pressure). InternalRows are
+    // REUSED by the scan — nothing here retains one past its iteration
+    // (heap entries are primitive tuples).
+    val partialRdd = src.queryExecution.toRdd.mapPartitions { it =>
       val model = bcModel.value
       val (centroids, codebooks, subDim) =
         (model.centroids, model.pq.codebooks, model.pq.subDim)
@@ -80,11 +86,11 @@ object BatchANN {
         val cid = r.getInt(1)
         c2q.get(cid).foreach { probing =>
           val id = r.getLong(0)
-          val code = r.getSeq[Int](2)
+          val code = r.getArray(2)
           val cc = centroids(cid)
           var j = 0
           while (j < m) {
-            val cb = codebooks(j)(code(j))
+            val cb = codebooks(j)(code.getInt(j))
             val off = j * subDim
             var t = 0
             while (t < subDim) { recon(off + t) = cc(off + t).toDouble + cb(t); t += 1 }
