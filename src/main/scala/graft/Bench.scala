@@ -23,7 +23,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val loadBefore = loadAvg1()
     val canaryMs = Canary.cpuCanaryMs()
-    val kernelCanary = Canary.kernelCanaryRowsPerSec()
+    // Contention gate (the r10 artifact was measured on a ~0.7×-healthy
+    // host): a kernel canary below the healthy floor means every number
+    // this run would record is an upper bound on a machine nobody can
+    // reproduce — wait out the episode (observed ~40 min) and re-probe
+    // rather than publish a degraded artifact. Bounded: after maxWait the
+    // run proceeds (an artifact with an honest in-band canary beats no
+    // artifact) and `canary_waited_s` records the delay either way.
+    var kernelCanary = Canary.kernelCanaryRowsPerSec()
+    val waitStart = System.nanoTime()
+    val maxWaitS = sys.env.getOrElse("SPARK_GRAFT_CANARY_MAX_WAIT_S", "900").toLong
+    while (kernelCanary < Canary.HealthyKernelFloor &&
+           (System.nanoTime() - waitStart) / 1e9 < maxWaitS) {
+      System.err.println(s"[bench] kernel canary $kernelCanary rows/s < " +
+        s"${Canary.HealthyKernelFloor} (host contention) — waiting 60 s")
+      Thread.sleep(60000)
+      kernelCanary = Canary.kernelCanaryRowsPerSec()
+    }
+    val canaryWaitedS = math.rint((System.nanoTime() - waitStart) / 1e9)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -78,7 +95,7 @@ object Bench {
     val rt = Runtime.getRuntime
     val heapUsedMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
     val heapMaxMb = rt.maxMemory / (1024 * 1024)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"cpu_canary_ms":$canaryMs,"kernel_canary_rows_per_sec":$kernelCanary,"heap_used_mb":$heapUsedMb,"heap_max_mb":$heapMaxMb}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"cpu_canary_ms":$canaryMs,"kernel_canary_rows_per_sec":$kernelCanary,"canary_waited_s":$canaryWaitedS,"heap_used_mb":$heapUsedMb,"heap_max_mb":$heapMaxMb}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -10,14 +10,29 @@ package graft
   * 0.4× its recorded throughput hours apart. So every measurement main
   * records `cpuCanaryMs()`: the time for a FIXED deterministic
   * single-thread float workload. Two artifacts are comparable iff their
-  * canary values are close; a run whose canary is far above the repo's
-  * healthy reference (~95 ms, see BENCH/EVAL history) is contaminated
-  * and must be re-measured, not compared.
+  * canary values are close; a run outside the healthy thresholds below
+  * is contaminated and must be re-measured, not compared.
   */
 object Canary {
 
+  /** SINGLE SOURCE OF TRUTH for "healthy" on this box — every doc
+    * (.claude/skills/verify/SKILL.md) and every comparison rule points
+    * here instead of hardcoding its own copy. Derived from the artifact
+    * history: cpu canary measured 83–95 ms across clean runs
+    * (BENCH_r08–r10, EVAL_r09–r10); kernel canary 1,950–3,100 rows/s on
+    * healthy readings, 500–1,250 during contention episodes.
+    */
+  val HealthyCpuCanaryMsMax: Double = 100.0
+
+  /** Kernel-canary floor separating healthy from contended runs: the
+    * lowest clean reading in the artifact history (1,950) with ~20%
+    * headroom. A run below this is contaminated — re-measure rather than
+    * compare ([[Bench]] retries on it automatically).
+    */
+  val HealthyKernelFloor: Double = 1600.0
+
   /** Milliseconds for a fixed single-thread workload (min of 3 reps —
-    * the least-contended estimate). ~95 ms on this box when healthy.
+    * the least-contended estimate). Healthy ≤ [[HealthyCpuCanaryMsMax]].
     */
   def cpuCanaryMs(): Double = {
     var best = Double.MaxValue

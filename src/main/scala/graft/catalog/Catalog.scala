@@ -1,8 +1,11 @@
 package graft.catalog
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
 import scala.util.matching.Regex
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 
 import graft.index.IndexParams
 
@@ -58,8 +61,12 @@ object CatalogDoc {
       createdAt = System.nanoTime(), codedBucketShift = -1)
 }
 
-/** Tiny flat-JSON codec + atomic file swap for the catalog doc. All fields
-  * are scalars so a hand-rolled codec avoids any library dependency.
+/** Tiny flat-JSON codec + atomic file swap for the catalog doc, over the
+  * Hadoop [[FileSystem]] API — the catalog, the pointer swap, version
+  * sweeping, and the bin-packing trigger all work against any Hadoop
+  * scheme (`file:`, `hdfs:`, `s3a:`), not just the local filesystem: at
+  * 100 TB the engine root IS an object store. All doc fields are scalars
+  * so a hand-rolled codec avoids any library dependency.
   */
 object Catalog {
 
@@ -71,15 +78,21 @@ object Catalog {
     require(NamePattern.matches(name),
       s"invalid database name '$name': only letters, digits, _, space, - allowed")
 
+  private def fs(p: Path, conf: Configuration): FileSystem =
+    p.getFileSystem(conf)
+
   def catalogFile(root: String, name: String): Path =
-    Paths.get(root, name, "catalog.json")
+    new Path(new Path(root, name), "catalog.json")
 
-  def exists(root: String, name: String): Boolean =
-    Files.exists(catalogFile(root, name))
+  def exists(root: String, name: String)(implicit conf: Configuration): Boolean = {
+    val p = catalogFile(root, name)
+    fs(p, conf).exists(p)
+  }
 
-  def save(root: String, doc: CatalogDoc): Unit = {
-    val dir = Paths.get(root, doc.name)
-    Files.createDirectories(dir)
+  def save(root: String, doc: CatalogDoc)(implicit conf: Configuration): Unit = {
+    val dir = new Path(root, doc.name)
+    val f = fs(dir, conf)
+    f.mkdirs(dir)
     val json =
       s"""{
          |  "name": ${quote(doc.name)},
@@ -101,16 +114,19 @@ object Catalog {
          |  "createdAt": ${doc.createdAt},
          |  "codedBucketShift": ${doc.codedBucketShift}
          |}""".stripMargin
-    // write-then-move so a concurrent reader never sees a torn doc
-    val tmp = dir.resolve("catalog.json.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dir.resolve("catalog.json"),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    // write-then-rename so a concurrent reader never sees a torn doc:
+    // FileContext rename(OVERWRITE) is atomic on HDFS and file:; on an
+    // object store the rename degrades to copy+delete, but there the
+    // final single-object PUT is itself atomic (readers see the whole
+    // old or whole new object), so no torn read either way
+    val tmp = new Path(dir, "catalog.json.tmp")
+    writeString(f, tmp, json)
+    FileContext.getFileContext(dir.toUri, conf)
+      .rename(tmp, new Path(dir, "catalog.json"), Options.Rename.OVERWRITE)
   }
 
-  def load(root: String, name: String): CatalogDoc = {
-    val raw = new String(Files.readAllBytes(catalogFile(root, name)),
-      StandardCharsets.UTF_8)
+  def load(root: String, name: String)(implicit conf: Configuration): CatalogDoc = {
+    val raw = readString(root, name)
     def str(k: String): String =
       s""""$k"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(raw)
         .map(_.group(1)).getOrElse(sys.error(s"catalog missing $k"))
@@ -133,16 +149,30 @@ object Catalog {
       numOr("codedBucketShift", -1L).toInt)
   }
 
-  def delete(root: String, name: String): Unit =
-    deletePath(Paths.get(root, name))
+  private def readString(root: String, name: String)
+                        (implicit conf: Configuration): String = {
+    val p = catalogFile(root, name)
+    val f = fs(p, conf)
+    val len = f.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = f.open(p)
+    try in.readFully(0L, buf) finally in.close()
+    new String(buf, StandardCharsets.UTF_8)
+  }
 
-  /** Recursive delete (stream-safe). */
-  def deletePath(path: Path): Unit = {
-    if (Files.isDirectory(path)) {
-      val s = Files.list(path)
-      try s.forEach(deletePath(_)) finally s.close()
-    }
-    Files.deleteIfExists(path)
+  /** Small-file write helper (marker files, the catalog tmp). */
+  def writeString(f: FileSystem, p: Path, s: String): Unit = {
+    val out = f.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  def delete(root: String, name: String)(implicit conf: Configuration): Unit =
+    deletePath(new Path(root, name))
+
+  /** Recursive delete (no-op if absent). */
+  def deletePath(path: Path)(implicit conf: Configuration): Unit = {
+    val f = fs(path, conf)
+    if (f.exists(path)) f.delete(path, true)
   }
 
   def withParams(doc: CatalogDoc, p: IndexParams, nlist: Int, nprobe: Int): CatalogDoc =

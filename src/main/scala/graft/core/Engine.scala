@@ -1,7 +1,5 @@
 package graft.core
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -31,6 +29,19 @@ import graft.index._
   */
 class Engine(val spark: SparkSession, val root: String) {
   import Engine._
+
+  /** The catalog/maintenance layer resolves every path through the Hadoop
+    * [[org.apache.hadoop.fs.FileSystem]] for `root`'s scheme — the engine
+    * root can be `file:`, `hdfs:`, or `s3a:` and the catalog json, the
+    * atomic pointer swap, version sweeping, and the bin-packing trigger
+    * all work there (HadoopRootSpec runs the full lifecycle against an
+    * explicit `file:`-scheme root). Public so callers/specs can share it.
+    */
+  implicit val hadoopConf: org.apache.hadoop.conf.Configuration =
+    spark.sparkContext.hadoopConfiguration
+
+  private def fsFor(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(hadoopConf)
 
   /** One executor-side broadcast of the index artifacts per (db, version),
     * reused by every query against that version — the serving path never
@@ -1068,11 +1079,13 @@ class Engine(val spark: SparkSession, val root: String) {
 
   /** Parquet data files under a coded-table directory (recursive). */
   private def codedFileCount(doc: CatalogDoc): Int = {
-    val dir = java.nio.file.Paths.get(doc.indexPath(root), "coded")
-    if (!java.nio.file.Files.isDirectory(dir)) return 0
-    val s = java.nio.file.Files.walk(dir)
-    try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
-    finally s.close()
+    val dir = new org.apache.hadoop.fs.Path(doc.indexPath(root), "coded")
+    val f = fsFor(dir)
+    if (!f.exists(dir)) return 0
+    var n = 0
+    val it = f.listFiles(dir, true)
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
   }
 
   /** Bin-pack the coded table once post-train appends have accreted more
@@ -1131,41 +1144,65 @@ class Engine(val spark: SparkSession, val root: String) {
     * `graceMillis` protects exactly those: a version directory superseded
     * less recently than the grace window is swept, one replaced within it
     * is retained for in-flight readers (a maintenance scheduler should
-    * pass a grace ≥ its longest query). Supersession time is the dir's
-    * mtime — [[markSuperseded]] touches the outgoing version at every
-    * pointer swap. Returns the number of version directories removed.
+    * pass a grace ≥ its longest query). The supersession moment is an
+    * EXPLICIT stamp — a `_SUPERSEDED` marker file [[markSuperseded]]
+    * writes at every pointer swap — not the dir's mtime, which object
+    * stores don't maintain for "directories" at all. A stale dir with no
+    * marker (crash between catalog save and marking, or a pre-port
+    * table) is marked NOW and collected by a later sweep once its grace
+    * elapses. Returns the number of version directories removed.
     */
   def vacuum(name: String, graceMillis: Long = 0L): Int = {
     val doc = load(name)
     val cutoff = System.currentTimeMillis() - graceMillis
-    def sweep(parent: java.nio.file.Path, prefix: String, current: Int): Int = {
-      if (!java.nio.file.Files.isDirectory(parent)) return 0
-      val s = java.nio.file.Files.list(parent)
-      try {
-        s.iterator().asScala.count { p =>
-          val n = p.getFileName.toString
-          val stale = n.startsWith(prefix) &&
-            n.stripPrefix(prefix).toIntOption.exists(_ < current) &&
-            java.nio.file.Files.getLastModifiedTime(p).toMillis <= cutoff
-          if (stale) Catalog.deletePath(p)
-          stale
-        }
-      } finally s.close()
+    val f = fsFor(new org.apache.hadoop.fs.Path(root))
+    def sweep(parent: org.apache.hadoop.fs.Path, prefix: String, current: Int): Int = {
+      if (!f.exists(parent)) return 0
+      f.listStatus(parent).count { st =>
+        val n = st.getPath.getName
+        val old = n.startsWith(prefix) &&
+          n.stripPrefix(prefix).toIntOption.exists(_ < current)
+        val stale = old && supersededAt(f, st.getPath) <= cutoff
+        if (stale) f.delete(st.getPath, true)
+        stale
+      }
     }
-    val base = java.nio.file.Paths.get(root, name)
-    sweep(base.resolve("data"), "v", doc.dataVersion) +
-      sweep(base.resolve("index"), "v", doc.indexVersion) +
-      sweep(base.resolve("deletes"), "d", doc.dataVersion)
+    val base = new org.apache.hadoop.fs.Path(root, name)
+    sweep(new org.apache.hadoop.fs.Path(base, "data"), "v", doc.dataVersion) +
+      sweep(new org.apache.hadoop.fs.Path(base, "index"), "v", doc.indexVersion) +
+      sweep(new org.apache.hadoop.fs.Path(base, "deletes"), "d", doc.dataVersion)
   }
 
-  /** Stamp a just-replaced version dir's mtime = the supersession moment
-    * (the vacuum grace clock).
+  /** The explicit supersession stamp of a version dir: the millis inside
+    * its `_SUPERSEDED` marker. A superseded dir missing its marker gets
+    * one stamped NOW (and is treated as not-yet-collectable this pass) —
+    * self-healing after a crash between the catalog pointer swap and
+    * [[markSuperseded]].
+    */
+  private def supersededAt(f: org.apache.hadoop.fs.FileSystem,
+                           dir: org.apache.hadoop.fs.Path): Long = {
+    val m = new org.apache.hadoop.fs.Path(dir, Engine.SupersededMarker)
+    if (f.exists(m)) {
+      val len = f.getFileStatus(m).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = f.open(m)
+      try in.readFully(0L, buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    } else {
+      Catalog.writeString(f, m, System.currentTimeMillis().toString)
+      Long.MaxValue
+    }
+  }
+
+  /** Write the explicit supersession stamp (the vacuum grace clock) into
+    * each just-replaced version dir.
     */
   private def markSuperseded(paths: String*): Unit = paths.foreach { p =>
-    val path = java.nio.file.Paths.get(p)
-    if (java.nio.file.Files.exists(path))
-      java.nio.file.Files.setLastModifiedTime(path,
-        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    val dir = new org.apache.hadoop.fs.Path(p)
+    val f = fsFor(dir)
+    if (f.exists(dir))
+      Catalog.writeString(f, new org.apache.hadoop.fs.Path(dir, Engine.SupersededMarker),
+        System.currentTimeMillis().toString)
   }
 
   // ------------------------------------------------------------- info/misc
@@ -1223,14 +1260,13 @@ class Engine(val spark: SparkSession, val root: String) {
 
   /** All databases under this engine root (catalog-backed directories). */
   def listDatabases(): Seq[String] = {
-    val base = java.nio.file.Paths.get(root)
-    if (!java.nio.file.Files.isDirectory(base)) return Seq.empty
-    val s = java.nio.file.Files.list(base)
-    try s.iterator().asScala
-      .map(_.getFileName.toString)
+    val base = new org.apache.hadoop.fs.Path(root)
+    val f = fsFor(base)
+    if (!f.exists(base)) return Seq.empty
+    f.listStatus(base).iterator
+      .map(_.getPath.getName)
       .filter(Catalog.exists(root, _))
       .toSeq.sorted
-    finally s.close()
   }
 
   /** The maintenance scheduler verb (reference `find_indexes_to_train`,
@@ -1316,6 +1352,14 @@ object Engine {
     * T7 strategy chooser only — Spark spills instead of enforcing it.
     */
   val DefaultMaxMemoryUsage: Long = 4L * 1024 * 1024 * 1024
+
+  /** Marker file carrying a version dir's explicit supersession stamp
+    * (epoch millis, written at the pointer swap that replaced it). The
+    * `_` prefix keeps it invisible to Spark/parquet readers (the
+    * `_SUCCESS` convention); being a FILE with the stamp as content, it
+    * works on object stores where directory mtimes don't exist.
+    */
+  val SupersededMarker: String = "_SUPERSEDED"
 
   /** Compact (physical rewrite) once pending soft-deletes exceed this
     * fraction of the table — bounds both query-side anti-join size and

@@ -274,22 +274,18 @@ object TextAnalysis {
     // life of the session (the old persisted frame could never be
     // unpersisted safely because the returned lazy plan referenced it).
     val freqRows = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    // Guard before collecting: natural-language vocabularies are Zipf
+    // Guard while collecting: natural-language vocabularies are Zipf
     // (≲ millions of types at any corpus size), but an adversarial corpus
     // of random strings grows the dictionary with the corpus — collecting
-    // that OOMs the driver. Count executor-side and fail loud with the
-    // remedy instead; the short-lived cache keeps the corpus pass single
-    // (count and collect read the same materialized aggregate).
-    freqRows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dictRows =
-      try {
-        val vocabSize = freqRows.count()
-        require(vocabSize <= MaxUnigramVocab,
-          s"unigramLogProb: vocabulary has $vocabSize types (> $MaxUnigramVocab). " +
-            "The dictionary must be broadcast-small; pre-filter tokens (min " +
-            "frequency, length caps) or score against a fixed dictionary.")
-        freqRows.collect()
-      } finally freqRows.unpersist()
+    // that OOMs the driver. ONE action does both: collect at most
+    // MaxUnigramVocab+1 rows (the limit bounds what can ever reach the
+    // driver) and fail loud with the remedy if the extra row came back —
+    // no persist/count pre-pass, so the corpus is aggregated exactly once.
+    val dictRows = freqRows.limit(MaxUnigramVocab.toInt + 1).collect()
+    require(dictRows.length <= MaxUnigramVocab,
+      s"unigramLogProb: vocabulary exceeds $MaxUnigramVocab types. " +
+        "The dictionary must be broadcast-small; pre-filter tokens (min " +
+        "frequency, length caps) or score against a fixed dictionary.")
     val total = dictRows.iterator.map(_.getLong(1)).sum.max(1L)
     val dict = df.sparkSession.createDataFrame(
       java.util.Arrays.asList(dictRows: _*), freqRows.schema)

@@ -72,7 +72,7 @@ class ValidationSpec extends SparkSpec {
     // destroy the data snapshot mid-lifecycle: training must fail, not
     // corrupt the catalog
     val doc = engine.load("t20db")
-    graft.catalog.Catalog.delete(engine.root, s"t20db/data")
+    graft.catalog.Catalog.delete(engine.root, s"t20db/data")(engine.hadoopConf)
     intercept[Exception] {
       engine.train("t20db", params = Some(IndexParams(16, 16, 8)), kmeansIters = 1)
     }
