@@ -40,14 +40,30 @@ final case class CatalogDoc(
     usedTwoLevel: Int,             // T7 decision at last train: -1 never, 0 subsample, 1 two-level
     createdAt: Long,               // creation stamp — a train started against an older
                                    // incarnation must never swap onto a drop+recreate
-    codedBucketShift: Int) {       // coded-table layout: clusters 2^shift-grouped into
+    codedBucketShift: Int,         // coded-table layout: clusters 2^shift-grouped into
                                    // `cluster_bucket` partition dirs (-1 = legacy one
                                    // hive dir per cluster_id)
+    codedOwners: String = "") {    // per-bucket owner INDEX VERSION as csv (one int per
+                                   // cluster_bucket) — "" means every bucket lives under
+                                   // `indexVersion`. Lets compaction rewrite ONLY the
+                                   // buckets holding deleted rows: untouched buckets stay
+                                   // in (and are read from) the version dir that wrote
+                                   // them, so compact cost ∝ touched buckets, not table
 
   def isTrained: Boolean = indexVersion >= 0
 
   def dataPath(root: String): String = s"$root/$name/data/v$dataVersion"
   def indexPath(root: String): String = s"$root/$name/index/v$indexVersion"
+
+  /** Owner index version per cluster_bucket (resolving the "" shorthand). */
+  def ownerVersions(bucketCount: Int): Array[Int] =
+    if (codedOwners.isEmpty) Array.fill(bucketCount)(indexVersion)
+    else codedOwners.split(",").map(_.toInt)
+
+  /** CSV for an owner array, collapsed to the "" shorthand when uniform. */
+  def withOwners(owners: Array[Int]): CatalogDoc =
+    copy(codedOwners =
+      if (owners.forall(_ == indexVersion)) "" else owners.mkString(","))
 }
 
 object CatalogDoc {
@@ -112,7 +128,8 @@ object Catalog {
          |  "nProbe": ${doc.nProbe},
          |  "usedTwoLevel": ${doc.usedTwoLevel},
          |  "createdAt": ${doc.createdAt},
-         |  "codedBucketShift": ${doc.codedBucketShift}
+         |  "codedBucketShift": ${doc.codedBucketShift},
+         |  "codedOwners": ${quote(doc.codedOwners)}
          |}""".stripMargin
     // write-then-rename so a concurrent reader never sees a torn doc:
     // FileContext rename(OVERWRITE) is atomic on HDFS and file:; on an
@@ -130,6 +147,9 @@ object Catalog {
     def str(k: String): String =
       s""""$k"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(raw)
         .map(_.group(1)).getOrElse(sys.error(s"catalog missing $k"))
+    def strOr(k: String, default: String): String =
+      s""""$k"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(raw)
+        .map(_.group(1)).getOrElse(default)
     def numOr(k: String, default: Long): Long =
       s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(raw)
         .map(_.group(1).toLong).getOrElse(default)
@@ -146,7 +166,8 @@ object Catalog {
       // absent from older catalogs — defaults keep old roots loadable
       // (codedBucketShift -1 = the pre-r10 one-dir-per-cluster layout)
       numOr("usedTwoLevel", -1L).toInt, numOr("createdAt", 0L),
-      numOr("codedBucketShift", -1L).toInt)
+      numOr("codedBucketShift", -1L).toInt,
+      strOr("codedOwners", ""))
   }
 
   private def readString(root: String, name: String)

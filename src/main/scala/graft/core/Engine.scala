@@ -430,21 +430,61 @@ class Engine(val spark: SparkSession, val root: String) {
     val newVersion = doc.dataVersion + 1
     snapshot(doc).write.mode("overwrite").parquet(s"$root/$name/data/v$newVersion")
 
+    // Index-side rewrite is PER-BUCKET on the bucketed layout: only the
+    // cluster_buckets that actually HOLD deleted rows are rewritten into
+    // the new index version; every untouched bucket keeps its existing
+    // files and is read from the version dir that owns them
+    // (doc.codedOwners). At 100 TB a threshold compact touches ~10% of
+    // rows — spread over (usually far) fewer than all buckets — so the
+    // rewrite cost is ∝ touched buckets, not table size. The legacy
+    // one-dir-per-cluster layout keeps the full rewrite (every retrain
+    // upgrades it to the bucketed layout anyway).
+    var unreferencedIndexDirs = Seq.empty[String]
     if (doc.isTrained) {
       val model = indexModel(doc)
       val newIdxVersion = doc.indexVersion + 1
-      writeCodedRows(
-        codedDf(doc).join(broadcast(deletes(doc)), Seq("id"), "left_anti"),
-        doc.codedBucketShift, math.max(1, doc.numClusters),
-        s"$root/$name/index/v$newIdxVersion/coded", "overwrite")
-      IndexStore.saveModel(spark, s"$root/$name/index/v$newIdxVersion", model)
-      doc = doc.copy(indexVersion = newIdxVersion)
+      val nlist = math.max(1, doc.numClusters)
+      if (doc.codedBucketShift < 0) {
+        writeCodedRows(
+          codedDf(doc).join(broadcast(deletes(doc)), Seq("id"), "left_anti"),
+          doc.codedBucketShift, nlist,
+          s"$root/$name/index/v$newIdxVersion/coded", "overwrite")
+        IndexStore.saveModel(spark, s"$root/$name/index/v$newIdxVersion", model)
+        unreferencedIndexDirs = Seq(doc.indexPath(root))
+        doc = doc.copy(indexVersion = newIdxVersion, codedOwners = "")
+      } else {
+        val buckets = Engine.codedBucketCount(nlist, doc.codedBucketShift)
+        val owners = doc.ownerVersions(buckets)
+        // one column-pruned pass (id + the partition value) finds the
+        // buckets with deletions — no vector/code/metadata decode
+        val touched = codedDf(doc)
+          .join(broadcast(deletes(doc)), Seq("id"), "left_semi")
+          .select("cluster_bucket").distinct().collect().map(_.getInt(0))
+        val touchedSet = touched.toSet
+        if (touched.nonEmpty)
+          writeCodedRows(
+            codedDf(doc)
+              .filter(col("cluster_bucket").isin(
+                touched.toIndexedSeq.map(Integer.valueOf): _*))
+              .join(broadcast(deletes(doc)), Seq("id"), "left_anti"),
+            doc.codedBucketShift, nlist,
+            s"$root/$name/index/v$newIdxVersion/coded", "overwrite")
+        IndexStore.saveModel(spark, s"$root/$name/index/v$newIdxVersion", model)
+        val newOwners = owners.zipWithIndex.map { case (o, b) =>
+          if (touchedSet(b)) newIdxVersion else o }
+        // versions that no longer own any bucket become sweepable
+        val stillReferenced = newOwners.toSet + newIdxVersion
+        unreferencedIndexDirs = (owners.toSet + doc.indexVersion)
+          .diff(stillReferenced).toSeq.sorted
+          .map(v => s"$root/$name/index/v$v")
+        doc = doc.copy(indexVersion = newIdxVersion).withOwners(newOwners)
+      }
     }
 
     doc = doc.copy(dataVersion = newVersion, numPendingDeletes = 0L)
     Catalog.save(root, doc) // atomic swap; old deletes dir is now unreferenced
     markSuperseded((Seq(old.dataPath(root), deletesPath(old)) ++
-      (if (old.isTrained) Seq(old.indexPath(root)) else Nil)): _*)
+      unreferencedIndexDirs): _*)
     doc
   }
 
@@ -464,6 +504,15 @@ class Engine(val spark: SparkSession, val root: String) {
     * and if even that under-fills, the query falls back to the exact flat
     * scan — a selective predicate never silently returns fewer rows than
     * the data could supply.
+    *
+    * EXECUTION CONTRACT: on a trained db this method is EAGER — the
+    * coarse ADC stage runs (a Spark job) at CALL time, and the returned
+    * DataFrame holds only the candidate-fetch + rerank plan over its
+    * survivors. Callers that build queries speculatively (EXPLAIN, plan
+    * inspection) pay the coarse scan up front; use the flat path or
+    * [[prepareServing]] if construction must stay free. This is the Q4
+    * trade: collecting the ≤ prelimK survivor ids is what lets the fetch
+    * scan read ∝ candidates instead of ∝ probes (the 100M-geometry fix).
     */
   def query(name: String, q: Array[Float], preliminaryTopK: Int = 500,
             finalTopK: Int = 100, predicate: Option[Column] = None): DataFrame = {
@@ -591,6 +640,25 @@ class Engine(val spark: SparkSession, val root: String) {
       .select(col("query_id").cast("long"), col("qvec").cast("array<float>"))
       .collect()
       .map(r => r.getLong(0) -> normalizeLocal(r.getSeq[Float](1).toArray))
+    // Driver-memory guard: the candidate round-trip holds q·prelimK rows
+    // on the driver (twice, briefly: Array[Row] + the rebuilt frame). A
+    // very large batch would OOM it, so past the cap the batch splits
+    // into driver-bounded chunks whose results union — per-query results
+    // are independent, so the split is invisible to correctness; only
+    // scan amortization across chunks is lost.
+    if (qs.length.toLong * preliminaryTopK > Engine.MaxDriverBatchCandidates) {
+      val perChunk = math.max(1,
+        (Engine.MaxDriverBatchCandidates / preliminaryTopK).toInt)
+      return qs.grouped(perChunk).map { chunk =>
+        val chunkDf = spark.createDataFrame(
+          java.util.Arrays.asList(chunk.map { case (qid, v) =>
+            org.apache.spark.sql.Row(qid, v.toSeq) }: _*),
+          StructType(Seq(
+            StructField("query_id", LongType, nullable = false),
+            StructField("qvec", ArrayType(FloatType, containsNull = false)))))
+        queryBatchTrained(name, chunkDf, preliminaryTopK, finalTopK)
+      }.reduce(_ union _)
+    }
     val qsP = qs.map { case (qid, qn) => qid -> model.pca.applyLocal(qn) }
     val probes = qsP.map { case (_, qp) => model.nearestClusters(qp, doc.nProbe) }
     val probeUnion = probes.flatten.distinct
@@ -636,14 +704,33 @@ class Engine(val spark: SparkSession, val root: String) {
     require(doc.isTrained, s"'$name' has no trained index to prepare")
     val parts =
       if (numParts > 0) numParts else spark.sparkContext.defaultParallelism
-    val blocks = graft.operators.PreparedANN.buildBlocks(codedDf(doc), parts)
+    // the id fence pins the block set to EXACTLY the pinned doc: an add
+    // racing prepare would otherwise land its rows both in the blocks
+    // (the scan sees the appended files) and in the side buffer (id >
+    // pinned.maxId) — served twice
+    val blocks = graft.operators.PreparedANN.buildBlocks(
+        codedDf(doc).filter(col("id") <= doc.maxId), parts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     blocks.count() // materialize the cache at prepare time, not first query
     val collectDeleted = (d: CatalogDoc) =>
       if (d.numPendingDeletes == 0) Array.empty[Long]
       else deletes(d).orderBy("id").collect().map(_.getLong(0))
+    // Post-prepare appends (A6 encodes them into the coded table before
+    // add() returns) delta-refresh into a driver-local side buffer: the
+    // appended rows live in parquet files whose id stats are entirely
+    // above the fence, so the pushed `id > fence` filter skips every
+    // pre-prepare file at the footer. None past the row cap — the handle
+    // degrades to fallback and tells the caller to re-prepare.
+    val collectAppended = (d: CatalogDoc, sinceId: Long) => {
+      val rows = codedDf(d).filter(col("id") > sinceId)
+        .select("cluster_id", "id", "code", "vector", "metadata")
+        .limit(Engine.MaxPreparedSideRows + 1).collect()
+      if (rows.length > Engine.MaxPreparedSideRows) None
+      else Some(graft.operators.PreparedANN.foldBlocks(
+        rows.iterator.map(r => (r.getInt(0), r))))
+    }
     new PreparedIndex(this, spark, doc, blocks, modelBroadcast(doc),
-      collectDeleted)
+      collectDeleted, collectAppended)
   }
 
   /** The live rows of the probed coded partitions: partition-pruned scan of
@@ -704,10 +791,53 @@ class Engine(val spark: SparkSession, val root: String) {
     else pruned.join(broadcast(deletes(doc)), Seq("id"), "left_anti")
   }
 
+  /** The coded table as ONE DataFrame. With per-bucket compaction a
+    * bucket's rows live under the index version that last REWROTE it
+    * (`doc.codedOwners`), so the frame is a union of per-owner-version
+    * reads — each restricted to exactly the bucket dirs that version
+    * still owns (the same version dir may also hold STALE copies of
+    * buckets a later compact rewrote; listing the owned dirs explicitly,
+    * never the whole dir, is what keeps those invisible). The common
+    * case (owners empty: fresh train, bin-pack, legacy) stays a single
+    * whole-dir read. Cached per (db, indexVersion) — owners only change
+    * on a version bump.
+    */
   private def codedDf(doc: CatalogDoc): DataFrame =
-    codedDfCache.getOrElseUpdate((doc.name, doc.indexVersion),
-      spark.read.schema(codedReadSchema(doc.codedBucketShift))
-        .parquet(s"${doc.indexPath(root)}/coded"))
+    codedDfCache.getOrElseUpdate((doc.name, doc.indexVersion), {
+      if (doc.codedOwners.isEmpty || doc.codedBucketShift < 0)
+        spark.read.schema(codedReadSchema(doc.codedBucketShift))
+          .parquet(s"${doc.indexPath(root)}/coded")
+      else {
+        val buckets = Engine.codedBucketCount(math.max(1, doc.numClusters),
+          doc.codedBucketShift)
+        val owners = doc.ownerVersions(buckets)
+        owners.zipWithIndex.groupBy(_._1).toSeq.sortBy(_._1).map {
+          case (ownerV, entries) =>
+            val base = s"$root/${doc.name}/index/v$ownerV/coded"
+            val basePath = new org.apache.hadoop.fs.Path(base)
+            val f = fsFor(basePath)
+            // a bucket with no rows never materialized a dir — list what
+            // the owner version actually wrote and intersect
+            val present: Set[Int] =
+              if (!f.exists(basePath)) Set.empty
+              else f.listStatus(basePath).iterator.flatMap { st =>
+                val n = st.getPath.getName
+                if (n.startsWith("cluster_bucket="))
+                  n.stripPrefix("cluster_bucket=").toIntOption
+                else None
+              }.toSet
+            val dirs = entries.iterator.map(_._2).filter(present)
+              .map(b => s"$base/cluster_bucket=$b").toSeq
+            if (dirs.isEmpty)
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                codedReadSchema(doc.codedBucketShift))
+            else
+              spark.read.schema(codedReadSchema(doc.codedBucketShift))
+                .option("basePath", base).parquet(dirs: _*)
+        }.reduce(_ union _)
+      }
+    })
 
   /** Coded-table layout sizing at train time — overridable so specs can
     * force a multi-bucket layout on a corpus small enough for `sbt test`
@@ -967,18 +1097,31 @@ class Engine(val spark: SparkSession, val root: String) {
         sum(when(col("id") > snapshotMaxId, 1L).otherwise(0L))).first()
       val liveTrained = if (live.isNullAt(0)) 0L else live.getLong(0)
       val liveNew = if (live.isNullAt(1)) 0L else live.getLong(1)
-      val oldIndexPath = if (cur.isTrained) Some(cur.indexPath(root)) else None
+      // the fresh index supersedes EVERY old index version, including
+      // bucket-owner versions a per-bucket compact left referenced
+      val oldIndexPaths =
+        if (!cur.isTrained) Seq.empty[String]
+        else {
+          val owners =
+            if (cur.codedOwners.isEmpty || cur.codedBucketShift < 0)
+              Set(cur.indexVersion)
+            else cur.ownerVersions(Engine.codedBucketCount(
+              math.max(1, cur.numClusters), cur.codedBucketShift)).toSet +
+              cur.indexVersion
+          owners.toSeq.sorted.map(v => s"$root/$name/index/v$v")
+        }
       val reconcileTo = cur.maxId
       cur = Catalog.withParams(cur, p, nlist, nprobe).copy(
         usedTwoLevel = if (twoLevel) 1 else 0,
         codedBucketShift = bucketShift,
+        codedOwners = "",
         indexVersion = newVersion,
         maxTrainedId = snapshotMaxId,
         numVectorsTrainedOn = n,
         numTrainedVectorsRemoved = n - liveTrained,
         numNewVectors = liveNew)
       Catalog.save(root, cur)
-      oldIndexPath.foreach(markSuperseded(_))
+      markSuperseded(oldIndexPaths: _*)
       (cur, true, snapshotMaxId, reconcileTo)
     }
   }
@@ -1069,17 +1212,40 @@ class Engine(val spark: SparkSession, val root: String) {
         .partitionBy("cluster_bucket").parquet(path)
     }
 
+  /** Incremental insert (A6). Each appended row lands in the version dir
+    * that OWNS its cluster_bucket (after a per-bucket compact different
+    * buckets live under different versions) — one append-write per
+    * distinct owner, all reading one persisted encode pass. Owner count
+    * is small (grows by ≤1 per compact, reset by every train/bin-pack).
+    */
   private def appendToCodedTable(doc: CatalogDoc, model: IndexModel,
                                  rows: DataFrame): Unit = {
-    writeCodedRows(assignEncode(rows, model), doc.codedBucketShift,
-      math.max(1, doc.numClusters), s"${doc.indexPath(root)}/coded", "append")
+    val encoded = assignEncode(rows, model)
+    val nlist = math.max(1, doc.numClusters)
+    if (doc.codedOwners.isEmpty || doc.codedBucketShift < 0)
+      writeCodedRows(encoded, doc.codedBucketShift, nlist,
+        s"${doc.indexPath(root)}/coded", "append")
+    else {
+      val buckets = Engine.codedBucketCount(nlist, doc.codedBucketShift)
+      val byOwner = doc.ownerVersions(buckets).zipWithIndex.groupBy(_._1)
+      encoded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        byOwner.toSeq.sortBy(_._1).foreach { case (ownerV, entries) =>
+          val owned = entries.map(_._2).toIndexedSeq.map(Integer.valueOf)
+          val subset = encoded.filter(
+            expr(s"cluster_id div ${1L << doc.codedBucketShift}").cast("int")
+              .isin(owned: _*))
+          writeCodedRows(subset, doc.codedBucketShift, nlist,
+            s"$root/${doc.name}/index/v$ownerV/coded", "append")
+        }
+      } finally encoded.unpersist()
+    }
     // same-version append: the cached frame's FileIndex is now stale
     codedDfCache.remove((doc.name, doc.indexVersion))
   }
 
-  /** Parquet data files under a coded-table directory (recursive). */
-  private def codedFileCount(doc: CatalogDoc): Int = {
-    val dir = new org.apache.hadoop.fs.Path(doc.indexPath(root), "coded")
+  /** Parquet files under a directory (recursive; 0 if absent). */
+  private def countParquetFiles(dir: org.apache.hadoop.fs.Path): Int = {
     val f = fsFor(dir)
     if (!f.exists(dir)) return 0
     var n = 0
@@ -1087,6 +1253,23 @@ class Engine(val spark: SparkSession, val root: String) {
     while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
     n
   }
+
+  /** Parquet data files the coded table would READ — per owned bucket dir
+    * when ownership is split across versions (stale copies of rewritten
+    * buckets left in old version dirs don't count; they're vacuum's
+    * problem, not the bin-pack trigger's).
+    */
+  private def codedFileCount(doc: CatalogDoc): Int =
+    if (doc.codedOwners.isEmpty || doc.codedBucketShift < 0)
+      countParquetFiles(new org.apache.hadoop.fs.Path(doc.indexPath(root), "coded"))
+    else {
+      val buckets = Engine.codedBucketCount(math.max(1, doc.numClusters),
+        doc.codedBucketShift)
+      doc.ownerVersions(buckets).zipWithIndex.iterator.map { case (v, b) =>
+        countParquetFiles(new org.apache.hadoop.fs.Path(
+          s"$root/${doc.name}/index/v$v/coded/cluster_bucket=$b"))
+      }.sum
+    }
 
   /** Bin-pack the coded table once post-train appends have accreted more
     * than [[Engine.CodedFilesPerCluster]] files per cluster: one
@@ -1113,9 +1296,16 @@ class Engine(val spark: SparkSession, val root: String) {
     writeCodedRows(codedDf(doc), doc.codedBucketShift,
       math.max(1, doc.numClusters), s"$newDir/coded", "overwrite")
     IndexStore.saveModel(spark, newDir, model)
-    val oldPath = doc.indexPath(root)
-    Catalog.save(root, doc.copy(indexVersion = newVersion))
-    markSuperseded(oldPath)
+    // the bin-pack consolidates EVERY owner version into the new one
+    val oldPaths = (
+      (if (doc.codedOwners.isEmpty || doc.codedBucketShift < 0)
+         Set(doc.indexVersion)
+       else doc.ownerVersions(Engine.codedBucketCount(
+         math.max(1, doc.numClusters), doc.codedBucketShift)).toSet +
+         doc.indexVersion)
+      ).toSeq.sorted.map(v => s"$root/$name/index/v$v")
+    Catalog.save(root, doc.copy(indexVersion = newVersion, codedOwners = ""))
+    markSuperseded(oldPaths: _*)
     log.info(s"coded-table compaction: '$name' index v${doc.indexVersion} → " +
       s"v$newVersion ($files files exceeded ${Engine.CodedFilesPerCluster}×$units)")
   }
@@ -1156,21 +1346,33 @@ class Engine(val spark: SparkSession, val root: String) {
     val doc = load(name)
     val cutoff = System.currentTimeMillis() - graceMillis
     val f = fsFor(new org.apache.hadoop.fs.Path(root))
-    def sweep(parent: org.apache.hadoop.fs.Path, prefix: String, current: Int): Int = {
+    // index versions still REFERENCED as bucket owners (per-bucket
+    // compaction leaves untouched buckets in older version dirs) are
+    // never sweepable, no matter how old
+    val referencedIdx: Set[Int] =
+      if (!doc.isTrained) Set.empty
+      else if (doc.codedOwners.isEmpty || doc.codedBucketShift < 0)
+        Set(doc.indexVersion)
+      else doc.ownerVersions(Engine.codedBucketCount(
+        math.max(1, doc.numClusters), doc.codedBucketShift)).toSet +
+        doc.indexVersion
+    def sweep(parent: org.apache.hadoop.fs.Path, prefix: String, current: Int,
+              referenced: Int => Boolean): Int = {
       if (!f.exists(parent)) return 0
       f.listStatus(parent).count { st =>
         val n = st.getPath.getName
         val old = n.startsWith(prefix) &&
-          n.stripPrefix(prefix).toIntOption.exists(_ < current)
+          n.stripPrefix(prefix).toIntOption.exists(v => v < current && !referenced(v))
         val stale = old && supersededAt(f, st.getPath) <= cutoff
         if (stale) f.delete(st.getPath, true)
         stale
       }
     }
     val base = new org.apache.hadoop.fs.Path(root, name)
-    sweep(new org.apache.hadoop.fs.Path(base, "data"), "v", doc.dataVersion) +
-      sweep(new org.apache.hadoop.fs.Path(base, "index"), "v", doc.indexVersion) +
-      sweep(new org.apache.hadoop.fs.Path(base, "deletes"), "d", doc.dataVersion)
+    sweep(new org.apache.hadoop.fs.Path(base, "data"), "v", doc.dataVersion, _ => false) +
+      sweep(new org.apache.hadoop.fs.Path(base, "index"), "v", doc.indexVersion,
+        referencedIdx.contains) +
+      sweep(new org.apache.hadoop.fs.Path(base, "deletes"), "d", doc.dataVersion, _ => false)
   }
 
   /** The explicit supersession stamp of a version dir: the millis inside
@@ -1419,6 +1621,19 @@ object Engine {
     * heap memory in the coarse kernel).
     */
   val MaxWidenedPreliminaryK: Int = 100000
+
+  /** Driver-side candidate-row ceiling for one trained query batch
+    * (q·prelimK). ~2M rows ≈ a few hundred MB of Rows — past it the
+    * batch splits into chunks rather than OOM the driver.
+    */
+  val MaxDriverBatchCandidates: Long = 2000000L
+
+  /** Ceiling on post-prepare appended rows a [[PreparedIndex]] absorbs
+    * into its driver-local side buffer (at d=768 covering rows, 200k ≈
+    * 600 MB). Past it the handle reports stale and serves via fallback —
+    * the caller should re-prepare.
+    */
+  val MaxPreparedSideRows: Int = 200000
 
   /** Per-db outcome of one [[Engine.maintenanceSweep]] pass. */
   final case class SweepResult(db: String, trained: Boolean,

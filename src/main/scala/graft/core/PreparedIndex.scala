@@ -21,10 +21,19 @@ import graft.operators.PreparedANN.{Cand, ClusterBlock}
   *  - removes: pending deletes are re-collected (one small job) only
   *    when the pinned count drifts, then applied in-kernel before the
   *    ADC heap — the regular path's anti-join-before-ADC, same place;
-  *  - adds / train / compact (maxId or a version moved): the handle
-  *    transparently falls back to the regular engine path for that
-  *    query, so results are ALWAYS current — `isStale` tells the caller
-  *    it is time to `close()` and re-prepare.
+  *  - adds (maxId moved, versions unchanged): DELTA-REFRESH — the
+  *    appended rows (already PQ-encoded by A6 before `add` returned)
+  *    are collected once into a driver-local side buffer of the same
+  *    ClusterBlock shape and scanned with the same kernel after the
+  *    distributed job, so a steady ingest trickle never degrades the
+  *    prepared path (the reference absorbs adds into its live index the
+  *    same way, mindb.py:214-217). Bounded by
+  *    [[Engine.MaxPreparedSideRows]]; past it the handle reports stale
+  *    and serves via fallback until the caller re-prepares;
+  *  - train / compact (a version moved): the pinned blocks can't serve —
+  *    transparent fallback to the regular engine path for that query, so
+  *    results are ALWAYS current; `isStale` tells the caller it is time
+  *    to `close()` and re-prepare.
   *
   * Thread-safe: concurrent `query` calls share the cached RDD and run
   * as independent jobs (FAIR scheduling applies, same as the regular
@@ -44,7 +53,8 @@ final class PreparedIndex private[core] (
     val pinned: CatalogDoc,
     blocks: RDD[Map[Int, ClusterBlock]],
     bcModel: Broadcast[IndexModel],
-    collectDeleted: CatalogDoc => Array[Long]) {
+    collectDeleted: CatalogDoc => Array[Long],
+    collectAppended: (CatalogDoc, Long) => Option[Map[Int, ClusterBlock]]) {
 
   import PreparedIndex.Hit
 
@@ -56,24 +66,37 @@ final class PreparedIndex private[core] (
   @volatile private var deletedSnapshot: (Long, Broadcast[Array[Long]]) =
     (pinned.numPendingDeletes,
       spark.sparkContext.broadcast(collectDeleted(pinned)))
+  // appended-rows side buffer: (maxId it covers, blocks of every coded
+  // row with id > pinned.maxId). Driver-local — the extra per-query work
+  // is one in-process kernel scan over the appended rows only, no task.
+  @volatile private var addsSnapshot: (Long, Map[Int, ClusterBlock]) =
+    (pinned.maxId, Map.empty)
+  // the side buffer overflowed MaxPreparedSideRows — permanent (for this
+  // handle) fallback; re-prepare to pin the grown table
+  @volatile private var addsOverflowed = false
   private val refreshLock = new Object
   @volatile private var closed = false
 
   private def model: IndexModel = bcModel.value
 
-  /** True when the underlying db changed shape (adds, train, compact,
-    * drop) in a way the pinned blocks can't serve; `query` falls back to
-    * the regular path until the caller re-prepares.
+  /** True when the underlying db changed shape in a way the pinned
+    * blocks can't serve at prepared speed: a version moved (train /
+    * compact / drop), or more rows were appended than the side buffer
+    * absorbs. Plain adds within the buffer bound delta-refresh and do
+    * NOT flip this. `query` stays correct either way (fallback).
     */
   def isStale: Boolean = {
     val cur = engine.load(pinned.name)
     cur.indexVersion != pinned.indexVersion ||
-      cur.dataVersion != pinned.dataVersion || cur.maxId != pinned.maxId
+      cur.dataVersion != pinned.dataVersion || addsOverflowed ||
+      (cur.maxId != pinned.maxId &&
+        cur.maxId - pinned.maxId > Engine.MaxPreparedSideRows)
   }
 
   /** Two-stage ANN query (Q1-Q9 semantics, mindb.py:368-442), served
-    * from the prepared blocks in one job. Result rows are ordered by
-    * rank, identical to `Engine.query(name, q, prelimK, finalK)`.
+    * from the prepared blocks (+ the appended-rows side buffer) in one
+    * job. Result rows are ordered by rank, identical to
+    * `Engine.query(name, q, prelimK, finalK)`.
     */
   def query(q: Array[Float], preliminaryTopK: Int = 500,
             finalTopK: Int = 100): Array[Hit] = {
@@ -82,7 +105,7 @@ final class PreparedIndex private[core] (
     require(cur.vectorDimension <= 0 || q.length == cur.vectorDimension,
       s"query dim ${q.length} != ${cur.vectorDimension}")
     if (cur.indexVersion != pinned.indexVersion ||
-        cur.dataVersion != pinned.dataVersion || cur.maxId != pinned.maxId)
+        cur.dataVersion != pinned.dataVersion || addsOverflowed)
       return fallback(q, preliminaryTopK, finalTopK)
 
     if (cur.numPendingDeletes != deletedSnapshot._1) refreshLock.synchronized {
@@ -93,7 +116,20 @@ final class PreparedIndex private[core] (
         old.unpersist(blocking = false)
       }
     }
+    // adds delta-refresh: rebuild the side buffer when maxId moved (the
+    // collect re-reads ALL appends past the pinned fence — idempotent,
+    // so a racing add that lands mid-scan is at worst served early)
+    if (cur.maxId != addsSnapshot._1) refreshLock.synchronized {
+      if (cur.maxId != addsSnapshot._1 && !addsOverflowed) {
+        collectAppended(cur, pinned.maxId) match {
+          case Some(side) => addsSnapshot = (cur.maxId, side)
+          case None => addsOverflowed = true
+        }
+      }
+    }
+    if (addsOverflowed) return fallback(q, preliminaryTopK, finalTopK)
     val bcDeleted = deletedSnapshot._2
+    val side = addsSnapshot._2
 
     val qn = {
       var s = 0.0; var i = 0
@@ -112,7 +148,14 @@ final class PreparedIndex private[core] (
           PreparedANN.servePartition(it.next(), bc.value, probes, qp, qn,
             preliminaryTopK, bcDel.value)
         else Array.empty[Cand])
-    PreparedANN.merge(parts, preliminaryTopK, finalTopK).zipWithIndex.map {
+    // the appended-rows side scan: same kernel, driver-local, merged as
+    // one more part — arithmetic identical to the rows having been in a
+    // pinned block all along
+    val all =
+      if (side.isEmpty) parts
+      else parts :+ PreparedANN.servePartition(side, model, probes, qp, qn,
+        preliminaryTopK, bcDeleted.value)
+    PreparedANN.merge(all, preliminaryTopK, finalTopK).zipWithIndex.map {
       case (c, i) => Hit(i + 1, c.id, c.meta, c.sim)
     }
   }
@@ -131,5 +174,6 @@ final class PreparedIndex private[core] (
     closed = true
     blocks.unpersist(blocking = false)
     deletedSnapshot._2.unpersist(blocking = false)
+    addsSnapshot = (addsSnapshot._1, Map.empty)
   }
 }

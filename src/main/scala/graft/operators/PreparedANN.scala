@@ -60,6 +60,30 @@ object PreparedANN {
     */
   final case class Cand(adcDist: Double, id: Long, sim: Double, meta: String)
 
+  /** Fold `(cluster_id, covering row)` pairs into per-cluster primitive
+    * blocks — shared by the distributed prepare-time build and the
+    * driver-local side-buffer build for post-prepare appends.
+    */
+  def foldBlocks(it: Iterator[(Int, org.apache.spark.sql.Row)]): Map[Int, ClusterBlock] = {
+    val ids = mutable.Map.empty[Int, mutable.ArrayBuilder.ofLong]
+    val codes = mutable.Map.empty[Int, mutable.ArrayBuilder.ofByte]
+    val vecs = mutable.Map.empty[Int, mutable.ArrayBuilder.ofFloat]
+    val metas = mutable.Map.empty[Int, mutable.ArrayBuffer[String]]
+    it.foreach { case (cid, r) =>
+      ids.getOrElseUpdate(cid, new mutable.ArrayBuilder.ofLong) += r.getLong(1)
+      val cb = codes.getOrElseUpdate(cid, new mutable.ArrayBuilder.ofByte)
+      r.getSeq[Int](2).foreach(c => cb += c.toByte)
+      val vb = vecs.getOrElseUpdate(cid, new mutable.ArrayBuilder.ofFloat)
+      r.getSeq[Float](3).foreach(vb += _)
+      metas.getOrElseUpdate(cid, mutable.ArrayBuffer.empty[String]) +=
+        (if (r.isNullAt(4)) null else r.getString(4))
+    }
+    ids.keysIterator.map { cid =>
+      cid -> new ClusterBlock(ids(cid).result(), codes(cid).result(),
+        vecs(cid).result(), metas(cid).toArray)
+    }.toMap
+  }
+
   /** Pin the covering coded table into `numParts` cached partitions of
     * cluster-keyed blocks. One shuffle, executed once at prepare time.
     */
@@ -67,26 +91,8 @@ object PreparedANN {
     coded.select("cluster_id", "id", "code", "vector", "metadata").rdd
       .map(r => (r.getInt(0), r))
       .partitionBy(new HashPartitioner(numParts))
-      .mapPartitions ({ it =>
-        val ids = mutable.Map.empty[Int, mutable.ArrayBuilder.ofLong]
-        val codes = mutable.Map.empty[Int, mutable.ArrayBuilder.ofByte]
-        val vecs = mutable.Map.empty[Int, mutable.ArrayBuilder.ofFloat]
-        val metas = mutable.Map.empty[Int, mutable.ArrayBuffer[String]]
-        it.foreach { case (cid, r) =>
-          ids.getOrElseUpdate(cid, new mutable.ArrayBuilder.ofLong) += r.getLong(1)
-          val cb = codes.getOrElseUpdate(cid, new mutable.ArrayBuilder.ofByte)
-          r.getSeq[Int](2).foreach(c => cb += c.toByte)
-          val vb = vecs.getOrElseUpdate(cid, new mutable.ArrayBuilder.ofFloat)
-          r.getSeq[Float](3).foreach(vb += _)
-          metas.getOrElseUpdate(cid, mutable.ArrayBuffer.empty[String]) +=
-            (if (r.isNullAt(4)) null else r.getString(4))
-        }
-        val m = ids.keysIterator.map { cid =>
-          cid -> new ClusterBlock(ids(cid).result(), codes(cid).result(),
-            vecs(cid).result(), metas(cid).toArray)
-        }.toMap
-        Iterator.single(m)
-      }, preservesPartitioning = true)
+      .mapPartitions(it => Iterator.single(foldBlocks(it)),
+        preservesPartitioning = true)
   }
 
   /** Serve one query against one partition's blocks: ADC top-`prelimK`

@@ -285,5 +285,29 @@ class CodedLayoutSpec extends SparkSpec {
     assert(40000 > probe.cutoverAt(91008))
     // tiny tables keep the pushed-In plan shape regardless of nlist/8
     assert(probe.cutoverAt(800) == 512)
+    // SMALL-BUT-NONTRIVIAL geometries (the r10 change moved these from
+    // the old fixed 4096 ceiling onto the 512 floor — intentional): at
+    // nlist 2k-8k, nlist/8 < 512 so the floor binds; a probe list past
+    // it (e.g. nlist 3000, nprobe 600) takes the single bucket-pruned
+    // scan with a row-level filter — correct by the test below, and the
+    // right plan: 600/3000 probes leave few prunable page gaps anyway
+    assert(probe.cutoverAt(2048) == 512)
+    assert(probe.cutoverAt(3000) == 512)
+    assert(probe.cutoverAt(8192) == 1024)
+  }
+
+  test("the row-filter branch (probes past the cutover) is bit-identical too") {
+    // force the cutover to 0 so EVERY query takes the single-scan
+    // row-filter branch the mid-size geometries now land on
+    val rowFilter = new Engine(spark, bucketed.root) {
+      override protected def maxChunkedProbePush(nlist: Int): Int = 0
+    }
+    mkQueries(6).foreach { q =>
+      val a = rowFilter.query("db", q, preliminaryTopK = 200, finalTopK = 20)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+          math.rint(r.getDouble(3) * 1e6) / 1e6)).toSeq
+      assert(a == results(bucketed, "db", q),
+        "row-filter branch diverged from the chunk-pushed plan")
+    }
   }
 }

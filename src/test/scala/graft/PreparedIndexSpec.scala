@@ -7,7 +7,8 @@ import graft.core.Engine
 /** The prepared in-memory serving path (`Engine.prepareServing`) must be
   * indistinguishable from `Engine.query` — same rows, same ranks, same
   * doubles — across the handle's whole lifecycle: fresh, after removes
-  * (delta-refresh), after adds (transparent fallback), and re-prepared.
+  * (delta-refresh), after adds (side-buffer delta-refresh), and
+  * re-prepared.
   * (The DuckDB replay gate for the same property is the `prepared_knn`
   * oracle row.)
   */
@@ -82,16 +83,32 @@ class PreparedIndexSpec extends SparkSpec {
     }
   }
 
-  test("adds flip isStale and fall back transparently") {
+  test("adds delta-refresh into the side buffer: exact, NOT stale") {
     val rnd = new Random(Seed + 99)
-    engine.addLocal("pdb",
-      Array.tabulate(50)(_ => Array.tabulate(D)(_ => rnd.nextGaussian().toFloat))
-        .toIndexedSeq,
+    val fresh = Array.tabulate(50)(_ =>
+      Array.tabulate(D)(_ => rnd.nextGaussian().toFloat))
+    val (firstId, _) = engine.addLocal("pdb", fresh.toIndexedSeq,
       (0 until 50).map(i => s"""{"new":$i}"""))
-    assert(prep.isStale)
+    // a bounded add must NOT degrade the handle — the side buffer absorbs it
+    assert(!prep.isStale,
+      "adds within MaxPreparedSideRows must not flip isStale")
     queries.take(4).foreach { q =>
-      assert(prepared(prep, q) == regular(q)) // served via fallback
+      assert(prepared(prep, q) == regular(q))
     }
+    // the side buffer is LOAD-BEARING: querying a just-added vector must
+    // surface its id at rank 1 — the pinned blocks alone (fenced at
+    // prepare-time maxId) cannot supply it
+    val got = prepared(prep, fresh(7))
+    assert(got == regular(fresh(7)))
+    assert(got.head._2 == firstId + 7,
+      s"side buffer missed the appended row: got ${got.head}")
+    // removing an appended row must delta-refresh it away from the side
+    // scan too (deletes apply before the ADC heap in both scans)
+    engine.remove("pdb", Seq(firstId + 7))
+    val after = prepared(prep, fresh(7))
+    assert(after == regular(fresh(7)))
+    assert(!after.exists(_._2 == firstId + 7))
+    assert(!prep.isStale)
   }
 
   test("re-prepare after churn serves the new shape in-memory again") {
