@@ -77,6 +77,33 @@ public final class SimdArgmin {
     return cnt;
   }
 
+  /**
+   * One SIMD pass filling distScratch with every float distance
+   * qn + cn - 2*q.c (no candidate collection - the caller does its own
+   * selection, e.g. top-k probe selection). Returns false when the
+   * minimum never became comparable (NaN/Inf inputs) - the caller must
+   * fall back to its exact scalar path.
+   */
+  public static boolean distances(float[] flat, float[] cNormSq, int n, int d,
+                                  float[] qf, float qn, float[] distScratch) {
+    int ub = S.loopBound(d);
+    float minF = Float.MAX_VALUE;
+    for (int c = 0; c < n; c++) {
+      FloatVector acc = FloatVector.zero(S);
+      int off = c * d;
+      int j = 0;
+      for (; j < ub; j += S.length())
+        acc = FloatVector.fromArray(S, flat, off + j)
+            .fma(FloatVector.fromArray(S, qf, j), acc);
+      float dot = acc.reduceLanes(VectorOperators.ADD);
+      for (; j < d; j++) dot += flat[off + j] * qf[j];
+      float dist = qn + cNormSq[c] - 2f * dot;
+      distScratch[c] = dist;
+      if (dist < minF) minF = dist;
+    }
+    return minF < Float.MAX_VALUE;
+  }
+
   /** Lane count of the preferred species - the tile width of
    * {@link #candidatesTile}. */
   public static int lanes() { return S.length(); }

@@ -1677,40 +1677,26 @@ object Engine {
   final case class IndexModel(pca: PcaModel, centroids: Array[Array[Float]],
                               pq: PqModel) {
 
-    /** Probe selection: the nprobe nearest centroids by (L2², id). Bounded
-      * max-heap selection — O(nlist·p + nlist·log nprobe) instead of a full
-      * O(nlist·log nlist) sort, with a per-centroid early exit against the
-      * current heap ceiling (skips most of the p-dim loop once the heap is
-      * full). Matters at the reference's heuristic ceiling (nlist = 200k
-      * for 100M rows, training_utils.py:5-9) where this runs on the driver
-      * per query. Result is bit-identical to the sort: ties still compare
-      * by (dist, id) because the exit is only taken when s strictly
-      * exceeds the heap's worst distance.
+    /** Flat row-major mirror of the centroid matrix for the SIMD probe
+      * kernel — built lazily per JVM (never serialized with the model;
+      * each executor/driver that selects probes pays the copy once).
+      * Duplicates centroid memory (~200 MB at the 100M heuristic
+      * geometry) only where probe selection actually runs.
       */
-    def nearestClusters(qp: Array[Float], nprobe: Int): Array[Int] = {
-      val k = math.min(nprobe, centroids.length)
-      if (k <= 0) return Array.empty
-      val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
-      val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord)
-      var i = 0
-      while (i < centroids.length) {
-        val c = centroids(i)
-        val full = heap.size >= k
-        val ceil = if (full) heap.head._1 else Double.MaxValue
-        var s = 0.0; var j = 0
-        while (j < c.length && s <= ceil) {
-          val df = qp(j) - c(j); s += df * df; j += 1
-        }
-        if (j == c.length) { // not early-exited: candidate distance is exact
-          if (!full) heap.enqueue((s, i))
-          else if (ord.lt((s, i), heap.head)) { heap.dequeue(); heap.enqueue((s, i)) }
-        }
-        i += 1
-      }
-      val out = new Array[Int](heap.size)
-      var w = heap.size - 1
-      while (w >= 0) { out(w) = heap.dequeue()._2; w -= 1 } // worst-first out
-      out
-    }
+    @transient private lazy val flatCentroids: graft.index.FlatCentroids =
+      graft.index.FlatCentroids.build(centroids)
+
+    /** Probe selection: the nprobe nearest centroids by (L2², id) —
+      * [[graft.index.FlatCentroids.nearestKFloat]]: a SIMD distance pass
+      * + margin-selected exact re-score where `jdk.incubator.vector` is
+      * present, the original bounded-heap scalar loop otherwise. Both
+      * produce bit-identical probe lists (FlatCentroidsSpec differential
+      * + every trained oracle replay). At the reference's heuristic
+      * ceiling (nlist = 200k for 100M rows, training_utils.py:5-9) this
+      * runs on the driver per query and was the profiled floor of the
+      * 100M prepared p50 (~O(nlist·p) scalar per query, VERDICT r10).
+      */
+    def nearestClusters(qp: Array[Float], nprobe: Int): Array[Int] =
+      flatCentroids.nearestKFloat(qp, nprobe)
   }
 }

@@ -117,6 +117,121 @@ final class FlatCentroids private (
     }
   }
 
+  /** Exact top-k nearest centroids ordered by (dist asc, id asc) — the
+    * PROBE-SELECTION kernel (Q2: `nprobe` coarse clusters per query). The
+    * arithmetic contract is the engine's original scalar heap loop
+    * (Engine.IndexModel.nearestClusters pre-r11): per-dimension FLOAT
+    * subtract and square, accumulated LEFT-TO-RIGHT in double — every
+    * oracle replay (trained_knn / trained_adc_topk / prepared_knn) hashes
+    * against probes selected by exactly that arithmetic, so both paths
+    * here reproduce it bit-for-bit:
+    *
+    *  - SIMD: one float pass computes all n distances; the k-th smallest
+    *    float distance + the conservative margin (same bound as
+    *    [[nearest]] — float error can only ADD candidates) selects the
+    *    survivors, which are re-scored with the contract loop and sorted
+    *    by (dist, id). At the 100M heuristic geometry (nlist 200k, d 256,
+    *    nprobe ~6k) this replaces a scalar O(nlist·d) driver loop per
+    *    query — the profiled floor of the 100M prepared p50.
+    *  - scalar fallback: the original bounded-heap loop verbatim.
+    */
+  def nearestKFloat(qp: Array[Float], k0: Int): Array[Int] = {
+    val k = math.min(k0, n)
+    if (k <= 0) return Array.empty
+    require(qp.length == d, s"query dim ${qp.length} != $d")
+    if (!FlatCentroids.simdAvailable) return nearestKScalar(qp, k)
+    val (dists, _) = scratch.get()
+    var qnd = 0.0
+    var j = 0
+    while (j < d) { val v = qp(j).toDouble; qnd += v * v; j += 1 }
+    val qn = qnd.toFloat
+    val margin = 1e-4f * (qn + cnMax + 1f)
+    if (!SimdArgmin.distances(flat, cNormSq, n, d, qp, qn, dists))
+      return nearestKScalar(qp, k)
+    // k-th smallest float distance via a bounded max-heap of floats
+    val kheap = new Array[Float](k)
+    var hs = 0
+    var c = 0
+    while (c < n) {
+      val v = dists(c)
+      if (hs < k) { // sift up
+        kheap(hs) = v; hs += 1
+        var i = hs - 1
+        while (i > 0 && kheap((i - 1) >> 1) < kheap(i)) {
+          val p = (i - 1) >> 1
+          val t = kheap(p); kheap(p) = kheap(i); kheap(i) = t; i = p
+        }
+      } else if (v < kheap(0)) { // replace root, sift down
+        kheap(0) = v
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1; val r = l + 1
+          var m = i
+          if (l < k && kheap(l) > kheap(m)) m = l
+          if (r < k && kheap(r) > kheap(m)) m = r
+          if (m == i) done = true
+          else { val t = kheap(m); kheap(m) = kheap(i); kheap(i) = t; i = m }
+        }
+      }
+      c += 1
+    }
+    val thr = kheap(0) + margin
+    // survivors within the margin of the float k-th — a superset of the
+    // true top-k (ascending ids), re-scored with the contract arithmetic
+    val cand = new scala.collection.mutable.ArrayBuilder.ofInt
+    c = 0
+    while (c < n) { if (dists(c) <= thr) cand += c; c += 1 }
+    val ids = cand.result()
+    val scored = new Array[(Double, Int)](ids.length)
+    var i = 0
+    while (i < ids.length) {
+      val cc = ids(i)
+      val off = cc * d
+      var s = 0.0
+      var x = 0
+      while (x < d) {
+        val df = qp(x) - flat(off + x) // FLOAT subtract — the contract
+        s += df * df                    // float square, double accumulate
+        x += 1
+      }
+      scored(i) = (s, cc)
+      i += 1
+    }
+    java.util.Arrays.sort(scored, Ordering.Tuple2(
+      Ordering.Double.TotalOrdering, Ordering.Int))
+    Array.tabulate(k)(scored(_)._2)
+  }
+
+  /** The original bounded-heap probe-selection loop (the no-SIMD shape,
+    * and the ground truth [[nearestKFloat]]'s SIMD path must match).
+    */
+  def nearestKScalar(qp: Array[Float], k0: Int): Array[Int] = {
+    val k = math.min(k0, n)
+    if (k <= 0) return Array.empty
+    val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord)
+    var i = 0
+    while (i < n) {
+      val off = i * d
+      val full = heap.size >= k
+      val ceil = if (full) heap.head._1 else Double.MaxValue
+      var s = 0.0; var j = 0
+      while (j < d && s <= ceil) {
+        val df = qp(j) - flat(off + j); s += df * df; j += 1
+      }
+      if (j == d) { // not early-exited: candidate distance is exact
+        if (!full) heap.enqueue((s, i))
+        else if (ord.lt((s, i), heap.head)) { heap.dequeue(); heap.enqueue((s, i)) }
+      }
+      i += 1
+    }
+    val out = new Array[Int](heap.size)
+    var w = heap.size - 1
+    while (w >= 0) { out(w) = heap.dequeue()._2; w -= 1 } // worst-first out
+    out
+  }
+
   /** The scalar path (public so the no-SIMD shape stays benchmarkable and
     * spec-gated on any JVM).
     */

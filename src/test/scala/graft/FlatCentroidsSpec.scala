@@ -120,4 +120,60 @@ class FlatCentroidsSpec extends AnyFunSuite {
     cs(50) = Array(1.0f, 2.0f)
     assertThrows[IllegalArgumentException](FlatCentroids.build(cs))
   }
+
+  // -------------------------------------------- top-k probe selection (r11)
+
+  /** The probe-selection ground truth: full sort under the contract
+    * arithmetic (FLOAT per-dim subtract/square, left-to-right double
+    * accumulation) by (dist asc, id asc) — what the engine's original
+    * scalar heap computed and every trained oracle replay hashes against.
+    */
+  private def bruteTopK(cs: Array[Array[Float]], qp: Array[Float],
+                        k: Int): Seq[Int] =
+    cs.zipWithIndex.map { case (c, i) =>
+      var s = 0.0; var j = 0
+      while (j < c.length) { val df = qp(j) - c(j); s += df * df; j += 1 }
+      (s, i)
+    }.sortBy(identity)(Ordering.Tuple2(Ordering.Double.TotalOrdering,
+      Ordering.Int)).take(math.min(k, cs.length)).map(_._2).toSeq
+
+  test("nearestKFloat (SIMD) and nearestKScalar == brute top-k, ties included") {
+    val cs = makeCentroids(4096, seed = 31L)
+    val fc = FlatCentroids.build(cs)
+    val rnd = new scala.util.Random(37L)
+    queries(cs, 400, seed = 41L).zipWithIndex.foreach { case (qd, i) =>
+      val qp = qd.map(_.toFloat)
+      val k = Seq(1, 7, 64, 500, 4096, 9999)(i % 6)
+      val exp = bruteTopK(cs, qp, k)
+      assert(fc.nearestKFloat(qp, k).toSeq == exp, s"query $i k=$k: SIMD top-k diverged")
+      if (i % 10 == 0) // scalar heap is slow; spot-check it
+        assert(fc.nearestKScalar(qp, k).toSeq == exp, s"query $i k=$k: scalar top-k diverged")
+      if (i % 25 == 0) { // tie-heavy: query ON a duplicated centroid
+        val dup = cs(97 * (1 + rnd.nextInt(40)))
+        val qq = dup.clone()
+        assert(fc.nearestKFloat(qq, 32).toSeq == bruteTopK(cs, qq, 32))
+      }
+    }
+  }
+
+  test("nearestKFloat degenerate inputs fall back and match the scalar heap") {
+    val cs = makeCentroids(512, seed = 43L)
+    val fc = FlatCentroids.build(cs)
+    val bads = Seq(
+      Array.fill(dim)(Float.NaN),
+      Array.fill(dim)(Float.PositiveInfinity),
+      Array.tabulate(dim)(j => if (j == 3) Float.NaN else 1.0f))
+    bads.foreach { q =>
+      assert(fc.nearestKFloat(q, 10).toSeq == fc.nearestKScalar(q, 10).toSeq)
+    }
+    // flat-twin geometry: every float distance ties — margin admits all,
+    // exact re-score + (dist, id) sort must still match brute
+    val a = Array.fill(dim)(1.0f); val b = Array.fill(dim)(-1.0f)
+    val twins = Array.tabulate(1024)(i => if (i % 2 == 0) a.clone() else b.clone())
+    val ft = FlatCentroids.build(twins)
+    val q0 = Array.fill(dim)(0.0f)
+    assert(ft.nearestKFloat(q0, 6).toSeq == bruteTopK(twins, q0, 6))
+    assert(ft.nearestKFloat(Array.fill(dim)(0.9f), 5).toSeq ==
+      bruteTopK(twins, Array.fill(dim)(0.9f), 5))
+  }
 }
