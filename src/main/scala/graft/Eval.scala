@@ -95,6 +95,40 @@ object Eval {
     val batchRows = engine.queryBatchTrained("eval", qdf, prelimK, finalK).count()
     val batchSec = (System.nanoTime() - b0) / 1e9
 
+    // PREPARED serving at the same config — the engine's latency twin of
+    // the reference's in-memory one-at-a-time serving (README.md:14-18
+    // reports 5.04 ms mean; test_full_eval.py:81 gates at 30 ms)
+    val p0 = System.nanoTime()
+    val prep = engine.prepareServing("eval")
+    val prepBuildSec = (System.nanoTime() - p0) / 1e9
+    prep.query(queries(0), prelimK, finalK) // warm (JIT + block touch)
+    var prepMatches = true
+    val prepLat = queries.map { q =>
+      val t = System.nanoTime()
+      val hits = prep.query(q, prelimK, finalK)
+      val ms = (System.nanoTime() - t) / 1e6
+      val reg = engine.query("eval", q, prelimK, finalK).collect()
+      prepMatches &&= hits.length == reg.length && hits.zip(reg).forall {
+        case (h, r) => h.rank == r.getInt(0) && h.id == r.getLong(1) &&
+          h.cosineSimilarity == r.getDouble(3)
+      }
+      ms
+    }.sorted
+    // concurrent qps: 16 threads draining a shared queue of 2 rounds
+    val conc = 16
+    val total = nQ * 2
+    val idx = new java.util.concurrent.atomic.AtomicInteger(0)
+    val c0 = System.nanoTime()
+    val threads = (0 until conc).map { _ =>
+      val t = new Thread(() => {
+        var i = idx.getAndIncrement()
+        while (i < total) { prep.query(queries(i % nQ), prelimK, finalK); i = idx.getAndIncrement() }
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    val concQps = total / ((System.nanoTime() - c0) / 1e9)
+
     val doc = engine.load("eval")
     println(
       s"""{"n":$n,"d":$d,"rows_per_center":$rowsPerCenter,""" +
@@ -106,7 +140,14 @@ object Eval {
         s""""query_ms_p95":${"%.0f".format(latencies((nQ * 95) / 100))},""" +
         s""""batch_total_sec":${"%.2f".format(batchSec)},""" +
         s""""batch_per_query_ms":${"%.0f".format(batchSec * 1000 / nQ)},""" +
-        s""""batch_rows":$batchRows}""")
+        s""""batch_rows":$batchRows,""" +
+        s""""prepared_build_sec":${"%.1f".format(prepBuildSec)},""" +
+        s""""prepared_matches_regular":$prepMatches,""" +
+        s""""prepared_query_ms_p50":${"%.1f".format(prepLat(nQ / 2))},""" +
+        s""""prepared_query_ms_p95":${"%.1f".format(prepLat((nQ * 95) / 100))},""" +
+        s""""prepared_concurrent_qps":${"%.1f".format(concQps)},""" +
+        s""""cpu_canary_ms":${Canary.cpuCanaryMs()},""" +
+        s""""kernel_canary_rows_per_sec":${Canary.kernelCanaryRowsPerSec()}}""")
     spark.stop()
   }
 }
