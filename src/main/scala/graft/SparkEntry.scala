@@ -46,6 +46,8 @@ object SparkEntry {
     "lang_id"            -> (Queries.langId _),
     "quality_score"      -> (Queries.qualityScore _),
     "bpe_tokens"         -> (Queries.bpeTokens _),
+    "pii_redact"         -> (Queries.piiRedact _),
+    "tfidf_topk"         -> (Queries.tfidfTopk _),
     "char_shingle_min"   -> (Queries.charShingleMin _),
     "multimodal_meta"    -> (Queries.multimodalMeta _),
     "multimodal_resize"  -> (Queries.multimodalResize _),
@@ -582,6 +584,45 @@ object SparkEntry {
       """SELECT doc_id,
         |  len(regexp_extract_all(trim(lower(text)), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_cnt
         |FROM documents""".stripMargin,
+
+    "pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@mail' || (doc_id % 7)
+        |      || '.net ip 10.' || (doc_id % 256) || '.' || (doc_id % 100)
+        |      || '.' || (doc_id % 50)
+        |      || ' ssn ' || (100 + doc_id % 900) || '-' || (10 + doc_id % 90)
+        |      || '-' || (1000 + doc_id % 9000) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM aug""".stripMargin,
+
+    "tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term <> '' GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, rank, term, round(tfidf, 6) AS tfidf
+        |FROM (SELECT doc_id, term, tfidf,
+        |        row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY tfidf DESC, term ASC) AS rank
+        |      FROM scored)
+        |WHERE rank <= 3""".stripMargin,
 
     "char_shingle_min" ->
       """SELECT doc_id, CASE WHEN length(t) >= 8 THEN

@@ -692,8 +692,9 @@ class Engine(val spark: SparkSession, val root: String) {
     * per-query Catalyst plan. Results are bit-identical to
     * [[query]] (gated by the `prepared_knn` DuckDB replay row and
     * PreparedIndexSpec); mutations are handled by delta-refresh
-    * (removes) or transparent fallback to the regular path (adds /
-    * retrain / compact) — see [[PreparedIndex]].
+    * (removes AND bounded adds — appended rows join as a side buffer)
+    * or transparent fallback to the regular path (retrain / compact /
+    * adds past the side-buffer bound) — see [[PreparedIndex]].
     *
     * `numParts` defaults to the scheduler's parallelism: tasks are pure
     * in-memory scans of (nprobe/nlist)·n/numParts rows, so more, smaller

@@ -108,6 +108,76 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("hits"), lit(0L)).as("contaminated"))
   }
 
+  /** PII patterns for [[piiRedact]] — the scrub a training pipeline runs
+    * before corpus release. Deliberately restricted to regex features with
+    * identical semantics in Java (`java.util.regex`, Spark's engine) and
+    * RE2 (DuckDB's): character classes, bounded/unbounded greedy
+    * quantifiers, `\b` ASCII word boundaries. No backrefs, no lookaround
+    * (RE2 has neither).
+    */
+  val PiiEmailPattern = "[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiSsnPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** PII detection + redaction: counts each PII class on the raw text,
+    * then replaces matches with typed placeholders. Order matters and is
+    * part of the contract — emails first (an email can embed digit runs),
+    * then SSNs (dash-digit shape is more specific than a bare IP octet
+    * run), then IPv4 — each count is measured on the ORIGINAL text so the
+    * classes don't steal each other's matches. Pure per-row regex
+    * projections (codegen'd `RegExpReplace`/`RegExpExtractAll`): runs at
+    * scan speed, embarrassingly parallel at any corpus size.
+    * Returns (redacted, n_email, n_ssn, n_ip).
+    */
+  def piiRedact(text: Column): (Column, Column, Column, Column) = {
+    val nEmail = size(regexp_extract_all(text, lit(PiiEmailPattern), lit(0)))
+    val nSsn = size(regexp_extract_all(text, lit(PiiSsnPattern), lit(0)))
+    val nIp = size(regexp_extract_all(text, lit(PiiIpv4Pattern), lit(0)))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, PiiEmailPattern, "<EMAIL>"),
+          PiiSsnPattern, "<SSN>"),
+        PiiIpv4Pattern, "<IP>")
+    (redacted, nEmail, nSsn, nIp)
+  }
+
+  /** Per-document top-k keywords by TF-IDF — the salience extraction a
+    * curation pipeline uses for topic filtering / cluster labeling.
+    * tf = term count within the doc; idf = ln((N+1)/(df+1)) with df =
+    * docs containing the term; top-k per doc by (tf·idf desc, term asc).
+    *
+    * Scale shape (the 100 TB reading): one explode feeding TWO partial
+    * aggregations — (doc, term) counts and per-term doc frequencies —
+    * both map-side combined before their key-partitioned shuffles; the
+    * df side is vocab-sized (Zipf-bounded, [[MaxUnigramVocab]]-class) so
+    * its join back is a shuffle of corpus-grams × small map side; the
+    * final per-doc top-k is a WindowGroupLimit (rank ≤ k pushed into the
+    * sort) — no all-pairs stage, no driver materialization.
+    */
+  def tfIdfTopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val terms = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          log(lit(n + 1.0) / (col("df").cast("double") + lit(1.0))))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("tfidf").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"),
+        round(col("tfidf"), 6).as("tfidf"))
+  }
+
   /** One-pass scoring kernel: quality + language-ID from a SINGLE
     * tokenization. The column formulation above re-evaluates
     * `split(trim(lower(text)))` once per derived ratio after

@@ -588,6 +588,38 @@ object Queries {
     t(s, dir, "documents").select(col("doc_id"),
       graft.operators.TextAnalysis.charShingleMin(col("text")).as("shingle_min"))
 
+  /** PII detection + redaction (emails → `<EMAIL>`, SSNs → `<SSN>`,
+    * IPv4 → `<IP>`), counts measured on the pre-redaction text. The
+    * synthetic corpus has no natural PII, so the query grafts one
+    * deterministic instance of each class from doc_id — the SAME
+    * augmentation expression the oracle computes — and the operator
+    * scrubs the result; the redacted string itself is part of the
+    * hash-compared output.
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail"), (col("doc_id") % 7).cast("string"),
+      lit(".net ip 10."), (col("doc_id") % 256).cast("string"),
+      lit("."), (col("doc_id") % 100).cast("string"),
+      lit("."), (col("doc_id") % 50).cast("string"),
+      lit(" ssn "), (lit(100) + col("doc_id") % 900).cast("string"),
+      lit("-"), (lit(10) + col("doc_id") % 90).cast("string"),
+      lit("-"), (lit(1000) + col("doc_id") % 9000).cast("string"))
+    val (red, nEmail, nSsn, nIp) = graft.operators.TextAnalysis.piiRedact(aug)
+    t(s, dir, "documents").select(col("doc_id"),
+      nEmail.as("n_email"), nSsn.as("n_ssn"), nIp.as("n_ip"),
+      red.as("redacted"))
+  }
+
+  /** Per-doc top-3 TF-IDF keywords (salience extraction for topic
+    * filtering); ln-idf rounded to 6 decimals, (tfidf desc, term asc)
+    * rank order.
+    */
+  def tfidfTopk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.tfIdfTopK(
+      t(s, dir, "documents"), "doc_id", "text", k = 3)
+
   /** Deterministic content-addressed train/val/test split (90/5/5):
     * exact duplicates land in the same split, assignment stable across
     * engines and runs.
