@@ -48,6 +48,7 @@ object SparkEntry {
     "bpe_tokens"         -> (Queries.bpeTokens _),
     "pii_redact"         -> (Queries.piiRedact _),
     "tfidf_topk"         -> (Queries.tfidfTopk _),
+    "dup_spans"          -> (Queries.dupSpans _),
     "char_shingle_min"   -> (Queries.charShingleMin _),
     "multimodal_meta"    -> (Queries.multimodalMeta _),
     "multimodal_resize"  -> (Queries.multimodalResize _),
@@ -603,6 +604,27 @@ object SparkEntry {
         |      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
         |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
         |FROM aug""".stripMargin,
+
+    "dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 8 THEN
+        |      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |          || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+        |        for i in generate_series(1, len(w)-7)])
+        |    ELSE [array_to_string(w, ' ')] END AS g
+        |  FROM toks),
+        |grams AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+        |shared AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1),
+        |hits AS (
+        |  SELECT g.doc_id, count(*) AS dup_spans
+        |  FROM grams g JOIN shared s ON g.gram = s.gram GROUP BY 1)
+        |SELECT sh.doc_id, len(sh.g) AS n_spans,
+        |  CAST(coalesce(h.dup_spans, 0) AS BIGINT) AS dup_spans,
+        |  round(coalesce(h.dup_spans, 0) / greatest(len(sh.g), 1), 6) AS dup_frac
+        |FROM sh LEFT JOIN hits h ON sh.doc_id = h.doc_id""".stripMargin,
 
     "tfidf_topk" ->
       """WITH toks AS (

@@ -178,6 +178,39 @@ object TextAnalysis {
         round(col("tfidf"), 6).as("tfidf"))
   }
 
+  /** Span-level exact dedup signal — the substring-dedup mode document-
+    * and near-dup passes miss: a doc that is globally unique can still be
+    * stitched from boilerplate spans that repeat across the corpus
+    * (license headers, templates, quoted chains). Marks each doc with how
+    * many of its distinct `w`-token spans appear in at least one OTHER
+    * doc (or twice in itself — any corpus-level repeat), plus the
+    * fraction.
+    *
+    * Scale shape: one explode of per-doc distinct spans (reuses the
+    * MinHash shingle kernel → SQL-exact tokenization), a map-side-
+    * combined count per span, and a key-partitioned join back on the
+    * span — corpus-gram-sized shuffles, never all-pairs, no driver
+    * materialization. The count>1 filter makes the join's right side the
+    * repeated-span set only (boilerplate-sized, far smaller than the
+    * corpus gram set).
+    */
+  def dupSpans(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, w: Int = 8): org.apache.spark.sql.DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(MinHashLSH.shingleSet(col(textCol), w)).as("gram"))
+    val shared = grams.groupBy("gram")
+      .agg(count(lit(1)).as("nd")).filter(col("nd") > 1).select("gram")
+    val hits = grams.join(shared, "gram")
+      .groupBy(idCol).agg(count(lit(1)).as("dup_spans"))
+    docs.select(col(idCol),
+        size(MinHashLSH.shingleSet(col(textCol), w)).as("n_spans"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        round(coalesce(col("dup_spans"), lit(0L)).cast("double") /
+          greatest(col("n_spans"), lit(1)).cast("double"), 6).as("dup_frac"))
+  }
+
   /** One-pass scoring kernel: quality + language-ID from a SINGLE
     * tokenization. The column formulation above re-evaluates
     * `split(trim(lower(text)))` once per derived ratio after

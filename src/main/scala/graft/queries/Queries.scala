@@ -620,6 +620,13 @@ object Queries {
     graft.operators.TextAnalysis.tfIdfTopK(
       t(s, dir, "documents"), "doc_id", "text", k = 3)
 
+  /** Span-level exact dedup: per doc, how many of its distinct 8-token
+    * spans repeat anywhere else in the corpus (substring-dedup signal).
+    */
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.dupSpans(
+      t(s, dir, "documents"), "doc_id", "text", w = 8)
+
   /** Deterministic content-addressed train/val/test split (90/5/5):
     * exact duplicates land in the same split, assignment stable across
     * engines and runs.
