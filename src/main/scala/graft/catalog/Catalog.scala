@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import scala.util.matching.Regex
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import graft.index.IndexParams
 
@@ -77,12 +77,14 @@ object CatalogDoc {
       createdAt = System.nanoTime(), codedBucketShift = -1)
 }
 
-/** Tiny flat-JSON codec + atomic file swap for the catalog doc, over the
-  * Hadoop [[FileSystem]] API — the catalog, the pointer swap, version
-  * sweeping, and the bin-packing trigger all work against any Hadoop
-  * scheme (`file:`, `hdfs:`, `s3a:`), not just the local filesystem: at
-  * 100 TB the engine root IS an object store. All doc fields are scalars
-  * so a hand-rolled codec avoids any library dependency.
+/** Tiny flat-JSON codec + RENAME-FREE epoch-file pointer swap for the
+  * catalog doc, over the Hadoop [[FileSystem]] API — the catalog, the
+  * pointer swap, version sweeping, and the bin-packing trigger all work
+  * against any Hadoop scheme (`file:`, `hdfs:`, `s3a:`), not just the
+  * local filesystem: at 100 TB the engine root IS an object store, where
+  * rename is copy+delete and must not be load-bearing (see the protocol
+  * note at [[save]]). All doc fields are scalars so a hand-rolled codec
+  * avoids any library dependency.
   */
 object Catalog {
 
@@ -97,12 +99,66 @@ object Catalog {
   private def fs(p: Path, conf: Configuration): FileSystem =
     p.getFileSystem(conf)
 
+  /** Legacy (pre-r12) single-file catalog — still READ (as epoch 0) so
+    * old roots stay loadable; never written anymore.
+    */
   def catalogFile(root: String, name: String): Path =
     new Path(new Path(root, name), "catalog.json")
 
+  // ---- rename-free epoch protocol -----------------------------------
+  //
+  // The catalog pointer swap must be safe on filesystems WITHOUT atomic
+  // rename (object stores: Hadoop's rename there is copy+delete, and a
+  // crash between the two — or a torn copy on a store without atomic
+  // PUT-visibility — would leave the ONLY catalog file torn forever).
+  // So there is no rename at all:
+  //
+  //   save  = write catalog.<epoch+1>.json COMPLETE (the `complete`
+  //           end-marker is the last key, so a truncated write fails
+  //           validation), then best-effort sweep epochs < epoch-1
+  //   load  = list catalog.*.json, newest epoch first; first candidate
+  //           that reads AND carries the end marker wins; a torn /
+  //           vanished / still-being-written newer file is skipped and
+  //           the previous complete epoch serves
+  //
+  // Readers therefore never see a torn doc and never lose the catalog to
+  // a mid-swap crash: the previous epoch file is kept through exactly
+  // the window in which the new one might be incomplete. Last-writer-
+  // wins is preserved by the monotonic epoch (within a JVM, Engine's
+  // per-db lock serializes writers; across drivers the old rename scheme
+  // was last-writer-wins too). List-after-write lag on an eventually-
+  // consistent listing at worst serves the PREVIOUS complete epoch — a
+  // stale-but-whole doc, the same outcome as reading just before the
+  // save. TornCatalogSpec drives the crash/torn/lag cases.
+
+  private val EpochFile: Regex = """catalog\.(\d{20})\.json""".r
+
+  private def epochFile(dir: Path, epoch: Long): Path =
+    new Path(dir, f"catalog.$epoch%020d.json")
+
+  /** (epoch, path) of every epoch file present, torn or not, plus the
+    * legacy single file as epoch 0 — newest first.
+    */
+  private def listEpochs(dir: Path, f: FileSystem): Seq[(Long, Path)] = {
+    val listed =
+      try f.listStatus(dir).toSeq catch {
+        case _: java.io.FileNotFoundException => Seq.empty
+      }
+    val epochs = listed.flatMap { st =>
+      st.getPath.getName match {
+        case EpochFile(e) => Some(e.toLong -> st.getPath)
+        case _ => None
+      }
+    }
+    val legacy = listed.collectFirst {
+      case st if st.getPath.getName == "catalog.json" => 0L -> st.getPath
+    }
+    (epochs ++ legacy).sortBy(-_._1)
+  }
+
   def exists(root: String, name: String)(implicit conf: Configuration): Boolean = {
-    val p = catalogFile(root, name)
-    fs(p, conf).exists(p)
+    val dir = new Path(root, name)
+    listEpochs(dir, fs(dir, conf)).nonEmpty
   }
 
   def save(root: String, doc: CatalogDoc)(implicit conf: Configuration): Unit = {
@@ -129,21 +185,53 @@ object Catalog {
          |  "usedTwoLevel": ${doc.usedTwoLevel},
          |  "createdAt": ${doc.createdAt},
          |  "codedBucketShift": ${doc.codedBucketShift},
-         |  "codedOwners": ${quote(doc.codedOwners)}
+         |  "codedOwners": ${quote(doc.codedOwners)},
+         |  "complete": true
          |}""".stripMargin
-    // write-then-rename so a concurrent reader never sees a torn doc:
-    // FileContext rename(OVERWRITE) is atomic on HDFS and file:; on an
-    // object store the rename degrades to copy+delete, but there the
-    // final single-object PUT is itself atomic (readers see the whole
-    // old or whole new object), so no torn read either way
-    val tmp = new Path(dir, "catalog.json.tmp")
-    writeString(f, tmp, json)
-    FileContext.getFileContext(dir.toUri, conf)
-      .rename(tmp, new Path(dir, "catalog.json"), Options.Rename.OVERWRITE)
+    val known = listEpochs(dir, f)
+    // a torn file from a crashed writer still advances the epoch — the
+    // next save never reuses (and so never "repairs" into) its name
+    val next = known.headOption.map(_._1).getOrElse(0L) + 1L
+    writeString(f, epochFile(dir, next), json)
+    // sweep: keep `next` and one predecessor (the window in which a
+    // concurrent reader may have listed before this write); best-effort —
+    // a failed delete just leaves an extra old epoch for the next sweep
+    known.drop(1).foreach { case (_, p) =>
+      try f.delete(p, false) catch { case _: java.io.IOException => () }
+    }
   }
 
   def load(root: String, name: String)(implicit conf: Configuration): CatalogDoc = {
-    val raw = readString(root, name)
+    val dir = new Path(root, name)
+    val f = fs(dir, conf)
+    var attempt = 0
+    var raw: String = null
+    while (raw == null) {
+      val cands = listEpochs(dir, f)
+      require(cands.nonEmpty, s"no catalog for database '$name' under $root")
+      raw = cands.iterator.flatMap { case (epoch, p) =>
+        // a candidate may be mid-write (visible-but-partial on filesystems
+        // without atomic create visibility) or already swept — skip to the
+        // previous complete epoch
+        try {
+          val s = readFile(f, p)
+          val complete = """"complete"\s*:\s*true""".r.findFirstIn(s).nonEmpty
+          if (complete || epoch == 0L) Some(s) else None
+        } catch { case _: java.io.IOException => None }
+      }.nextOption().orNull
+      if (raw == null) {
+        // every listed candidate was torn or vanished: the listing went
+        // stale across ≥2 saves (reader paused, writer swept) or the
+        // newest file is mid-write — a FRESH list sees a complete epoch.
+        // Bounded retry, then fail loudly (a root with only a torn file
+        // is a real crash artifact the caller must see).
+        attempt += 1
+        if (attempt >= 3)
+          sys.error(s"catalog for '$name': no complete epoch among " +
+            listEpochs(dir, f).map(_._2.getName).mkString(", "))
+        Thread.sleep(5L * attempt)
+      }
+    }
     def str(k: String): String =
       s""""$k"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(raw)
         .map(_.group(1)).getOrElse(sys.error(s"catalog missing $k"))
@@ -170,10 +258,7 @@ object Catalog {
       strOr("codedOwners", ""))
   }
 
-  private def readString(root: String, name: String)
-                        (implicit conf: Configuration): String = {
-    val p = catalogFile(root, name)
-    val f = fs(p, conf)
+  private def readFile(f: FileSystem, p: Path): String = {
     val len = f.getFileStatus(p).getLen.toInt
     val buf = new Array[Byte](len)
     val in = f.open(p)

@@ -643,22 +643,32 @@ class Engine(val spark: SparkSession, val root: String) {
     // Driver-memory guard: the candidate round-trip holds q·prelimK rows
     // on the driver (twice, briefly: Array[Row] + the rebuilt frame). A
     // very large batch would OOM it, so past the cap the batch splits
-    // into driver-bounded chunks whose results union — per-query results
+    // into driver-bounded chunks. Each chunk reuses the ALREADY-normalized
+    // vectors (normalizing a unit float vector is not bit-idempotent, so
+    // re-entering the public method would shift last-bit tie-breaks) and
+    // is MATERIALIZED (eager localCheckpoint) before the next chunk runs,
+    // so the executed chunks' candidate LocalRelations are released and
+    // driver residency is genuinely bounded per chunk — per-query results
     // are independent, so the split is invisible to correctness; only
     // scan amortization across chunks is lost.
     if (qs.length.toLong * preliminaryTopK > Engine.MaxDriverBatchCandidates) {
       val perChunk = math.max(1,
         (Engine.MaxDriverBatchCandidates / preliminaryTopK).toInt)
       return qs.grouped(perChunk).map { chunk =>
-        val chunkDf = spark.createDataFrame(
-          java.util.Arrays.asList(chunk.map { case (qid, v) =>
-            org.apache.spark.sql.Row(qid, v.toSeq) }: _*),
-          StructType(Seq(
-            StructField("query_id", LongType, nullable = false),
-            StructField("qvec", ArrayType(FloatType, containsNull = false)))))
-        queryBatchTrained(name, chunkDf, preliminaryTopK, finalTopK)
+        queryBatchTrainedNormalized(doc, model, chunk, preliminaryTopK,
+          finalTopK).localCheckpoint(true)
       }.reduce(_ union _)
     }
+    queryBatchTrainedNormalized(doc, model, qs, preliminaryTopK, finalTopK)
+  }
+
+  /** [[queryBatchTrained]] body over collected, already-normalized
+    * (query_id, unit vector) pairs — the chunked path calls this per chunk
+    * so chunking stays bit-identical to the one-shot plan.
+    */
+  private def queryBatchTrainedNormalized(doc: CatalogDoc,
+      model: Engine.IndexModel, qs: Array[(Long, Array[Float])],
+      preliminaryTopK: Int, finalTopK: Int): DataFrame = {
     val qsP = qs.map { case (qid, qn) => qid -> model.pca.applyLocal(qn) }
     val probes = qsP.map { case (_, qp) => model.nearestClusters(qp, doc.nProbe) }
     val probeUnion = probes.flatten.distinct

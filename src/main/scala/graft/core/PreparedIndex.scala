@@ -27,13 +27,22 @@ import graft.operators.PreparedANN.{Cand, ClusterBlock}
   *    ClusterBlock shape and scanned with the same kernel after the
   *    distributed job, so a steady ingest trickle never degrades the
   *    prepared path (the reference absorbs adds into its live index the
-  *    same way, mindb.py:214-217). Bounded by
-  *    [[Engine.MaxPreparedSideRows]]; past it the handle reports stale
-  *    and serves via fallback until the caller re-prepares;
+  *    same way, mindb.py:214-217). The refresh is DEBOUNCED: at most one
+  *    side-buffer collect per `addsRefreshIntervalMs` window (VERDICT
+  *    r11 ask #5 — without it a continuous trickle pays one small Spark
+  *    job per query), so a query may miss adds committed within the last
+  *    interval; every add older than the interval is always visible.
+  *    Bounded by [[Engine.MaxPreparedSideRows]]; past it the handle
+  *    reports stale and serves via fallback until the caller re-prepares;
   *  - train / compact (a version moved): the pinned blocks can't serve —
-  *    transparent fallback to the regular engine path for that query, so
-  *    results are ALWAYS current; `isStale` tells the caller it is time
-  *    to `close()` and re-prepare.
+  *    transparent fallback to the regular engine path for that query.
+  *    The version check runs BEFORE and is RE-CHECKED AFTER the serving
+  *    job: a swap landing inside that window reroutes the query through
+  *    fallback instead of serving the superseded blocks, so every result
+  *    reflects a catalog state observed during the call (the reference
+  *    holds a lock over the same window, mindb.py:395-417; we re-check
+  *    instead of locking). `isStale` tells the caller it is time to
+  *    `close()` and re-prepare.
   *
   * Thread-safe: concurrent `query` calls share the cached RDD and run
   * as independent jobs (FAIR scheduling applies, same as the regular

@@ -297,7 +297,18 @@ object FlatCentroids {
       System.arraycopy(c, 0, flat, i * d, d)
       var s = 0.0
       var j = 0
-      while (j < d) { val v = c(j).toDouble; s += v * v; j += 1 }
+      while (j < d) {
+        val v = c(j).toDouble
+        // A non-finite centroid component would poison the SIMD distance
+        // pass downstream: a single NaN distance among finite ones passes
+        // SimdArgmin.distances' all-or-nothing check but corrupts the
+        // bounded max-heap in nearestKFloat (NaN compares false both
+        // ways), underestimating the k-th distance — reject loudly here
+        // so every kernel over this matrix can assume finite arithmetic.
+        require(java.lang.Double.isFinite(v),
+          s"non-finite centroid component at centroid $i dim $j: $v")
+        s += v * v; j += 1
+      }
       cNormSq(i) = s.toFloat
       if (cNormSq(i) > cnMax) cnMax = cNormSq(i)
       i += 1

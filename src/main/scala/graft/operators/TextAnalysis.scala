@@ -182,9 +182,12 @@ object TextAnalysis {
     * and near-dup passes miss: a doc that is globally unique can still be
     * stitched from boilerplate spans that repeat across the corpus
     * (license headers, templates, quoted chains). Marks each doc with how
-    * many of its distinct `w`-token spans appear in at least one OTHER
-    * doc (or twice in itself — any corpus-level repeat), plus the
-    * fraction.
+    * many of its distinct `w`-token spans appear in 2+ DISTINCT docs,
+    * plus the fraction. (Within-doc repeats are collapsed before counting
+    * — `shingleSet` is per-doc distinct, matching the SQL oracle's
+    * `list_distinct` — so a span occurring twice in only one doc is NOT
+    * flagged; the signal is cross-doc boilerplate, not self-repetition,
+    * which `repetition_score` covers.)
     *
     * Scale shape: one explode of per-doc distinct spans (reuses the
     * MinHash shingle kernel → SQL-exact tokenization), a map-side-

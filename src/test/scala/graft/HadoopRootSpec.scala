@@ -8,7 +8,7 @@ import graft.index.IndexParams
 /** The catalog/maintenance layer against an EXPLICIT Hadoop-scheme root
   * (`file:/…`): the same path strings an `hdfs://` or `s3a://` deployment
   * would hand the engine. Everything java.nio would have silently
-  * localised — catalog save/load/delete, the atomic pointer swap, the
+  * localised — catalog save/load/delete, the epoch pointer swap, the
   * `_SUPERSEDED` stamps, vacuum, the coded-table file-count trigger,
   * listDatabases — must resolve through `org.apache.hadoop.fs.FileSystem`
   * for the full lifecycle: create → add → train → query → remove →
@@ -34,7 +34,7 @@ class HadoopRootSpec extends SparkSpec {
     assert(engine.count("hdb") == 500L)
 
     // train end-to-end (writes index artifacts + coded table on the
-    // Hadoop root; the swap goes through Catalog.save's rename)
+    // Hadoop root; the swap goes through Catalog.save's epoch protocol)
     engine.train("hdb", params = Some(IndexParams(16, 16, 8)),
       kmeansIters = 2, minTrainRows = 1)
     val doc = engine.load("hdb")
