@@ -73,6 +73,8 @@ object Eval {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
 
     var recallSum = 0.0
+    // engine.query = the DEFAULT public path (r12: auto-routed through a
+    // warm PreparedIndex; first call pays the block build)
     val latencies = queries.map { q =>
       val gt = stored.map { case (id, v) =>
         var s = 0.0; var j = 0
@@ -86,6 +88,12 @@ object Eval {
       ms
     }.sorted
     val recall = recallSum / nQ
+    // the pure Catalyst plan path, for attribution of the routing win
+    val catalystLat = queries.map { q =>
+      val q0 = System.nanoTime()
+      engine.queryCatalyst("eval", q, prelimK, finalK).collect()
+      (System.nanoTime() - q0) / 1e6
+    }.sorted
 
     // batched form: all queries in one pipeline
     import spark.implicits._
@@ -107,7 +115,7 @@ object Eval {
       val t = System.nanoTime()
       val hits = prep.query(q, prelimK, finalK)
       val ms = (System.nanoTime() - t) / 1e6
-      val reg = engine.query("eval", q, prelimK, finalK).collect()
+      val reg = engine.queryCatalyst("eval", q, prelimK, finalK).collect()
       prepMatches &&= hits.length == reg.length && hits.zip(reg).forall {
         case (h, r) => h.rank == r.getInt(0) && h.id == r.getLong(1) &&
           h.cosineSimilarity == r.getDouble(3)
@@ -138,6 +146,7 @@ object Eval {
         s""""train_sec":${"%.1f".format(trainSec)},""" +
         s""""query_ms_p50":${"%.0f".format(latencies(nQ / 2))},""" +
         s""""query_ms_p95":${"%.0f".format(latencies((nQ * 95) / 100))},""" +
+        s""""catalyst_query_ms_p50":${"%.0f".format(catalystLat(nQ / 2))},""" +
         s""""batch_total_sec":${"%.2f".format(batchSec)},""" +
         s""""batch_per_query_ms":${"%.0f".format(batchSec * 1000 / nQ)},""" +
         s""""batch_rows":$batchRows,""" +

@@ -37,9 +37,15 @@ object QueryProfile {
     // warm-up one full query (footer caches, codegen)
     engine.query(db, queries(0), 500, 50).collect()
 
+    // routed (default) path end-to-end, then the Catalyst plan path split
+    queries.zipWithIndex.foreach { case (q, i) =>
+      val r0 = System.nanoTime()
+      engine.query(db, q, 500, 50).collect()
+      println(f"q$i routed: ${(System.nanoTime() - r0) / 1e6}%.0f ms")
+    }
     queries.zipWithIndex.foreach { case (q, i) =>
       val t0 = System.nanoTime()
-      val df = engine.query(db, q, 500, 50)
+      val df = engine.queryCatalyst(db, q, 500, 50)
       df.queryExecution.executedPlan
       val t1 = System.nanoTime()
       val n = df.collect().length
@@ -80,8 +86,8 @@ object QueryProfile {
     println(f"concurrent: 32 queries / 16 threads in $cS%.1f s = ${32 / cS}%.2f qps")
     println(s"kernel_canary_rows_per_sec=${Canary.kernelCanaryRowsPerSec()}")
 
-    println(engine.query(db, queries(0), 500, 50).queryExecution.executedPlan
-      .toString.take(6000))
+    println(engine.queryCatalyst(db, queries(0), 500, 50).queryExecution
+      .executedPlan.toString.take(6000))
     spark.stop()
   }
 }

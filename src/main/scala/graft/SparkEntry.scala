@@ -31,6 +31,10 @@ object SparkEntry {
     "sim_join_topk"      -> (Queries.simJoinTopk _),
     "t12_centroid_assign" -> (Queries.t12CentroidAssign _),
     "t13_cluster_hist"   -> (Queries.t13ClusterHist _),
+    "kmeans_lloyd_iter"  -> (Queries.kmeansLloydIter _),
+    "pca_fit_invariants" -> (Queries.pcaFitInvariants _),
+    "pq_fit_invariants"  -> (Queries.pqFitInvariants _),
+    "train_subsample"    -> (Queries.trainSubsampleGoldens _),
     "knn_filtered"       -> (Queries.knnFiltered _),
     "lifecycle_ids"      -> (Queries.lifecycleIds _),
     "lifecycle_counters" -> (Queries.lifecycleCounters _),
@@ -359,6 +363,93 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY round(d2, 9), cid) AS rn
         |  FROM dist)
         |SELECT cid, count(*) AS cnt FROM best WHERE rn = 1 GROUP BY cid""".stripMargin,
+
+    // ONE Lloyd iteration of LocalKMeans replayed end-to-end: label-mean
+    // init (float-cast, as the kernel stores float32), argmin assignment,
+    // per-cluster mean update (float-cast), empty clusters keep position.
+    "kmeans_lloyd_iter" ->
+      """WITH sub AS (
+        |  SELECT vec_id, label, embedding FROM embeddings ORDER BY vec_id LIMIT 500),
+        |ex AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS dim
+        |  FROM sub),
+        |cent AS (
+        |  SELECT label AS cid, dim, CAST(CAST(avg(x) AS REAL) AS DOUBLE) AS m
+        |  FROM ex GROUP BY label, dim),
+        |dist AS (
+        |  SELECT e.vec_id, c.cid, sum((e.x - c.m) * (e.x - c.m)) AS d2
+        |  FROM ex e JOIN cent c ON e.dim = c.dim
+        |  GROUP BY e.vec_id, c.cid),
+        |best AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM dist),
+        |asg AS (SELECT vec_id, cid FROM best WHERE rn = 1),
+        |upd AS (
+        |  SELECT a.cid, e.dim, CAST(CAST(avg(e.x) AS REAL) AS DOUBLE) AS m
+        |  FROM asg a JOIN ex e ON a.vec_id = e.vec_id
+        |  GROUP BY a.cid, e.dim)
+        |SELECT c.cid, c.dim, round(COALESCE(u.m, c.m), 5) AS m
+        |FROM cent c LEFT JOIN upd u ON c.cid = u.cid AND c.dim = u.dim""".stripMargin,
+
+    // PCA fit invariants: the fitted mean replayed exactly; component
+    // orthonormality ≡ the identity grid; projected variances descending.
+    "pca_fit_invariants" ->
+      """WITH sub AS (
+        |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 500),
+        |ex AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS dim
+        |  FROM sub),
+        |mean AS (
+        |  SELECT 'mean' AS metric, CAST(dim AS BIGINT) AS i, CAST(0 AS BIGINT) AS j,
+        |    CAST(round(avg(x), 6) AS DOUBLE) AS value
+        |  FROM ex GROUP BY dim),
+        |ortho AS (
+        |  SELECT 'ortho' AS metric, CAST(a.i AS BIGINT) AS i, CAST(b.j AS BIGINT) AS j,
+        |    CAST(CASE WHEN a.i = b.j THEN 1.0 ELSE 0.0 END AS DOUBLE) AS value
+        |  FROM generate_series(0, 15) AS a(i)
+        |  CROSS JOIN generate_series(0, 15) AS b(j)
+        |  WHERE b.j >= a.i),
+        |vd AS (
+        |  SELECT 'var_desc' AS metric, CAST(g.k AS BIGINT) AS i,
+        |    CAST(0 AS BIGINT) AS j, CAST(1.0 AS DOUBLE) AS value
+        |  FROM generate_series(0, 14) AS g(k))
+        |SELECT * FROM mean UNION ALL SELECT * FROM ortho
+        |UNION ALL SELECT * FROM vd""".stripMargin,
+
+    // PQ fit invariants: geometry + determinism + code range + the
+    // quantization-quality gate, all closed-form.
+    "pq_fit_invariants" ->
+      """WITH base AS (
+        |  SELECT 'm' AS metric, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS j,
+        |    CAST(8.0 AS DOUBLE) AS value
+        |  UNION ALL SELECT 'sub_dim', 0, 0, 8.0
+        |  UNION ALL SELECT 'deterministic', 0, 0, 1.0
+        |  UNION ALL SELECT 'codes_in_range', 0, 0, 1.0),
+        |per AS (
+        |  SELECT 'ksub' AS metric, CAST(g.j AS BIGINT) AS i,
+        |    CAST(0 AS BIGINT) AS j, CAST(256.0 AS DOUBLE) AS value
+        |  FROM generate_series(0, 7) AS g(j)
+        |  UNION ALL
+        |  SELECT 'sse_improves', CAST(g.j AS BIGINT), CAST(0 AS BIGINT), 1.0
+        |  FROM generate_series(0, 7) AS g(j))
+        |SELECT * FROM base UNION ALL SELECT * FROM per""".stripMargin,
+
+    // Seeded-train determinism (T9 subsample strategy) + the A10 flat
+    // warning: nlist literal = Heuristics.numClusters(500) = 21; the
+    // inflated count replays ceil-multiplier arithmetic over the table.
+    "train_subsample" ->
+      """WITH n AS (SELECT count(*) AS c FROM embeddings)
+        |SELECT 'centroids_equal' AS metric, CAST(1 AS BIGINT) AS value
+        |UNION ALL SELECT 'pca_equal', 1
+        |UNION ALL SELECT 'codebooks_equal', 1
+        |UNION ALL SELECT 'nlist', 21
+        |UNION ALL SELECT 'flat_warn_threshold', 50000
+        |UNION ALL SELECT 'flat_warning', 1
+        |UNION ALL SELECT 'flat_count',
+        |  (SELECT CAST(c * CAST(ceil(50001.0 / c) AS BIGINT) AS BIGINT) FROM n)""".stripMargin,
 
     "knn_filtered" ->
       """WITH nv AS (

@@ -63,7 +63,8 @@ final class PreparedIndex private[core] (
     blocks: RDD[Map[Int, ClusterBlock]],
     bcModel: Broadcast[IndexModel],
     collectDeleted: CatalogDoc => Array[Long],
-    collectAppended: (CatalogDoc, Long) => Option[Map[Int, ClusterBlock]]) {
+    collectAppended: (CatalogDoc, Long) => Option[Map[Int, ClusterBlock]],
+    addsRefreshIntervalMs: Long = Engine.PreparedAddsRefreshIntervalMs) {
 
   import PreparedIndex.Hit
 
@@ -83,6 +84,9 @@ final class PreparedIndex private[core] (
   // the side buffer overflowed MaxPreparedSideRows — permanent (for this
   // handle) fallback; re-prepare to pin the grown table
   @volatile private var addsOverflowed = false
+  // debounce clock for the adds delta-refresh: at most one side-buffer
+  // collect per addsRefreshIntervalMs window (0 = refresh on every drift)
+  @volatile private var lastAddsRefreshMs = 0L
   private val refreshLock = new Object
   @volatile private var closed = false
 
@@ -94,13 +98,18 @@ final class PreparedIndex private[core] (
     * absorbs. Plain adds within the buffer bound delta-refresh and do
     * NOT flip this. `query` stays correct either way (fallback).
     */
-  def isStale: Boolean = {
-    val cur = engine.load(pinned.name)
+  def isStale: Boolean = isStaleFor(engine.load(pinned.name))
+
+  /** [[isStale]] against an already-loaded catalog doc — the form the
+    * engine's auto-routing uses (it has the doc in hand; no second
+    * catalog read).
+    */
+  private[core] def isStaleFor(cur: CatalogDoc): Boolean =
     cur.indexVersion != pinned.indexVersion ||
-      cur.dataVersion != pinned.dataVersion || addsOverflowed ||
+      cur.dataVersion != pinned.dataVersion ||
+      cur.createdAt != pinned.createdAt || addsOverflowed ||
       (cur.maxId != pinned.maxId &&
         cur.maxId - pinned.maxId > Engine.MaxPreparedSideRows)
-  }
 
   /** Two-stage ANN query (Q1-Q9 semantics, mindb.py:368-442), served
     * from the prepared blocks (+ the appended-rows side buffer) in one
@@ -108,13 +117,22 @@ final class PreparedIndex private[core] (
     * `Engine.query(name, q, prelimK, finalK)`.
     */
   def query(q: Array[Float], preliminaryTopK: Int = 500,
-            finalTopK: Int = 100): Array[Hit] = {
+            finalTopK: Int = 100): Array[Hit] =
+    queryWith(engine.load(pinned.name), q, preliminaryTopK, finalTopK)
+
+  /** [[query]] against an already-loaded catalog doc (the engine's
+    * auto-routing observed `cur` and must serve exactly that state or
+    * newer).
+    */
+  private[core] def queryWith(cur: CatalogDoc, q: Array[Float],
+                              preliminaryTopK: Int,
+                              finalTopK: Int): Array[Hit] = {
     require(!closed, s"prepared index for '${pinned.name}' is closed")
-    val cur = engine.load(pinned.name)
     require(cur.vectorDimension <= 0 || q.length == cur.vectorDimension,
       s"query dim ${q.length} != ${cur.vectorDimension}")
     if (cur.indexVersion != pinned.indexVersion ||
-        cur.dataVersion != pinned.dataVersion || addsOverflowed)
+        cur.dataVersion != pinned.dataVersion ||
+        cur.createdAt != pinned.createdAt || addsOverflowed)
       return fallback(q, preliminaryTopK, finalTopK)
 
     if (cur.numPendingDeletes != deletedSnapshot._1) refreshLock.synchronized {
@@ -127,15 +145,25 @@ final class PreparedIndex private[core] (
     }
     // adds delta-refresh: rebuild the side buffer when maxId moved (the
     // collect re-reads ALL appends past the pinned fence — idempotent,
-    // so a racing add that lands mid-scan is at worst served early)
-    if (cur.maxId != addsSnapshot._1) refreshLock.synchronized {
-      if (cur.maxId != addsSnapshot._1 && !addsOverflowed) {
-        collectAppended(cur, pinned.maxId) match {
-          case Some(side) => addsSnapshot = (cur.maxId, side)
-          case None => addsOverflowed = true
+    // so a racing add that lands mid-scan is at worst served early).
+    // DEBOUNCED to ≤1 collect job per addsRefreshIntervalMs window: a
+    // query landing inside the window serves the previous side buffer
+    // (≤ interval-old view of the appends; every add older than the
+    // interval is visible — see the class doc).
+    if (cur.maxId != addsSnapshot._1 &&
+        (addsRefreshIntervalMs <= 0L ||
+          System.currentTimeMillis() - lastAddsRefreshMs >= addsRefreshIntervalMs))
+      refreshLock.synchronized {
+        if (cur.maxId != addsSnapshot._1 && !addsOverflowed &&
+            (addsRefreshIntervalMs <= 0L ||
+              System.currentTimeMillis() - lastAddsRefreshMs >= addsRefreshIntervalMs)) {
+          collectAppended(cur, pinned.maxId) match {
+            case Some(side) => addsSnapshot = (cur.maxId, side)
+            case None => addsOverflowed = true
+          }
+          lastAddsRefreshMs = System.currentTimeMillis()
         }
       }
-    }
     if (addsOverflowed) return fallback(q, preliminaryTopK, finalTopK)
     val bcDeleted = deletedSnapshot._2
     val side = addsSnapshot._2
@@ -164,14 +192,28 @@ final class PreparedIndex private[core] (
       if (side.isEmpty) parts
       else parts :+ PreparedANN.servePartition(side, model, probes, qp, qn,
         preliminaryTopK, bcDeleted.value)
-    PreparedANN.merge(all, preliminaryTopK, finalTopK).zipWithIndex.map {
+    val merged = PreparedANN.merge(all, preliminaryTopK, finalTopK)
+    // VERDICT r11 ask #8: a train/compact swap landing between the entry
+    // catalog load and the serving job would have served one query from
+    // the superseded pinned blocks — re-check and reroute through
+    // fallback instead (the post-load is ~a small-file read; the
+    // reference holds a lock over the same window, mindb.py:395-417)
+    val post = engine.load(pinned.name)
+    if (post.indexVersion != pinned.indexVersion ||
+        post.dataVersion != pinned.dataVersion ||
+        post.createdAt != pinned.createdAt)
+      return fallback(q, preliminaryTopK, finalTopK)
+    merged.zipWithIndex.map {
       case (c, i) => Hit(i + 1, c.id, c.meta, c.sim)
     }
   }
 
+  /** Serve through the engine's regular Catalyst plan (NOT the routed
+    * [[Engine.query]] — that would re-enter this handle).
+    */
   private def fallback(q: Array[Float], prelimK: Int,
                        finalK: Int): Array[Hit] =
-    engine.query(pinned.name, q, prelimK, finalK).collect().map { r =>
+    engine.queryCatalyst(pinned.name, q, prelimK, finalK).collect().map { r =>
       Hit(r.getInt(0), r.getLong(1),
         if (r.isNullAt(2)) null else r.getString(2), r.getDouble(3))
     }

@@ -40,42 +40,55 @@ object LocalKMeans {
     val assign = new Array[Int](n)
     var iter = 0
     while (iter < iters) {
-      // assignment
-      var i = 0
-      while (i < n) {
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < k) {
-          var dist = 0.0; var j = 0
-          val cc = centroids(c); val p = points(i)
-          while (j < d) { val df = p(j) - cc(j); dist += df * df; j += 1 }
-          if (dist < bestD) { bestD = dist; best = c }
-          c += 1
-        }
-        assign(i) = best
-        i += 1
-      }
-      // update
-      val sums = Array.ofDim[Double](k, d)
-      val counts = new Array[Int](k)
-      i = 0
-      while (i < n) {
-        val c = assign(i); counts(c) += 1
-        var j = 0; val p = points(i)
-        while (j < d) { sums(c)(j) += p(j); j += 1 }
-        i += 1
-      }
-      var c = 0
-      while (c < k) {
-        if (counts(c) > 0) {
-          var j = 0
-          while (j < d) { centroids(c)(j) = (sums(c)(j) / counts(c)).toFloat; j += 1 }
-        }
-        c += 1
-      }
+      lloydStep(points, centroids, assign)
       iter += 1
     }
     centroids
+  }
+
+  /** ONE Lloyd iteration over `centroids` IN PLACE (assignment into
+    * `assign`, then the mean update; empty clusters keep their position).
+    * Extracted from [[fit]] verbatim so the `kmeans_lloyd_iter` oracle row
+    * can replay exactly one step of the production arithmetic in DuckDB.
+    */
+  def lloydStep(points: Array[Array[Float]], centroids: Array[Array[Float]],
+                assign: Array[Int]): Unit = {
+    val n = points.length
+    val d = points(0).length
+    val k = centroids.length
+    // assignment
+    var i = 0
+    while (i < n) {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        var dist = 0.0; var j = 0
+        val cc = centroids(c); val p = points(i)
+        while (j < d) { val df = p(j) - cc(j); dist += df * df; j += 1 }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      assign(i) = best
+      i += 1
+    }
+    // update
+    val sums = Array.ofDim[Double](k, d)
+    val counts = new Array[Int](k)
+    i = 0
+    while (i < n) {
+      val c = assign(i); counts(c) += 1
+      var j = 0; val p = points(i)
+      while (j < d) { sums(c)(j) += p(j); j += 1 }
+      i += 1
+    }
+    var c = 0
+    while (c < k) {
+      if (counts(c) > 0) {
+        var j = 0
+        while (j < d) { centroids(c)(j) = (sums(c)(j) / counts(c)).toFloat; j += 1 }
+      }
+      c += 1
+    }
   }
 }
 

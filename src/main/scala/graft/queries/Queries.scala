@@ -353,6 +353,210 @@ object Queries {
   def t13ClusterHist(s: SparkSession, dir: String): DataFrame =
     t12CentroidAssign(s, dir).groupBy(col("cid")).agg(count(lit(1)).as("cnt"))
 
+  // ---------------------------------------------- train-internal goldens
+  //
+  // VERDICT r11 ask #4: the fit internals that were spec-gated only (T9
+  // train subsampling, T10 PCA fit, T11 coarse k-means, T14 sub-k-means,
+  // T15 PQ fit, A10 flat warning) get their own DuckDB-replayed rows.
+  // Every row is bounded to the first 500 vec_ids (ORDER BY vec_id LIMIT
+  // 500 on both sides) so its cost is constant across sf.
+
+  /** First-500 embeddings as driver arrays — the driver-local sample
+    * shape LocalKMeans/Pca/PQ production fits actually consume
+    * (two_level_clustering.py:24-82 trains on driver-sized samples too).
+    */
+  private def first500(s: SparkSession, dir: String): Array[(Long, Int, Array[Float])] =
+    t(s, dir, "embeddings").orderBy("vec_id").limit(500)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+
+  private def round5(x: Double): Double =
+    BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def round6d(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** T11/T14 — ONE Lloyd iteration of the PRODUCTION local k-means
+    * ([[graft.index.LocalKMeans.lloydStep]] — the exact kernel the coarse
+    * fit and every per-cluster sub-fit iterate, two_level_clustering.py:
+    * 24-82), replayed end-to-end by the oracle: assignment against
+    * label-mean init centroids, then the per-cluster mean update. Output
+    * is the UPDATED centroid matrix (cid, dim, mean). Cross-engine float
+    * contract: init centroids and updated means pass through float32 on
+    * both sides (the production kernel stores float32) before rounding,
+    * so both engines round identical bit patterns.
+    */
+  def kmeansLloydIter(s: SparkSession, dir: String): DataFrame = {
+    val rows = first500(s, dir)
+    val pts = rows.map(_._3)
+    val labels = rows.map(_._2)
+    val d = pts(0).length
+    val cids = labels.distinct.sorted
+    // init: per-label means over the SAME sample, double-summed in vec_id
+    // order then float-cast (what LocalKMeans consumes)
+    val centroids = cids.map { cid =>
+      val members = pts.indices.filter(i => labels(i) == cid)
+      val sum = new Array[Double](d)
+      members.foreach { i =>
+        var j = 0; while (j < d) { sum(j) += pts(i)(j); j += 1 }
+      }
+      Array.tabulate(d)(j => (sum(j) / members.length).toFloat)
+    }
+    val assign = new Array[Int](pts.length)
+    graft.index.LocalKMeans.lloydStep(pts, centroids, assign)
+    import s.implicits._
+    cids.zip(centroids).flatMap { case (cid, c) =>
+      c.zipWithIndex.map { case (m, j) => (cid, j + 1, round5(m.toDouble)) }
+    }.toSeq.toDF("cid", "dim", "m")
+  }
+
+  /** T10 — PCA fit invariants of the PRODUCTION eigensolver path
+    * ([[graft.index.Pca.fitLocal]] on the first-500 sample, outDim 16):
+    * the fitted mean REPLAYED exactly by the oracle (per-dim avg), the
+    * component orthonormality grid (≡ identity after 6dp rounding), and
+    * the projected-sample variance ordering (≡ descending eigenvalues).
+    */
+  def pcaFitInvariants(s: SparkSession, dir: String): DataFrame = {
+    val OutDim = 16
+    val rows = first500(s, dir).map(_._3)
+    val model = graft.index.Pca.fitLocal(rows, OutDim)
+    val ortho = for { i <- 0 until OutDim; j <- i until OutDim } yield {
+      var dd = 0.0; var x = 0
+      while (x < model.components(i).length) {
+        dd += model.components(i)(x) * model.components(j)(x); x += 1
+      }
+      ("ortho", i.toLong, j.toLong, round6d(dd))
+    }
+    val mean = model.mean.zipWithIndex.map { case (m, jj) =>
+      ("mean", (jj + 1).toLong, 0L, round6d(m))
+    }
+    val proj = rows.map(model.applyLocal)
+    val n = proj.length
+    val variances = Array.tabulate(OutDim) { k =>
+      var sum = 0.0; var i = 0
+      while (i < n) { sum += proj(i)(k); i += 1 }
+      val mu = sum / n
+      var ss = 0.0; i = 0
+      while (i < n) { val dv = proj(i)(k) - mu; ss += dv * dv; i += 1 }
+      ss / math.max(n - 1, 1)
+    }
+    val vd = (0 until OutDim - 1).map { k =>
+      ("var_desc", k.toLong, 0L,
+        if (variances(k) >= variances(k + 1) - 1e-9) 1.0 else 0.0)
+    }
+    import s.implicits._
+    (ortho ++ mean ++ vd).toDF("metric", "i", "j", "value")
+  }
+
+  /** T15 — PQ codebook fit invariants of the PRODUCTION fit
+    * ([[graft.index.ProductQuantizer.fit]], m=8 over the first-500
+    * sample): codebook geometry (m, sub_dim, 256 centroids per
+    * subquantizer), seeded determinism (two fits bit-equal), code range,
+    * and the quantization-quality gate (per-subspace encode/decode SSE
+    * strictly below the one-centroid (sub-mean) baseline).
+    */
+  def pqFitInvariants(s: SparkSession, dir: String): DataFrame = {
+    val M = 8
+    val rows = first500(s, dir).map(_._3)
+    val fit1 = graft.index.ProductQuantizer.fit(rows, M, iters = 10, seed = 7L)
+    val fit2 = graft.index.ProductQuantizer.fit(rows, M, iters = 10, seed = 7L)
+    val det = (0 until M).forall(j =>
+      fit1.codebooks(j).zip(fit2.codebooks(j)).forall { case (a, b) =>
+        java.util.Arrays.equals(a, b)
+      })
+    val codes = rows.map(fit1.encodeLocal)
+    val codesInRange = codes.forall(_.forall(c => c >= 0 && c < 256))
+    val sub = fit1.subDim
+    val quality = (0 until M).map { j =>
+      val lo = j * sub
+      // one-centroid baseline: SSE around the subspace mean
+      val mu = new Array[Double](sub)
+      rows.foreach { r => var x = 0; while (x < sub) { mu(x) += r(lo + x); x += 1 } }
+      (0 until sub).foreach(x => mu(x) /= rows.length)
+      var sseMean = 0.0
+      var sseQ = 0.0
+      rows.zip(codes).foreach { case (r, cs) =>
+        val cb = fit1.codebooks(j)(cs(j))
+        var x = 0
+        while (x < sub) {
+          val dm = r(lo + x) - mu(x); sseMean += dm * dm
+          val dq = r(lo + x) - cb(x); sseQ += dq * dq
+          x += 1
+        }
+      }
+      ("sse_improves", j.toLong, 0L, if (sseQ < sseMean) 1.0 else 0.0)
+    }
+    import s.implicits._
+    (Seq(
+      ("m", 0L, 0L, M.toDouble),
+      ("sub_dim", 0L, 0L, sub.toDouble),
+      ("deterministic", 0L, 0L, if (det) 1.0 else 0.0),
+      ("codes_in_range", 0L, 0L, if (codesInRange) 1.0 else 0.0)) ++
+      (0 until M).map(j => ("ksub", j.toLong, 0L, fit1.codebooks(j).length.toDouble)) ++
+      quality).toDF("metric", "i", "j", "value")
+  }
+
+  /** T9/T16 — train-with-subsampling determinism: the SAME 500-row corpus
+    * trained twice (subsample strategy, seeded) must produce bit-equal
+    * PCA, centroids, and codebooks — the property that makes every other
+    * trained golden row reproducible. Plus A10: the flat-index warning
+    * predicate over an inflated untrained db, with the threshold and the
+    * inflated count replayed by the oracle.
+    */
+  private val trainGoldenCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def trainSubsampleGoldens(s: SparkSession, dir: String): DataFrame =
+    trainGoldenCache.getOrElseUpdate(dir, {
+      val src = t(s, dir, "embeddings").orderBy("vec_id").limit(500)
+        .select(col("embedding").as("vector"),
+          col("label").cast("string").as("metadata"))
+      def trainOnce(tag: String): graft.core.Engine.IndexModel = {
+        val root = java.nio.file.Files.createTempDirectory(s"graft-tg$tag").toString
+        val eng = new graft.core.Engine(s, root)
+        eng.create(s"tg", vectorDimension = 64)
+        eng.add("tg", src)
+        val doc = eng.train("tg",
+          params = Some(graft.index.IndexParams(16, 16, 8, omitOpq = true)),
+          useTwoLevelClustering = Some(false), // the SUBSAMPLE strategy (T9)
+          kmeansIters = 5, seed = 11L, minTrainRows = 1)
+        graft.index.IndexStore.loadModel(s, doc.indexPath(root))
+      }
+      val m1 = trainOnce("a")
+      val m2 = trainOnce("b")
+      val centEq = m1.centroids.zip(m2.centroids).forall { case (a, b) =>
+        java.util.Arrays.equals(a, b) } && m1.centroids.length == m2.centroids.length
+      val pcaEq = java.util.Arrays.equals(m1.pca.mean, m2.pca.mean) &&
+        m1.pca.components.zip(m2.pca.components).forall { case (a, b) =>
+          java.util.Arrays.equals(a, b) }
+      val pqEq = (0 until m1.pq.m).forall(j =>
+        m1.pq.codebooks(j).zip(m2.pq.codebooks(j)).forall { case (a, b) =>
+          java.util.Arrays.equals(a, b) })
+      // A10 — inflate an untrained scratch db past the 50k warn threshold
+      // (multiplier adaptive to sf so the oracle can replay the count)
+      val eCount = t(s, dir, "embeddings").count()
+      val mult = math.ceil((graft.index.Heuristics.FlatIndexWarnSize + 1).toDouble
+        / eCount).toLong
+      val flatRoot = java.nio.file.Files.createTempDirectory("graft-a10").toString
+      val flatEng = new graft.core.Engine(s, flatRoot)
+      flatEng.create("fw", vectorDimension = 2)
+      val inflated = t(s, dir, "embeddings")
+        .crossJoin(s.range(mult).select(col("id").as("rep")))
+        .select(array(col("vec_id").cast("float"), col("rep").cast("float"))
+          .as("vector"), lit(null).cast("string").as("metadata"))
+      flatEng.add("fw", inflated)
+      val warns = flatEng.flatIndexWarning("fw")
+      val flatCount = flatEng.count("fw")
+      import s.implicits._
+      Seq(
+        ("centroids_equal", if (centEq) 1L else 0L),
+        ("pca_equal", if (pcaEq) 1L else 0L),
+        ("codebooks_equal", if (pqEq) 1L else 0L),
+        ("nlist", m1.centroids.length.toLong),
+        ("flat_warn_threshold", graft.index.Heuristics.FlatIndexWarnSize.toLong),
+        ("flat_warning", if (warns) 1L else 0L),
+        ("flat_count", flatCount)).toDF("metric", "value")
+    })
+
   // ------------------------------------------------------------- lifecycle
 
   /** Run the engine's add→remove lifecycle on a scratch db fed from the

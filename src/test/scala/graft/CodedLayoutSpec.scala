@@ -44,7 +44,7 @@ class CodedLayoutSpec extends SparkSpec {
     * wrong row-group pruning, lost append) fails loudly.
     */
   private def results(eng: Engine, db: String, q: Array[Float]): Seq[(Int, Long, String, Double)] =
-    eng.query(db, q, preliminaryTopK = 200, finalTopK = 20).collect()
+    eng.queryCatalyst(db, q, preliminaryTopK = 200, finalTopK = 20).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getString(2),
         math.rint(r.getDouble(3) * 1e6) / 1e6)).toSeq
 
@@ -303,7 +303,9 @@ class CodedLayoutSpec extends SparkSpec {
       override protected def maxChunkedProbePush(nlist: Int): Int = 0
     }
     mkQueries(6).foreach { q =>
-      val a = rowFilter.query("db", q, preliminaryTopK = 200, finalTopK = 20)
+      // queryCatalyst: the routed path would serve from pinned blocks and
+      // never exercise the row-filter plan branch under test
+      val a = rowFilter.queryCatalyst("db", q, preliminaryTopK = 200, finalTopK = 20)
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
           math.rint(r.getDouble(3) * 1e6) / 1e6)).toSeq
       assert(a == results(bucketed, "db", q),

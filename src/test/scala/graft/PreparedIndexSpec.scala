@@ -40,8 +40,11 @@ class PreparedIndexSpec extends SparkSpec {
     }
   }
 
+  // ground truth = the pure Catalyst plan path (engine.query now routes
+  // through an auto-prepared handle — comparing against it would compare
+  // prepared vs prepared)
   private def regular(q: Array[Float]): Seq[(Int, Long, String, Double)] =
-    engine.query("pdb", q, PrelimK, FinalK).collect().toSeq.map { r =>
+    engine.queryCatalyst("pdb", q, PrelimK, FinalK).collect().toSeq.map { r =>
       (r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3))
     }
 
@@ -58,7 +61,10 @@ class PreparedIndexSpec extends SparkSpec {
     engine.addLocal("pdb", mkCorpus(N, Seed).toIndexedSeq,
       (0 until N).map(i => s"""{"doc":$i}"""))
     engine.train("pdb", kmeansIters = 6, seed = Seed, minTrainRows = 1)
-    prep = engine.prepareServing("pdb")
+    // interval 0: refresh on every drift — the delta-refresh tests below
+    // assert EXACT visibility of each mutation (the debounce property has
+    // its own tests at the end)
+    prep = engine.prepareServing("pdb", addsRefreshIntervalMs = 0L)
     assert(!prep.isStale)
   }
 
@@ -118,6 +124,96 @@ class PreparedIndexSpec extends SparkSpec {
       assert(prepared(fresh, q) == regular(q))
     }
     fresh.close()
+  }
+
+  test("auto-routed engine.query is exactly the Catalyst path, across a retrain") {
+    queries.foreach { q =>
+      val got = engine.query("pdb", q, PrelimK, FinalK).collect().toSeq.map { r =>
+        (r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3))
+      }
+      assert(got == regular(q))
+    }
+    // a version swap must rebuild the engine-owned handle transparently
+    engine.train("pdb", kmeansIters = 3, seed = Seed + 1, minTrainRows = 1)
+    queries.take(4).foreach { q =>
+      val got = engine.query("pdb", q, PrelimK, FinalK).collect().toSeq.map { r =>
+        (r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3))
+      }
+      assert(got == regular(q))
+    }
+  }
+
+  test("adds delta-refresh is debounced: at most one refresh per window") {
+    val slow = engine.prepareServing("pdb", addsRefreshIntervalMs = 3600000L)
+    val rnd = new Random(Seed + 123)
+    val marker = Array.tabulate(D)(_ => rnd.nextGaussian().toFloat)
+    val (mId, _) = engine.addLocal("pdb", Seq(marker), Seq("""{"m":1}"""))
+    // first drift after prepare: the debounce clock is fresh → refreshes
+    assert(slow.query(marker, PrelimK, FinalK).head.id == mId)
+    val marker2 = Array.tabulate(D)(_ => rnd.nextGaussian().toFloat)
+    val (m2Id, _) = engine.addLocal("pdb", Seq(marker2), Seq("""{"m":2}"""))
+    // inside the (huge) window: NO second refresh job — the add is not yet
+    // visible to the prepared scan (bounded staleness, class doc), while
+    // the regular path serves it
+    assert(!slow.query(marker2, PrelimK, FinalK).exists(_.id == m2Id),
+      "a second refresh ran inside the debounce window")
+    assert(regular(marker2).head._2 == m2Id)
+    assert(!slow.isStale, "debounced adds are not staleness")
+    slow.close()
+
+    // with a short window the add becomes visible once the window passes
+    val quick = engine.prepareServing("pdb", addsRefreshIntervalMs = 150L)
+    val marker3 = Array.tabulate(D)(_ => rnd.nextGaussian().toFloat)
+    val (m3Id, _) = engine.addLocal("pdb", Seq(marker3), Seq("""{"m":3}"""))
+    assert(quick.query(marker3, PrelimK, FinalK).head.id == m3Id) // fresh clock
+    val marker4 = Array.tabulate(D)(_ => rnd.nextGaussian().toFloat)
+    val (m4Id, _) = engine.addLocal("pdb", Seq(marker4), Seq("""{"m":4}"""))
+    val deadline = System.currentTimeMillis() + 30000L
+    var seen = false
+    while (!seen && System.currentTimeMillis() < deadline) {
+      seen = quick.query(marker4, PrelimK, FinalK).exists(_.id == m4Id)
+      if (!seen) Thread.sleep(25L)
+    }
+    assert(seen, "append never became visible after the debounce window")
+    quick.close()
+  }
+
+  test("a swap landing mid-query never serves a superseded or torn state") {
+    // identical data + identical train params/seed => retraining swaps the
+    // version but reproduces the SAME model, so the correct result set is
+    // a fixed constant — any deviation during the race means a query was
+    // served from a half-swapped state (the post-job version re-check is
+    // what reroutes those through fallback)
+    engine.train("pdb", kmeansIters = 3, seed = Seed + 2, minTrainRows = 1)
+    val probe = queries(0)
+    val truth = regular(probe)
+    val handle = engine.prepareServing("pdb")
+    assert(handle.query(probe, PrelimK, FinalK).toSeq.map(h =>
+      (h.rank, h.id, h.metadata, h.cosineSimilarity)) == truth)
+    @volatile var trainsDone = false
+    @volatile var failure: Throwable = null
+    val trainer = new Thread(() => {
+      try (1 to 3).foreach { _ =>
+        engine.train("pdb", kmeansIters = 3, seed = Seed + 2, minTrainRows = 1)
+      } catch { case t: Throwable => failure = t }
+      finally trainsDone = true
+    })
+    val querier = new Thread(() => {
+      try {
+        while (!trainsDone) {
+          val viaHandle = handle.query(probe, PrelimK, FinalK).toSeq.map(h =>
+            (h.rank, h.id, h.metadata, h.cosineSimilarity))
+          assert(viaHandle == truth, s"handle served a torn state: $viaHandle")
+          val routed = engine.query("pdb", probe, PrelimK, FinalK).collect()
+            .toSeq.map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+          assert(routed == truth, s"routed query served a torn state: $routed")
+        }
+      } catch { case t: Throwable => failure = t }
+    })
+    trainer.start(); querier.start()
+    trainer.join(300000); querier.join(300000)
+    if (failure != null) throw failure
+    handle.close()
   }
 
   test("closed handle refuses queries") {
