@@ -90,7 +90,15 @@ object ScaleEval {
     val addSec = (System.nanoTime() - g0) / 1e9
 
     val params =
-      if (withOpq) Some(IndexParams(256, 128, 32, omitOpq = false))
+      if (withOpq) {
+        // the published chain by default (PCA256/OPQ128/PQ32); dims
+        // env-tunable so an OPQ-on point fits the disk at d<256 (the
+        // rotation fit/apply cost is what the scale point measures)
+        val pca = sys.env.getOrElse("GRAFT_SCALE_PCA", "256").toInt
+        val opqDim = sys.env.getOrElse("GRAFT_SCALE_OPQ_DIM", "128").toInt
+        val m = sys.env.getOrElse("GRAFT_SCALE_PQM", "32").toInt
+        Some(IndexParams(pca, opqDim, m, omitOpq = false))
+      }
       else sys.env.get("GRAFT_SCALE_PQM").map { m =>
         // explicit no-OPQ chain for dimensions the heuristic table
         // rejects by reference parity (d < 64 → pca default 64 > d)
