@@ -216,6 +216,20 @@ class PreparedIndexSpec extends SparkSpec {
     handle.close()
   }
 
+  test("auto-prepared handle releases with the cache entry and rebuilds on demand") {
+    // removeFromCache must close the engine-owned handle (the serving
+    // blocks share the model cache's budget story) — and the next routed
+    // query must transparently rebuild it with identical results
+    val probe = queries(1)
+    val before = engine.query("pdb", probe, PrelimK, FinalK).collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    engine.removeFromCache("pdb")
+    val after = engine.query("pdb", probe, PrelimK, FinalK).collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(after == before)
+    assert(after == regular(probe))
+  }
+
   test("closed handle refuses queries") {
     prep.close()
     intercept[IllegalArgumentException] { prep.query(queries(0), PrelimK, FinalK) }
