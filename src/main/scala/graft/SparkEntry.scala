@@ -53,6 +53,10 @@ object SparkEntry {
     "pii_redact"         -> (Queries.piiRedact _),
     "tfidf_topk"         -> (Queries.tfidfTopk _),
     "dup_spans"          -> (Queries.dupSpans _),
+    "bm25_topk"          -> (Queries.bm25Topk _),
+    "hybrid_rrf"         -> (Queries.hybridRrf _),
+    "semantic_dedup"     -> (Queries.semanticDedup _),
+    "ccnet_bucket"       -> (Queries.ccnetBucket _),
     "char_shingle_min"   -> (Queries.charShingleMin _),
     "multimodal_meta"    -> (Queries.multimodalMeta _),
     "multimodal_resize"  -> (Queries.multimodalResize _),
@@ -736,6 +740,136 @@ object SparkEntry {
         |                           ORDER BY tfidf DESC, term ASC) AS rank
         |      FROM scored)
         |WHERE rank <= 3""".stripMargin,
+
+    // Constants written as the same decimal literals as the Scala side
+    // (2.2, 1.2, 0.75, 0.25, 0.5) and per-term scores rounded to 9dp then
+    // summed IN TERM ORDER — double addition order matches the engine's
+    // ordered fold bit for bit.
+    "bm25_topk" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tkf AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tkf GROUP BY 1),
+        |ad AS (SELECT CAST(count(*) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM tkf),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tkf
+        |       WHERE term IN ('hash', 'spark', 'vector') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(ln(1.0 + (CAST((SELECT n FROM n) AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)) *
+        |      tf.tf * 2.2 /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM ad))), 9) AS s
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)),
+        |agg AS (SELECT doc_id, list_sum(list(s ORDER BY term)) AS bm25 FROM sc GROUP BY doc_id)
+        |SELECT doc_id, rank, round(bm25, 6) AS bm25
+        |FROM (SELECT doc_id, bm25,
+        |        row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank FROM agg)
+        |WHERE rank <= 10""".stripMargin,
+
+    "hybrid_rrf" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    list_sum(list_transform(list_zip(e.embedding, q.qv),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS raw_sim
+        |  FROM embeddings e CROSS JOIN q),
+        |vr AS (
+        |  SELECT id, rank_v FROM (
+        |    SELECT vec_id AS id,
+        |      row_number() OVER (ORDER BY raw_sim DESC, vec_id) AS rank_v
+        |    FROM scored) WHERE rank_v <= 20),
+        |tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tkf AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tkf GROUP BY 1),
+        |ad AS (SELECT CAST(count(*) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM tkf),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tkf
+        |       WHERE term IN ('hash', 'spark', 'vector') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |bsc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(ln(1.0 + (CAST((SELECT n FROM n) AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)) *
+        |      tf.tf * 2.2 /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM ad))), 9) AS s
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)),
+        |bagg AS (SELECT doc_id, list_sum(list(s ORDER BY term)) AS bm25 FROM bsc GROUP BY doc_id),
+        |kr AS (
+        |  SELECT id, rank_k FROM (
+        |    SELECT doc_id AS id,
+        |      row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_k
+        |    FROM bagg) WHERE rank_k <= 20),
+        |u AS (
+        |  SELECT coalesce(vr.id, kr.id) AS id, vr.rank_v, kr.rank_k
+        |  FROM vr FULL JOIN kr ON vr.id = kr.id),
+        |f AS (
+        |  SELECT id, round(coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_v), 0.0) +
+        |                   coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_k), 0.0), 9) AS rrf FROM u)
+        |SELECT id, rank, rrf FROM (
+        |  SELECT id, rrf, row_number() OVER (ORDER BY rrf DESC, id) AS rank FROM f)
+        |WHERE rank <= 10""".stripMargin,
+
+    // Assignment CTEs identical to t12_centroid_assign; pair cosines in
+    // the embed_near_dup form (index-order dot / norm product, rounded to
+    // 9dp BEFORE the threshold so float noise can't flip a pair).
+    "semantic_dedup" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS cid, dim, avg(x) AS m FROM ex GROUP BY label, dim),
+        |dist AS (
+        |  SELECT e.vec_id, c.cid, sum((e.x - c.m) * (e.x - c.m)) AS d2
+        |  FROM ex e JOIN cent c ON e.dim = c.dim
+        |  GROUP BY e.vec_id, c.cid),
+        |best AS (
+        |  SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY round(d2, 9), cid) AS rn
+        |  FROM dist),
+        |asg AS (SELECT vec_id, cid FROM best WHERE rn = 1),
+        |nv AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
+        |  FROM embeddings),
+        |pr AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_sum([CAST(na.embedding[j] AS DOUBLE) * CAST(nb.embedding[j] AS DOUBLE)
+        |      for j in generate_series(1, 64)]) / (na.nrm * nb.nrm), 9) AS c9
+        |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN nv na ON na.vec_id = a.vec_id
+        |  JOIN nv nb ON nb.vec_id = b.vec_id),
+        |marks AS (
+        |  SELECT id_b AS vec_id, count(*) AS n_dups, max(c9) AS mx
+        |  FROM pr WHERE c9 >= 0.35 GROUP BY 1)
+        |SELECT a.vec_id, a.cid,
+        |  coalesce(m.n_dups, 0) AS n_dups,
+        |  round(coalesce(m.mx, 0.0), 6) AS max_dup_sim,
+        |  m.vec_id IS NULL AS keep
+        |FROM asg a LEFT JOIN marks m ON a.vec_id = m.vec_id""".stripMargin,
+
+    // Ordering on the ROUNDED logprob (6dp) + doc_id so a bucket boundary
+    // can't move on cross-engine float noise; ntile is the SQL-standard
+    // balanced split in both engines.
+    "ccnet_bucket" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(cnt) AS t FROM freq),
+        |lp AS (
+        |  SELECT doc_id, count(*) AS n_toks,
+        |    round(avg(ln(CAST(cnt AS DOUBLE) / t)), 6) AS logprob
+        |  FROM toks JOIN freq USING (tok), tot
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_toks, logprob,
+        |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM (SELECT doc_id, n_toks, logprob,
+        |        ntile(3) OVER (ORDER BY logprob DESC, doc_id) AS nt FROM lp)""".stripMargin,
 
     "char_shingle_min" ->
       """SELECT doc_id, CASE WHEN length(t) >= 8 THEN

@@ -400,4 +400,86 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_toks"),
         round(avg(log(col("cnt").cast("double") / total)), 6).as("logprob"))
   }
+
+  /** Okapi BM25 keyword retrieval (Robertson et al., TREC-3) — the lexical
+    * half of hybrid search next to the engine's vector kNN. Scores every
+    * document against a fixed bag of query terms with the standard
+    * saturating-tf / length-normalized formula (k1 = 1.2, b = 0.75,
+    * idf = ln(1 + (N − df + ½)/(df + ½)) — the Lucene-default variant
+    * that never goes negative) and returns the top-k by (score desc, id).
+    *
+    * Cross-engine determinism: the per-term partial scores are rounded to
+    * 9 dp and summed IN TERM ORDER via an ordered-list fold (not a
+    * commutative agg), so the double addition order matches the SQL
+    * oracle bit for bit; constants are written as the same decimal
+    * literals on both sides (2.2, not k1 + 1, which is a different
+    * double).
+    *
+    * Scale shape: the explode is filtered to the |Q| query terms before
+    * any shuffle, so the tf side is corpus-hits-of-Q-sized, not
+    * corpus-gram-sized; doc lengths are a shuffle-free per-row
+    * projection; df is |Q| rows (broadcast); the final global top-k is a
+    * sort-limit (TakeOrdered — no single-partition window). Corpus
+    * constants (N, total tokens) come from one map-side-combined agg
+    * action, not extra passes over the corpus.
+    */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, queryTerms: Seq[String],
+               k: Int = 10): org.apache.spark.sql.DataFrame = {
+    // doc length as a shuffle-free projection (no explode+groupBy), and
+    // both corpus constants (N, total tokens) from ONE tiny action
+    val dlCol = size(filter(tokens(col(textCol)), t => t =!= "")).cast("long")
+    val stats = docs.agg(count(lit(1)), sum(dlCol)).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val dl = docs.select(col(idCol), dlCol.as("dl"))
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "term").join(dl, idCol)
+      .withColumn("s", round(
+        log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))), 9))
+    // ordered fold, not sum(): double addition is order-sensitive in the
+    // last bit and groupBy-sum order is nondeterministic — the oracle
+    // folds list(s ORDER BY term) left-to-right, so match it exactly
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("bm25"))
+    perDoc.orderBy(col("bm25").desc, col(idCol)).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25").desc, col(idCol))))
+      .select(col(idCol), col("rank"), round(col("bm25"), 6).as("bm25"))
+  }
+
+  /** CCNet-style quality bucketing (Wenzek et al., 2020): rank documents
+    * by corpus-LM score ([[unigramLogProb]] — higher = more fluent under
+    * the corpus unigram model) and split into head / middle / tail
+    * tertiles, the partition CCNet uses to keep head+middle for LM
+    * training. Ordering is on the ROUNDED logprob with the id as
+    * tiebreak, so cross-engine float noise cannot move a doc across a
+    * bucket boundary.
+    *
+    * Scale shape: the tertile split here is an exact global ntile (one
+    * final WindowGroupLimit-class sort over doc-sized rows — fine at any
+    * corpus: the windowed frame is (id, 2 numbers), and at 100 TB the
+    * production variant swaps ntile for percentile cutoffs computed on a
+    * sample exactly as CCNet does, keeping the per-doc pass shuffle-free;
+    * the exact split is what the oracle can replay).
+    */
+  def ccnetBucket(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lp = unigramLogProb(docs, idCol, textCol)
+    lp.withColumn("nt", ntile(3).over(
+        Window.orderBy(col("logprob").desc, col(idCol))))
+      .select(col(idCol), col("n_toks"), col("logprob"),
+        when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

@@ -831,6 +831,68 @@ object Queries {
     graft.operators.TextAnalysis.dupSpans(
       t(s, dir, "documents"), "doc_id", "text", w = 8)
 
+  /** Fixed query-term bag for the lexical retrieval rows — terms present
+    * in the synthetic vocabulary, alphabetical so the ordered score fold
+    * is the obvious one in both engines.
+    */
+  private val Bm25QueryTerms = Seq("hash", "spark", "vector")
+
+  /** Okapi BM25 top-10 over the document corpus for a fixed 3-term query
+    * — the lexical retrieval half of hybrid search.
+    */
+  def bm25Topk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.bm25TopK(
+      t(s, dir, "documents"), "doc_id", "text", Bm25QueryTerms, k = 10)
+
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al., 2009):
+    * fuse the vector kNN ranking (exact cosine top-20 for query vec 0)
+    * with the BM25 ranking (top-20 for the fixed term bag) by
+    * score(d) = Σ 1/(60 + rank) over the lists containing d, take the
+    * fused top-10. The id spaces align by construction (embedding i IS
+    * document i's vector). Both input rankings are integer ranks, so the
+    * fused doubles are bit-identical across engines (fixed two-term
+    * addition order: vector list then keyword list).
+    *
+    * Scale shape: each list is an independently-optimized top-k (scan +
+    * TakeOrdered / the BM25 plan); the fusion itself joins two k-row
+    * frames — driver-trivial, cluster-trivial at any corpus size.
+    */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = typedLit(queryVector(s, dir, 0L))
+    val vecRanks = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), dot(col("embedding"), q).as("raw"))
+      .orderBy(col("raw").desc, col("id")).limit(20)
+      .withColumn("rank_v", row_number().over(
+        Window.orderBy(col("raw").desc, col("id"))))
+      .select(col("id"), col("rank_v"))
+    val kwRanks = graft.operators.TextAnalysis.bm25TopK(
+        t(s, dir, "documents"), "doc_id", "text", Bm25QueryTerms, k = 20)
+      .select(col("doc_id").as("id"), col("rank").as("rank_k"))
+    vecRanks.join(kwRanks, Seq("id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("rank_v")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_k")), lit(0.0)), 9))
+      .orderBy(col("rrf").desc, col("id")).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("id"))))
+      .select(col("id"), col("rank"), col("rrf"))
+  }
+
+  /** SemDeDup cluster-scoped semantic dedup over the embeddings table:
+    * label centroids as the coarse clustering, exact in-cluster cosine at
+    * τ = 0.35, keep-lowest-id.
+    */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SemanticDedup.semanticDedup(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      labelCentroidArr(s, dir), tau = 0.35)
+
+  /** CCNet head/middle/tail quality tertiles by corpus-LM logprob. */
+  def ccnetBucket(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.ccnetBucket(
+      t(s, dir, "documents"), "doc_id", "text")
+
   /** Deterministic content-addressed train/val/test split (90/5/5):
     * exact duplicates land in the same split, assignment stable across
     * engines and runs.
