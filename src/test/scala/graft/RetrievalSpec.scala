@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SemanticDedup, TextAnalysis}
+
+/** Behavioral properties of the retrieval/semantic-dedup family on a
+  * hand-built corpus (the hash-exact DuckDB gates run on the testdata
+  * tables; these pin the SEMANTICS on inputs where the right answer is
+  * obvious by construction).
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "spark spark spark hash"),              // tf-heavy on 'spark'
+    (1L, "spark vector"),                        // short doc, two terms
+    (2L, "vector vector vector vector vector vector vector vector"),
+    (3L, "table row scan filter join group"),    // no query terms
+    (4L, "hash"),                                // shortest, one term
+    (5L, "spark hash vector table row scan slow fast merge batch")
+  ).toDF("doc_id", "text")
+
+  test("bm25: docs without query terms never score; ranks are 1..k dense") {
+    val r = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq("hash", "spark", "vector"), k = 10).collect()
+    assert(!r.map(_.getLong(0)).contains(3L))
+    assert(r.map(_.getInt(1)).toSeq == (1 to r.length))
+    // every score positive (the +1 idf variant can't go negative even
+    // for terms in most docs)
+    assert(r.forall(_.getDouble(2) > 0.0))
+  }
+
+  test("bm25: length normalization — same tf, shorter doc scores higher") {
+    val two = Seq(
+      (0L, "spark alpha beta gamma delta"),
+      (1L, "spark alpha beta gamma delta epsilon zeta eta theta iota")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25TopK(two, "doc_id", "text", Seq("spark"), k = 2)
+      .collect().sortBy(_.getInt(1))
+    assert(r.head.getLong(0) == 0L, "shorter doc with equal tf must rank first")
+  }
+
+  test("bm25: saturating tf — score grows sublinearly in tf") {
+    val three = Seq(
+      (0L, "spark pad pad pad pad pad pad pad"),
+      (1L, "spark spark pad pad pad pad pad pad"),
+      (2L, "spark spark spark spark pad pad pad pad")
+    ).toDF("doc_id", "text")
+    val s = TextAnalysis.bm25TopK(three, "doc_id", "text", Seq("spark"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(1L) - s(0L) > s(2L) - s(1L),
+      "doubling tf 1->2 must gain more than 2->4 (k1 saturation)")
+  }
+
+  test("rrf: an id on both lists beats ids on one; ranks dense") {
+    val dir = "sf0.001"
+    val r = graft.queries.Queries.hybridRrf(spark,
+      s"/root/testdata/$dir").collect()
+    assert(r.nonEmpty && r.map(_.getInt(1)).toSeq == (1 to r.length))
+    // rrf scores are bounded by the two-list maximum 2/61
+    assert(r.forall(x => x.getDouble(2) > 0.0 && x.getDouble(2) <= 2.0 / 61 + 1e-9))
+    // descending by construction
+    assert(r.map(_.getDouble(2)).toSeq.reverse.sorted.reverse ==
+      r.map(_.getDouble(2)).toSeq)
+  }
+
+  test("semantic dedup: identical vectors in one cluster keep only the lowest id") {
+    val v = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val w = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val items = Seq(
+      (10L, v), (11L, v), (12L, v),              // exact triplicate
+      (20L, w),                                   // lone vector, other cluster
+      (21L, w.map(x => x * 2.0f))                 // same direction => cos 1
+    ).toDF("vec_id", "embedding")
+    val cents = Array(0 -> Seq(1.0, 0.0, 0.0, 0.0), 1 -> Seq(0.0, 1.0, 0.0, 0.0))
+    val r = SemanticDedup.semanticDedup(items, "vec_id", "embedding",
+      cents, tau = 0.9).collect()
+      .map(x => x.getLong(0) -> (x.getLong(2), x.getBoolean(4))).toMap
+    assert(r(10L) == ((0L, true)), "lowest id of the triplicate is kept")
+    assert(r(11L) == ((1L, false)) && r(12L) == ((2L, false)))
+    assert(r(20L) == ((0L, true)))
+    assert(r(21L) == ((1L, false)), "scaled copy is cosine-1 to its cluster-mate")
+  }
+
+  test("semantic dedup: cross-cluster near-pairs are NOT compared (by design)") {
+    // two identical vectors forced into different clusters by centroid
+    // geometry: SemDeDup only prunes within a cluster
+    val items = Seq(
+      (0L, Seq(1.0f, 0.09f)), (1L, Seq(1.0f, -0.09f))
+    ).toDF("vec_id", "embedding")
+    val cents = Array(0 -> Seq(1.0, 0.1), 1 -> Seq(1.0, -0.1))
+    val r = SemanticDedup.semanticDedup(items, "vec_id", "embedding",
+      cents, tau = 0.5).collect()
+    assert(r.forall(_.getBoolean(4)), "both kept: clusters differ")
+  }
+
+  test("ccnet buckets: tertiles are balanced and ordered by logprob") {
+    val r = graft.queries.Queries.ccnetBucket(spark,
+      "/root/testdata/sf0.001").collect()
+    val byBucket = r.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket.values.max - byBucket.values.min <= 1, "ntile balance")
+    val minHead = r.filter(_.getString(3) == "head").map(_.getDouble(2)).min
+    val maxTail = r.filter(_.getString(3) == "tail").map(_.getDouble(2)).max
+    assert(minHead >= maxTail, "head logprobs dominate tail logprobs")
+  }
+}
