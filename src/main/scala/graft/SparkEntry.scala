@@ -57,6 +57,7 @@ object SparkEntry {
     "hybrid_rrf"         -> (Queries.hybridRrf _),
     "semantic_dedup"     -> (Queries.semanticDedup _),
     "ccnet_bucket"       -> (Queries.ccnetBucket _),
+    "seq_pack"           -> (Queries.seqPack _),
     "char_shingle_min"   -> (Queries.charShingleMin _),
     "multimodal_meta"    -> (Queries.multimodalMeta _),
     "multimodal_resize"  -> (Queries.multimodalResize _),
@@ -870,6 +871,26 @@ object SparkEntry {
         |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM (SELECT doc_id, n_toks, logprob,
         |        ntile(3) OVER (ORDER BY logprob DESC, doc_id) AS nt FROM lp)""".stripMargin,
+
+    // Window sum returns HUGEINT in DuckDB — CAST everything integral
+    // back to BIGINT (skill gotcha); // is DuckDB integer division =
+    // Spark's `div` on longs for the non-negative values here.
+    "seq_pack" ->
+      """WITH c AS (
+        |  SELECT doc_id, CAST(coalesce(len(list_filter(
+        |      regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')), 0) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_toks,
+        |    CAST(sum(n_toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM c)
+        |SELECT doc_id, n_toks,
+        |  CAST((cum - n_toks) // 512 AS BIGINT) AS seq_id,
+        |  CAST((cum - n_toks) % 512 AS BIGINT) AS seq_offset,
+        |  CAST(CASE WHEN n_toks = 0 THEN 0
+        |       ELSE (cum - 1) // 512 - (cum - n_toks) // 512 + 1 END AS BIGINT) AS seqs_spanned
+        |FROM s""".stripMargin,
 
     "char_shingle_min" ->
       """SELECT doc_id, CASE WHEN length(t) >= 8 THEN

@@ -893,6 +893,16 @@ object Queries {
     graft.operators.TextAnalysis.ccnetBucket(
       t(s, dir, "documents"), "doc_id", "text")
 
+  /** Concat-and-chunk packing of the corpus into 512-token training
+    * sequences via the distributed prefix sum.
+    */
+  def seqPack(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SequencePack.pack(
+      t(s, dir, "documents"), "doc_id",
+      size(filter(graft.operators.TextAnalysis.tokens(col("text")),
+        x => x =!= "")),
+      seqLen = 512)
+
   /** Deterministic content-addressed train/val/test split (90/5/5):
     * exact duplicates land in the same split, assignment stable across
     * engines and runs.
