@@ -586,9 +586,11 @@ class Engine(val spark: SparkSession, val root: String) {
         return hitsDf(p.queryWith(doc, q, preliminaryTopK, finalTopK))
       } catch {
         // a concurrent close (cache eviction / drop) can void the handle
-        // mid-call — the plan path serves the same observed state
-        case _: IllegalArgumentException
-          if !autoPrepared.get(name).exists(h => !h.isStaleFor(doc)) => ()
+        // mid-call — the plan path serves the same observed state. This
+        // also covers validation failures: queryCatalyst re-runs the
+        // identical require()s, so a genuine bad query surfaces the same
+        // error from the plan path instead of racing the handle check.
+        case _: IllegalArgumentException => ()
       }
     }
     queryCatalyst(name, q, preliminaryTopK, finalTopK, predicate)
