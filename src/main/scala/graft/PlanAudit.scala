@@ -16,7 +16,9 @@ object PlanAudit {
         "near_dup_jaccard", "dedup_groups",
         "sessionize", "asof_join", "json_props", "boilerplate_ngrams",
         "range_join_count", "q6_filter_agg", "length_percentiles",
-        "topk_per_group")) {
+        "topk_per_group",
+        "bm25_topk", "hybrid_rrf", "semantic_dedup", "ccnet_bucket",
+        "seq_pack")) {
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
