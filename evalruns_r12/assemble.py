@@ -8,8 +8,21 @@ rows = {
     "probe_select": "probe_select.log",
     "scale_run_35m": "scale_35m.log",
     "stream_near_dup_10m": "stream_10m.log",
-    "scale_run_35m_opq": "scale_35m_opq.log",
+    "scale_run_25m_opq": "scale_25m_opq.log",
     "scale_run_100m": "scale_100m.log",
+}
+# The 35M x 128d OPQ point does not fit this box's disk (ENOSPC at 53
+# min, evalruns_r12/scale_35m_opq.log) — recorded as a note so the
+# artifact carries the claim's boundary, not just the successes.
+NOTES = {
+    "scale_run_35m_opq": {
+        "status": "ENOSPC",
+        "detail": "35M x 128d OPQ chain needs ~75 GB scratch "
+                  "(data + old/new coded + train shuffle); box has ~78 GB "
+                  "total headroom shared with the OS - died in train "
+                  "shuffle at 53 min. OPQ-on scale point re-run at 25M "
+                  "(peak ~48 GB). Log: evalruns_r12/scale_35m_opq.log",
+    }
 }
 out = {}
 for key, log in rows.items():
@@ -25,5 +38,6 @@ for key, log in rows.items():
     if last is None:
         print(f"NO JSON in {log}"); continue
     out[key] = last
+out.update(NOTES)
 json.dump(out, open("/root/repo/EVAL_r12.json", "w"), indent=2)
-print(f"wrote EVAL_r12.json with {len(out)}/{len(rows)} rows")
+print(f"wrote EVAL_r12.json with {len(out)}/{len(rows)+len(NOTES)} rows")

@@ -837,12 +837,22 @@ object Queries {
     */
   private val Bm25QueryTerms = Seq("hash", "spark", "vector")
 
+  /** BM25 ranked top-20 for the fixed term bag — the shared lexical
+    * artifact both `bm25_topk` (top-10 prefix) and `hybrid_rrf` consume;
+    * built once per dir (the ranking is deterministic with the doc_id
+    * tiebreak, so any top-k is a prefix of this frame).
+    */
+  private def bm25Ranked20(s: SparkSession, dir: String): DataFrame =
+    sharedFrame(s, dir, "bm25_20") {
+      graft.operators.TextAnalysis.bm25TopK(
+        t(s, dir, "documents"), "doc_id", "text", Bm25QueryTerms, k = 20)
+    }
+
   /** Okapi BM25 top-10 over the document corpus for a fixed 3-term query
     * — the lexical retrieval half of hybrid search.
     */
   def bm25Topk(s: SparkSession, dir: String): DataFrame =
-    graft.operators.TextAnalysis.bm25TopK(
-      t(s, dir, "documents"), "doc_id", "text", Bm25QueryTerms, k = 10)
+    bm25Ranked20(s, dir).filter(col("rank") <= 10)
 
   /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al., 2009):
     * fuse the vector kNN ranking (exact cosine top-20 for query vec 0)
@@ -866,8 +876,7 @@ object Queries {
       .withColumn("rank_v", row_number().over(
         Window.orderBy(col("raw").desc, col("id"))))
       .select(col("id"), col("rank_v"))
-    val kwRanks = graft.operators.TextAnalysis.bm25TopK(
-        t(s, dir, "documents"), "doc_id", "text", Bm25QueryTerms, k = 20)
+    val kwRanks = bm25Ranked20(s, dir)
       .select(col("doc_id").as("id"), col("rank").as("rank_k"))
     vecRanks.join(kwRanks, Seq("id"), "full_outer")
       .withColumn("rrf", round(
