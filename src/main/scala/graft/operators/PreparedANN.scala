@@ -3,9 +3,9 @@ package graft.operators
 import scala.collection.mutable
 import scala.collection.mutable.PriorityQueue
 
-import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.core.Engine.IndexModel
 
@@ -86,13 +86,23 @@ object PreparedANN {
 
   /** Pin the covering coded table into `numParts` cached partitions of
     * cluster-keyed blocks. One shuffle, executed once at prepare time.
+    *
+    * The shuffle runs in the SQL layer (`repartition` on cluster_id =
+    * Tungsten UnsafeRow + lz4), NOT as an RDD `partitionBy` of
+    * `(Int, Row)` pairs: the RDD form Java-serializes every row — 3-6×
+    * the bytes — which is what turned the prepare shuffle at 100M×32d /
+    * 35M×128d into an ENOSPC (evalruns_r12/scale_{100m,35m_opq} round-12
+    * logs; the train ahead of it fit comfortably). Serving only needs
+    * each cluster's rows co-located in SOME partition — every partition
+    * is scanned per query — so the SQL hash exchange's different
+    * cluster→partition mapping is semantically identical.
     */
   def buildBlocks(coded: DataFrame, numParts: Int): RDD[Map[Int, ClusterBlock]] = {
-    coded.select("cluster_id", "id", "code", "vector", "metadata").rdd
-      .map(r => (r.getInt(0), r))
-      .partitionBy(new HashPartitioner(numParts))
-      .mapPartitions(it => Iterator.single(foldBlocks(it)),
-        preservesPartitioning = true)
+    coded.select("cluster_id", "id", "code", "vector", "metadata")
+      .repartition(numParts, col("cluster_id"))
+      .rdd
+      .mapPartitions(it =>
+        Iterator.single(foldBlocks(it.map(r => (r.getInt(0), r)))))
   }
 
   /** Serve one query against one partition's blocks: ADC top-`prelimK`
