@@ -8,20 +8,20 @@ rows = {
     "probe_select": "probe_select.log",
     "scale_run_35m": "scale_35m.log",
     "stream_near_dup_10m": "stream_10m.log",
-    "scale_run_25m_opq": "scale_25m_opq.log",
+    "scale_run_35m_opq": "scale_35m_opq.log",
     "scale_run_100m": "scale_100m.log",
 }
-# The 35M x 128d OPQ point does not fit this box's disk (ENOSPC at 53
-# min, evalruns_r12/scale_35m_opq.log) — recorded as a note so the
-# artifact carries the claim's boundary, not just the successes.
+# Provenance note: the first 35M-OPQ and 100M attempts ENOSPC'd in
+# prepareServing — PreparedANN.buildBlocks shuffled (Int, Row) pairs
+# through an RDD HashPartitioner, Java-serializing every row at 3-6x
+# the bytes. Fixed in-round (SQL-layer repartition on cluster_id);
+# these rows are from the post-fix re-runs on final code.
 NOTES = {
-    "scale_run_35m_opq": {
-        "status": "ENOSPC",
-        "detail": "35M x 128d OPQ chain needs ~75 GB scratch "
-                  "(data + old/new coded + train shuffle); box has ~78 GB "
-                  "total headroom shared with the OS - died in train "
-                  "shuffle at 53 min. OPQ-on scale point re-run at 25M "
-                  "(peak ~48 GB). Log: evalruns_r12/scale_35m_opq.log",
+    "provenance": {
+        "scale_rerun_reason": "first 35M-OPQ/100M attempts ENOSPC'd in "
+            "the prepare-blocks RDD shuffle (Java serialization, 3-6x "
+            "bloat); fixed by moving the shuffle to the SQL layer "
+            "(PreparedANN.buildBlocks), then re-run on final code",
     }
 }
 out = {}
