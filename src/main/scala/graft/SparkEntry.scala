@@ -58,6 +58,7 @@ object SparkEntry {
     "semantic_dedup"     -> (Queries.semanticDedup _),
     "ccnet_bucket"       -> (Queries.ccnetBucket _),
     "seq_pack"           -> (Queries.seqPack _),
+    "mixture_sample"     -> (Queries.mixtureSample _),
     "char_shingle_min"   -> (Queries.charShingleMin _),
     "multimodal_meta"    -> (Queries.multimodalMeta _),
     "multimodal_resize"  -> (Queries.multimodalResize _),
@@ -891,6 +892,30 @@ object SparkEntry {
         |  CAST(CASE WHEN n_toks = 0 THEN 0
         |       ELSE (cum - 1) // 512 - (cum - n_toks) // 512 + 1 END AS BIGINT) AS seqs_spanned
         |FROM s""".stripMargin,
+
+    // τ-power / normalize arithmetic replayed with the same operation
+    // order as the Scala driver (pow parity per heuristics_goldens);
+    // rates rounded to 9dp BEFORE the integer threshold so a last-ulp
+    // pow difference can't flip a membership; the fixed source-order
+    // list fold matches the driver's foldLeft.
+    "mixture_sample" ->
+      """WITH cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |pw AS (SELECT source, c, pow(CAST(c AS DOUBLE), 0.7) AS p FROM cnt),
+        |tp AS (SELECT list_sum(list(p ORDER BY source)) AS tp FROM pw),
+        |rt AS (
+        |  SELECT source,
+        |    round(least(1.0, ceil(n * 0.5) * (p / tp) / c), 9) AS rate9
+        |  FROM pw, tp, tot),
+        |th AS (
+        |  SELECT source, rate9,
+        |    CAST(floor(rate9 * 4294967296) AS BIGINT) AS thr FROM rt)
+        |SELECT d.doc_id, d.source, round(t.rate9, 6) AS rate,
+        |  d.u < t.thr AS kept
+        |FROM (SELECT doc_id, source,
+        |        ('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+        |      FROM documents) d
+        |JOIN th t USING (source)""".stripMargin,
 
     "char_shingle_min" ->
       """SELECT doc_id, CASE WHEN length(t) >= 8 THEN

@@ -902,6 +902,13 @@ object Queries {
     graft.operators.TextAnalysis.ccnetBucket(
       t(s, dir, "documents"), "doc_id", "text")
 
+  /** Temperature-flattened (τ=0.7) half-corpus mixture sample over the
+    * `source` column — deterministic coin flips, broadcast thresholds.
+    */
+  def mixtureSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.MixtureSample.mixtureSample(
+      t(s, dir, "documents"), "doc_id", "source")
+
   /** Concat-and-chunk packing of the corpus into 512-token training
     * sequences via the distributed prefix sum.
     */
