@@ -13,6 +13,8 @@ sweep
 df -h / >> $R/progress.log
 
 echo "=== published_eval rerun (final code) $(date)" >> $R/progress.log
+GRAFT_EVAL_N=57638 GRAFT_EVAL_D=768 GRAFT_EVAL_OPQ=true \
+GRAFT_EVAL_PRELIM_K=200 GRAFT_EVAL_FINAL_K=20 GRAFT_EVAL_ROWS_PER_CENTER=100 \
 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=100g \
   sbt -batch "runMain graft.Eval" > $R/published_eval.log 2>&1
 sweep
