@@ -473,9 +473,16 @@ object TextAnalysis {
     * the exact split is what the oracle can replay).
     */
   def ccnetBucket(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                  textCol: String): org.apache.spark.sql.DataFrame = {
+                  textCol: String): org.apache.spark.sql.DataFrame =
+    ccnetBucketFromScores(unigramLogProb(docs, idCol, textCol), idCol)
+
+  /** [[ccnetBucket]] over an already-computed [[unigramLogProb]] frame —
+    * lets a pipeline that also consumes the raw scores pay the corpus
+    * pass once.
+    */
+  def ccnetBucketFromScores(lp: org.apache.spark.sql.DataFrame,
+                            idCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lp = unigramLogProb(docs, idCol, textCol)
     lp.withColumn("nt", ntile(3).over(
         Window.orderBy(col("logprob").desc, col(idCol))))
       .select(col(idCol), col("n_toks"), col("logprob"),

@@ -897,10 +897,13 @@ object Queries {
       t(s, dir, "embeddings"), "vec_id", "embedding",
       labelCentroidArr(s, dir), tau = 0.35)
 
-  /** CCNet head/middle/tail quality tertiles by corpus-LM logprob. */
+  /** CCNet head/middle/tail quality tertiles by corpus-LM logprob —
+    * consumes the shared `unigram_logprob` artifact, paying the corpus
+    * pass once across both rows.
+    */
   def ccnetBucket(s: SparkSession, dir: String): DataFrame =
-    graft.operators.TextAnalysis.ccnetBucket(
-      t(s, dir, "documents"), "doc_id", "text")
+    graft.operators.TextAnalysis.ccnetBucketFromScores(
+      unigramLogprob(s, dir), "doc_id")
 
   /** Temperature-flattened (τ=0.7) half-corpus mixture sample over the
     * `source` column — deterministic coin flips, broadcast thresholds.
@@ -940,8 +943,10 @@ object Queries {
     * groupBy pass, scoring via broadcast join).
     */
   def unigramLogprob(s: SparkSession, dir: String): DataFrame =
-    graft.operators.TextAnalysis.unigramLogProb(
-      t(s, dir, "documents"), "doc_id", "text")
+    sharedFrame(s, dir, "unigram_lp") {
+      graft.operators.TextAnalysis.unigramLogProb(
+        t(s, dir, "documents"), "doc_id", "text")
+    }
 
   /** Per-vector max-abs int8 quantization stats over the embedding column
     * (integer-exact codes; the 4× storage format for hot corpora).
