@@ -32,6 +32,8 @@ for key, log in rows.items():
     last = None
     for line in open(p, errors="replace"):
         line = line.strip()
+        if line.startswith("[info] "):
+            line = line[len("[info] "):]
         if line.startswith("{") and line.endswith("}"):
             try: last = json.loads(line)
             except Exception: pass
