@@ -97,6 +97,8 @@ object Queries {
     simhashFp(s, dir).count()
     t12CentroidAssign(s, dir).count()
     embedSignatures(s, dir).count()
+    bm25Ranked20(s, dir).count()
+    unigramLogprob(s, dir).count()
   }
 
   // ------------------------------------------------------------ relational
