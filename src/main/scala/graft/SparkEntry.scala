@@ -59,6 +59,7 @@ object SparkEntry {
     "ccnet_bucket"       -> (Queries.ccnetBucket _),
     "seq_pack"           -> (Queries.seqPack _),
     "mixture_sample"     -> (Queries.mixtureSample _),
+    "bigram_logprob"     -> (Queries.bigramLogprob _),
     "char_shingle_min"   -> (Queries.charShingleMin _),
     "multimodal_meta"    -> (Queries.multimodalMeta _),
     "multimodal_resize"  -> (Queries.multimodalResize _),
@@ -916,6 +917,27 @@ object SparkEntry {
         |        ('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
         |      FROM documents) d
         |JOIN th t USING (source)""".stripMargin,
+
+    // Bigram extraction = the same slice-zip as the Spark projection;
+    // P(w2|w1) = pair count / prefix count over the corpus's own bigram
+    // table (self-scoring — every bigram is in the model, no smoothing).
+    "bigram_logprob" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                x -> x <> '') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |bg AS (
+        |  SELECT doc_id, w[1] AS w1, w[2] AS w2
+        |  FROM (SELECT doc_id,
+        |          unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS w
+        |        FROM tk WHERE len(t) >= 2)),
+        |pair AS (SELECT w1, w2, count(*) AS cp FROM bg GROUP BY 1, 2),
+        |pref AS (SELECT w1, CAST(sum(cp) AS BIGINT) AS c1 FROM pair GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln(CAST(cp AS DOUBLE) / c1)), 6) AS logprob
+        |FROM bg JOIN pair USING (w1, w2) JOIN pref USING (w1)
+        |GROUP BY doc_id""".stripMargin,
 
     "char_shingle_min" ->
       """SELECT doc_id, CASE WHEN length(t) >= 8 THEN

@@ -401,6 +401,41 @@ object TextAnalysis {
         round(avg(log(col("cnt").cast("double") / total)), 6).as("logprob"))
   }
 
+  /** Bigram corpus-LM scoring — the step past [[unigramLogProb]] toward
+    * real perplexity filtering: each document's mean log P(w₂|w₁) under
+    * the corpus's own bigram model (P = pair count / prefix count, no
+    * smoothing needed because every scored bigram is by construction in
+    * the model). Low scores mark text whose WORD ORDER is improbable
+    * even when its vocabulary is fine — shuffled/garbled text that
+    * unigram scoring cannot see.
+    *
+    * Scale shape — fully distributed, and unlike the unigram pass there
+    * is NO driver-side dictionary at all: bigram extraction is a
+    * shuffle-free slice-zip projection (no self-join, no per-doc
+    * window); pair and prefix counts are two map-side-combined
+    * aggregates; scoring is two key-partitioned joins of corpus-gram ×
+    * gram-vocab frames. Everything is ∝ corpus grams, nothing is
+    * all-pairs, nothing lands on the driver.
+    */
+  def bigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = filter(tokens(col(textCol)), x => x =!= "")
+    val bg = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val pair = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cp"))
+    val pref = pair.groupBy("w1").agg(sum("cp").as("c1"))
+    bg.join(pair, Seq("w1", "w2")).join(pref, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("cp").cast("double") / col("c1"))), 6).as("logprob"))
+  }
+
   /** Okapi BM25 keyword retrieval (Robertson et al., TREC-3) — the lexical
     * half of hybrid search next to the engine's vector kNN. Scores every
     * document against a fixed bag of query terms with the standard

@@ -907,6 +907,13 @@ object Queries {
     graft.operators.TextAnalysis.ccnetBucketFromScores(
       unigramLogprob(s, dir), "doc_id")
 
+  /** Bigram corpus-LM scoring — word-order fluency, past the unigram's
+    * vocabulary-only view; no driver dictionary anywhere.
+    */
+  def bigramLogprob(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.bigramLogProb(
+      t(s, dir, "documents"), "doc_id", "text")
+
   /** Temperature-flattened (τ=0.7) half-corpus mixture sample over the
     * `source` column — deterministic coin flips, broadcast thresholds.
     */

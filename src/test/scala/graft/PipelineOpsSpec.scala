@@ -114,4 +114,29 @@ class PipelineOpsSpec extends SparkSpec {
     // the all-rare doc scores strictly below the common-token docs
     assert(out(2L)._2 < out(0L)._2 && out(2L)._2 < out(1L)._2)
   }
+
+  test("bigram logprob: word order matters - a shuffled doc scores below fluent twins") {
+    import spark.implicits._
+    // Same unigrams everywhere; doc 3 reorders so its first transition
+    // is the minority continuation of prefix 'the' - unigram-blind,
+    // bigram-visible. Pair counts: (the,cat)=3 (cat,sat)=3 (the,sat)=1
+    // (sat,cat)=1; prefixes: the->4, cat->3, sat->1.
+    val docs = Seq(
+      (0L, "the cat sat"),
+      (1L, "the cat sat"),
+      (2L, "the cat sat"),
+      (3L, "the sat cat"),
+      (4L, "x")                    // <2 tokens -> no bigram row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r6b(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(!out.contains(4L))
+    assert(out(0L) == out(1L) && out(1L) == out(2L))
+    // fluent: avg(ln(3/4), ln(3/3)); shuffled: avg(ln(1/4), ln(1/1))
+    assert(out(0L) == ((2L, r6b(math.log(3.0 / 4) / 2))))
+    assert(out(3L) == ((2L, r6b(math.log(1.0 / 4) / 2))))
+    assert(out(3L)._2 < out(0L)._2)
+  }
 }
