@@ -1,0 +1,57 @@
+package graft
+
+/** Physical-plan regression guards for the shapes PLANS.md documents —
+  * a plan that silently degrades (lost pushdown, surprise cartesian,
+  * corpus-sized single-partition window) fails here long before a bench
+  * or a 100× scale-up would surface it.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q6_filter_agg: all predicates pushed to the scan, pruned read schema") {
+    val p = plan("q6_filter_agg")
+    assert(p.contains("PushedFilters: ["), "no pushed filters at the scan")
+    assert(p.contains("l_shipdate"), "shipdate range must reach the scan")
+    assert(!p.contains("l_comment"), "read schema must prune unused columns")
+  }
+
+  test("no plan degenerates to a cartesian or broadcast nested loop") {
+    for (q <- Seq("bm25_topk", "hybrid_rrf", "semantic_dedup", "seq_pack",
+        "mixture_sample", "bigram_logprob", "sim_join_topk",
+        "range_join_count", "asof_join", "tfidf_topk", "dup_spans")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: nested-loop join")
+    }
+  }
+
+  test("bm25_topk: final top-k is TakeOrdered, not a global sort") {
+    val p = plan("bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must be TakeOrdered")
+  }
+
+  test("seq_pack: the cumulative window is per-partition, never global") {
+    val p = plan("seq_pack")
+    // a lost pid-partitioning shows up as an empty partition spec
+    // (windowspecdefinition() with no partition keys) feeding the sum
+    assert(!p.contains("windowspecdefinition(n_toks"),
+      "window must be partitioned by pid")
+    assert(p.contains("pid"), "partition-id column missing from the plan")
+  }
+
+  test("mixture_sample is a pure scan-speed projection (no joins, no shuffles)") {
+    val p = plan("mixture_sample")
+    assert(!p.contains("Join"), "mixture decisions must not join")
+    assert(!p.contains("Exchange"), "mixture decisions must not shuffle")
+  }
+
+  test("knn_flat: brute-force top-k is TakeOrdered over one scan") {
+    val p = plan("knn_flat")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Window"), "no window needed for a global top-k")
+  }
+}
