@@ -60,6 +60,7 @@ object SparkEntry {
     "seq_pack"           -> (Queries.seqPack _),
     "mixture_sample"     -> (Queries.mixtureSample _),
     "bigram_logprob"     -> (Queries.bigramLogprob _),
+    "csv_source"         -> (Queries.csvSourceRoundtrip _),
     "char_shingle_min"   -> (Queries.charShingleMin _),
     "multimodal_meta"    -> (Queries.multimodalMeta _),
     "multimodal_resize"  -> (Queries.multimodalResize _),
@@ -1140,6 +1141,14 @@ object SparkEntry {
         |  min(event_id) AS min_id, max(event_id) AS max_id,
         |  min(epoch_us(ts)) AS min_tus, max(epoch_us(ts)) AS max_tus
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "csv_source" ->
+      """SELECT source, count(*) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  round(avg(length(text)), 2) AS avg_len,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents GROUP BY source""".stripMargin,
 
     // Sliding rows-frame + running total per user (both frames share one
     // exchange + sort).

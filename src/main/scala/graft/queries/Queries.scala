@@ -1471,6 +1471,34 @@ object Queries {
         .localCheckpoint(eager = true)
     }
 
+  /** CSV source round-trip over the documents table — header, quoted
+    * fields, explicit schema (never inferSchema's discovery scan at
+    * scale). The aggregate hashes only if every field — free text
+    * included — survives the format: the oracle computes the same
+    * aggregate from the original parquet, so any quoting/escape
+    * corruption in either direction breaks `avg_len`/`sum_chars`.
+    */
+  def csvSourceRoundtrip(s: SparkSession, dir: String): DataFrame =
+    sharedFrame(s, dir, "csv_source") {
+      val d = t(s, dir, "documents")
+      val staged = java.nio.file.Files
+        .createTempDirectory("graft-csv-src").toString
+      d.select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite")
+        .option("header", "true").option("escape", "\"").csv(staged)
+      s.read
+        .option("header", "true").option("escape", "\"")
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .csv(staged)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          round(avg(length(col("text"))), 2).as("avg_len"),
+          countDistinct(col("lang")).as("n_langs"))
+        .localCheckpoint(eager = true)
+    }
+
   /** Native pivot (conditional-aggregation reshaping): per-user event
     * counts pivoted by type — `RelationalGroupedDataset.pivot` with an
     * EXPLICIT value list (never the value-discovery scan at scale);
