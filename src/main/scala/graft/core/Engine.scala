@@ -267,14 +267,52 @@ class Engine(val spark: SparkSession, val root: String) {
       case _ => ()
     }
     val doc = CatalogDoc.empty(name, vectorDimension)
-    Catalog.save(root, doc)
+    saveDoc(doc)
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
       .write.mode("overwrite").parquet(doc.dataPath(root))
     doc
   }
 
-  /** S2 — load db (mindb.py:554-572). */
+  /** S2 — load db (mindb.py:554-572). Always a fresh catalog read —
+    * every read-modify-write and staleness re-check uses this.
+    */
   def load(name: String): CatalogDoc = Catalog.load(root, name)
+
+  // ---- serving-doc cache ----------------------------------------------
+  //
+  // The routed query path's dominant overhead at the published-eval
+  // point is its catalog reads (routed p50 35 ms vs 20.6 ms on the raw
+  // prepared handle). The ENTRY load may be up to ServingDocTtlNanos
+  // stale: this driver's own mutations invalidate the cache inside the
+  // save (so same-driver reads stay exact — the reference's per-process
+  // cache gives the same guarantee, mindb.py:53-76), and a cross-driver
+  // swap inside the TTL is caught by the POST-JOB re-check, which is
+  // always fresh ("every result reflects a catalog state observed
+  // during the call" still holds). Cross-driver removes/adds inside the
+  // TTL window are served at ≤TTL-old visibility — the documented
+  // trade, same class as the adds-refresh debounce.
+  private val servingDocCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, CatalogDoc)]
+
+  private def loadForServing(name: String): CatalogDoc = {
+    val now = System.nanoTime()
+    servingDocCache.get(name) match {
+      case Some((t, doc)) if now - t < Engine.ServingDocTtlNanos => doc
+      case _ =>
+        val doc = load(name)
+        servingDocCache(name) = (System.nanoTime(), doc)
+        doc
+    }
+  }
+
+  /** Catalog write + serving-cache invalidation — every mutation that
+    * persists a doc goes through here so a same-driver read after a
+    * write is never stale.
+    */
+  private def saveDoc(doc: CatalogDoc): Unit = {
+    Catalog.save(root, doc)
+    servingDocCache.remove(doc.name)
+  }
 
   def exists(name: String): Boolean = Catalog.exists(root, name)
 
@@ -288,6 +326,7 @@ class Engine(val spark: SparkSession, val root: String) {
     dropModelBroadcasts(name, keepBelow = Int.MaxValue)
     autoPrepared.remove(name).foreach(_.close())
     Catalog.delete(root, name)
+    servingDocCache.remove(name)
     if (trainingStatus(name) != "in progress") trainOps.remove(name)
   }
 
@@ -384,7 +423,7 @@ class Engine(val spark: SparkSession, val root: String) {
     doc = doc.copy(maxId = base + added - 1,
       vectorDimension = d,
       numNewVectors = doc.numNewVectors + added)
-    Catalog.save(root, doc)
+    saveDoc(doc)
     // a steady trickle of post-train adds must not degrade the pruned
     // scan into a small-file storm — bin-pack when the file count crosses
     // the per-cluster threshold
@@ -453,7 +492,7 @@ class Engine(val spark: SparkSession, val root: String) {
       numPendingDeletes = doc.numPendingDeletes + present.length,
       numTrainedVectorsRemoved = doc.numTrainedVectorsRemoved + removedTrained,
       numNewVectors = doc.numNewVectors - removedNew)
-    Catalog.save(root, doc)
+    saveDoc(doc)
 
     val physicalRows = doc.maxId + 1 // upper bound incl. already-deleted
     if (physicalRows > 0 &&
@@ -534,7 +573,7 @@ class Engine(val spark: SparkSession, val root: String) {
     }
 
     doc = doc.copy(dataVersion = newVersion, numPendingDeletes = 0L)
-    Catalog.save(root, doc) // atomic swap; old deletes dir is now unreferenced
+    saveDoc(doc) // atomic swap; old deletes dir is now unreferenced
     markSuperseded((Seq(old.dataPath(root), deletesPath(old)) ++
       unreferencedIndexDirs): _*)
     doc
@@ -568,7 +607,11 @@ class Engine(val spark: SparkSession, val root: String) {
     */
   def query(name: String, q: Array[Float], preliminaryTopK: Int = 500,
             finalTopK: Int = 100, predicate: Option[Column] = None): DataFrame = {
-    val doc = load(name)
+    // ≤TTL-stale entry read (same-driver mutations invalidate, the
+    // post-job re-check inside the handle is always fresh — see the
+    // serving-doc cache note above); the Catalyst path below re-loads
+    // fresh itself
+    val doc = loadForServing(name)
     // AUTO-ROUTING (VERDICT r11 ask #3): a predicate-free single query on
     // a TRAINED db serves through a warm engine-owned [[PreparedIndex]] —
     // one job over pinned blocks instead of a fresh Catalyst plan whose
@@ -1221,7 +1264,7 @@ class Engine(val spark: SparkSession, val root: String) {
         numVectorsTrainedOn = n,
         numTrainedVectorsRemoved = n - liveTrained,
         numNewVectors = liveNew)
-      Catalog.save(root, cur)
+      saveDoc(cur)
       markSuperseded(oldIndexPaths: _*)
       (cur, true, snapshotMaxId, reconcileTo)
     }
@@ -1405,7 +1448,7 @@ class Engine(val spark: SparkSession, val root: String) {
          math.max(1, doc.numClusters), doc.codedBucketShift)).toSet +
          doc.indexVersion)
       ).toSeq.sorted.map(v => s"$root/$name/index/v$v")
-    Catalog.save(root, doc.copy(indexVersion = newVersion, codedOwners = ""))
+    saveDoc(doc.copy(indexVersion = newVersion, codedOwners = ""))
     markSuperseded(oldPaths: _*)
     log.info(s"coded-table compaction: '$name' index v${doc.indexVersion} → " +
       s"v$newVersion ($files files exceeded ${Engine.CodedFilesPerCluster}×$units)")
@@ -1743,6 +1786,13 @@ object Engine {
     * refresh on every drift.
     */
   val PreparedAddsRefreshIntervalMs: Long = 100L
+
+  /** TTL for the routed-query serving-doc cache: entry catalog reads may
+    * be this stale for CROSS-driver mutations only (same-driver writes
+    * invalidate; version moves are re-checked fresh after the serving
+    * job either way).
+    */
+  val ServingDocTtlNanos: Long = 100L * 1000 * 1000
 
   /** Per-db outcome of one [[Engine.maintenanceSweep]] pass. */
   final case class SweepResult(db: String, trained: Boolean,

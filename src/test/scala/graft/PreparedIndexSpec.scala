@@ -230,6 +230,21 @@ class PreparedIndexSpec extends SparkSpec {
     assert(after == regular(probe))
   }
 
+  test("serving-doc cache: a same-driver remove is visible to the very next routed query") {
+    // the entry doc read may be TTL-stale for cross-driver writes, but a
+    // write through THIS engine invalidates — remove then query
+    // back-to-back (far inside the 100 ms TTL) must not serve the victim
+    val victims = engine.query("pdb", queries(2), PrelimK, FinalK)
+      .collect().map(_.getLong(1)).take(2)
+    engine.remove("pdb", victims)
+    val after = engine.query("pdb", queries(2), PrelimK, FinalK)
+      .collect().map(_.getLong(1))
+    assert(victims.forall(v => !after.contains(v)),
+      "removed ids served from a stale cached doc")
+    assert(after.toSeq == engine.queryCatalyst("pdb", queries(2), PrelimK, FinalK)
+      .collect().map(_.getLong(1)).toSeq, "routed/catalyst divergence after remove")
+  }
+
   test("closed handle refuses queries") {
     prep.close()
     intercept[IllegalArgumentException] { prep.query(queries(0), PrelimK, FinalK) }
