@@ -61,6 +61,7 @@ object SparkEntry {
     "mixture_sample"     -> (Queries.mixtureSample _),
     "bigram_logprob"     -> (Queries.bigramLogprob _),
     "csv_source"         -> (Queries.csvSourceRoundtrip _),
+    "funnel_steps"       -> (Queries.funnelSteps _),
     "char_shingle_min"   -> (Queries.charShingleMin _),
     "multimodal_meta"    -> (Queries.multimodalMeta _),
     "multimodal_resize"  -> (Queries.multimodalResize _),
@@ -1149,6 +1150,29 @@ object SparkEntry {
         |  round(avg(length(text)), 2) AS avg_len,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM documents GROUP BY source""".stripMargin,
+
+    "funnel_steps" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type AS et, epoch_us(ts) AS tus FROM events),
+        |t1 AS (
+        |  SELECT user_id, min(tus) AS s1_us FROM ev WHERE et = 'view'
+        |  GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.tus) AS s2_us
+        |  FROM ev e JOIN t1 USING (user_id)
+        |  WHERE e.et = 'click' AND e.tus > t1.s1_us GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.tus) AS s3_us
+        |  FROM ev e JOIN t2 USING (user_id)
+        |  WHERE e.et = 'purchase' AND e.tus > t2.s2_us GROUP BY 1)
+        |SELECT u.user_id, t1.s1_us, t2.s2_us, t3.s3_us,
+        |  CASE WHEN t3.s3_us IS NOT NULL THEN 3
+        |       WHEN t2.s2_us IS NOT NULL THEN 2
+        |       WHEN t1.s1_us IS NOT NULL THEN 1 ELSE 0 END AS steps_completed
+        |FROM (SELECT DISTINCT user_id FROM ev) u
+        |LEFT JOIN t1 USING (user_id)
+        |LEFT JOIN t2 USING (user_id)
+        |LEFT JOIN t3 USING (user_id)""".stripMargin,
 
     // Sliding rows-frame + running total per user (both frames share one
     // exchange + sort).

@@ -1266,6 +1266,41 @@ object Queries {
     case _ => unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
   }
 
+  /** Ordered-step funnel analysis (view → click → purchase): per user,
+    * the earliest time each step completes STRICTLY AFTER the previous
+    * step's completion — min-time chaining, the standard funnel
+    * semantics (a purchase before the first qualifying click does not
+    * convert). Every user appears, with `steps_completed` 0-3 and the
+    * per-step completion timestamps.
+    *
+    * Scale shape: three key-partitioned conditional min-aggregates
+    * chained by equi-joins on the user key plus the final left-join
+    * assembly — every stage is user-keyed (AQE coalesces the shared
+    * partitioning), nothing collects per-user event lists, nothing is
+    * ordered globally. Step k's input is pre-filtered to that step's
+    * event type, so each chain stage scans only its own step's rows.
+    */
+  def funnelSteps(s: SparkSession, dir: String): DataFrame = {
+    val ev0 = t(s, dir, "events")
+    val ev = ev0.select(col("user_id"), col("event_type").as("et"),
+      tsUs(ev0).as("tus"))
+    val t1 = ev.filter(col("et") === "view")
+      .groupBy("user_id").agg(min("tus").as("s1_us"))
+    val t2 = ev.filter(col("et") === "click").join(t1, "user_id")
+      .filter(col("tus") > col("s1_us"))
+      .groupBy("user_id").agg(min("tus").as("s2_us"))
+    val t3 = ev.filter(col("et") === "purchase").join(t2, "user_id")
+      .filter(col("tus") > col("s2_us"))
+      .groupBy("user_id").agg(min("tus").as("s3_us"))
+    ev.select("user_id").distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(col("user_id"), col("s1_us"), col("s2_us"), col("s3_us"),
+        when(col("s3_us").isNotNull, 3).when(col("s2_us").isNotNull, 2)
+          .when(col("s1_us").isNotNull, 1).otherwise(0).as("steps_completed"))
+  }
+
   /** Gap-based sessionization ([[graft.operators.Sessionize]]) with the
     * classic 30-minute-idle rule, rolled up to per-session analytics —
     * one shuffle on user_id for the numbering, whose partitioning the

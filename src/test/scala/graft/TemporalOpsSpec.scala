@@ -206,4 +206,28 @@ class TemporalOpsSpec extends SparkSpec {
   private implicit class SeqToMap2[A, B, C](s: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = s.map(x => x._1 -> ((x._2, x._3))).toMap
   }
+
+  test("funnel: strict ordering — steps only count after the previous step's min time") {
+    val dir = tmpDir("graft-funnel")
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    Seq(
+      (1L, "view", ts(10000000L)), (1L, "click", ts(20000000L)), (1L, "purchase", ts(30000000L)),
+      (2L, "click", ts(5000000L)), (2L, "view", ts(10000000L)),      // click BEFORE view: no conversion
+      (3L, "view", ts(10000000L)), (3L, "purchase", ts(15000000L)),  // purchase before click: not counted
+      (3L, "click", ts(20000000L)),
+      (4L, "error", ts(10000000L)),                                  // never enters the funnel
+      (5L, "view", ts(10000000L)), (5L, "click", ts(10000000L))      // same instant: strict > excludes
+    ).toDF("user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.Queries.funnelSteps(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(4),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out(1L) == ((3, 10000000L, 20000000L, 30000000L)))
+    assert(out(2L) == ((1, 10000000L, -1L, -1L)), "pre-view click must not convert")
+    assert(out(3L) == ((2, 10000000L, 20000000L, -1L)), "pre-click purchase must not convert")
+    assert(out(4L) == ((0, -1L, -1L, -1L)))
+    assert(out(5L) == ((1, 10000000L, -1L, -1L)), "same-instant step is not strictly after")
+  }
 }
