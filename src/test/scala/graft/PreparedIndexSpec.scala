@@ -245,6 +245,30 @@ class PreparedIndexSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq, "routed/catalyst divergence after remove")
   }
 
+  test("cross-driver swap inside the entry-cache TTL is caught by the fresh post-job re-check") {
+    // a SECOND Engine on the same root (a different driver as far as the
+    // serving-doc cache is concerned — its saves do NOT invalidate this
+    // engine's cache) retrains between two routed queries issued
+    // back-to-back well inside the 100 ms TTL: the first query primes the
+    // stale entry doc, the second must still serve the fixed truth —
+    // rerouted through fallback by the always-fresh post-job check, never
+    // from the superseded pinned blocks
+    val other = new graft.core.Engine(spark, engine.root)
+    val probe = queries(3)
+    val truth = regular(probe)
+    (1 to 3).foreach { _ =>
+      val warm = engine.query("pdb", probe, PrelimK, FinalK).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
+      assert(warm == truth)
+      other.train("pdb", kmeansIters = 3, seed = Seed + 2, minTrainRows = 1)
+      // immediately (well inside the TTL) — the entry doc is stale here
+      val after = engine.query("pdb", probe, PrelimK, FinalK).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
+      assert(after == truth,
+        "routed query served superseded blocks across a cross-driver swap")
+    }
+  }
+
   test("closed handle refuses queries") {
     prep.close()
     intercept[IllegalArgumentException] { prep.query(queries(0), PrelimK, FinalK) }
