@@ -639,6 +639,25 @@ class Engine(val spark: SparkSession, val root: String) {
     queryCatalyst(name, q, preliminaryTopK, finalTopK, predicate)
   }
 
+  /** [[query]] without the DataFrame: the driver-local hits, straight
+    * from the routed serving path — for latency-floor callers, who
+    * otherwise pay ~15 ms of LocalRelation analysis per call just to
+    * collect a k-row frame. Same routing, same staleness handling, same
+    * results (the fallback paths collect the equivalent plan); the
+    * DataFrame form remains [[query]] for everything relational.
+    */
+  def queryHits(name: String, q: Array[Float], preliminaryTopK: Int = 500,
+                finalTopK: Int = 100): Array[PreparedIndex.Hit] = {
+    val doc = loadForServing(name)
+    if (autoRoutePrepared && doc.isTrained) {
+      try return autoPreparedFor(doc).queryWith(doc, q, preliminaryTopK, finalTopK)
+      catch { case _: IllegalArgumentException => () }
+    }
+    queryCatalyst(name, q, preliminaryTopK, finalTopK).collect().map { r =>
+      PreparedIndex.Hit(r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3))
+    }
+  }
+
   /** [[query]] pinned to the regular Catalyst plan (no prepared routing):
     * the ground-truth path specs and evals compare the routed/prepared
     * forms against, and the shape for callers that want a lazy plan to

@@ -269,6 +269,22 @@ class PreparedIndexSpec extends SparkSpec {
     }
   }
 
+  test("queryHits equals the DataFrame query, with and without a trained index") {
+    val probe = queries(4)
+    val viaDf = engine.query("pdb", probe, PrelimK, FinalK).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
+    val viaHits = engine.queryHits("pdb", probe, PrelimK, FinalK)
+      .map(h => (h.rank, h.id, h.metadata, h.cosineSimilarity)).toSeq
+    assert(viaHits == viaDf)
+    // routing off → the collect-the-plan fallback must agree too
+    engine.autoRoutePrepared = false
+    try {
+      val viaPlan = engine.queryHits("pdb", probe, PrelimK, FinalK)
+        .map(h => (h.rank, h.id, h.metadata, h.cosineSimilarity)).toSeq
+      assert(viaPlan == viaDf)
+    } finally engine.autoRoutePrepared = true
+  }
+
   test("closed handle refuses queries") {
     prep.close()
     intercept[IllegalArgumentException] { prep.query(queries(0), PrelimK, FinalK) }
