@@ -95,6 +95,14 @@ object Eval {
       (System.nanoTime() - q0) / 1e6
     }.sorted
 
+    // the hits form of the routed path (no per-call DataFrame analysis)
+    engine.queryHits("eval", queries(0), prelimK, finalK) // warm
+    val hitsLat = queries.map { q =>
+      val t = System.nanoTime()
+      engine.queryHits("eval", q, prelimK, finalK)
+      (System.nanoTime() - t) / 1e6
+    }.sorted
+
     // batched form: all queries in one pipeline
     import spark.implicits._
     val qdf = queries.zipWithIndex.map { case (q, i) => (i.toLong, q.toSeq) }
@@ -147,6 +155,7 @@ object Eval {
         s""""query_ms_p50":${"%.0f".format(latencies(nQ / 2))},""" +
         s""""query_ms_p95":${"%.0f".format(latencies((nQ * 95) / 100))},""" +
         s""""catalyst_query_ms_p50":${"%.0f".format(catalystLat(nQ / 2))},""" +
+        s""""hits_query_ms_p50":${"%.1f".format(hitsLat(nQ / 2))},""" +
         s""""batch_total_sec":${"%.2f".format(batchSec)},""" +
         s""""batch_per_query_ms":${"%.0f".format(batchSec * 1000 / nQ)},""" +
         s""""batch_rows":$batchRows,""" +
