@@ -902,8 +902,9 @@ object SparkEntry {
     // pow difference can't flip a membership; the fixed source-order
     // list fold matches the driver's foldLeft.
     "mixture_sample" ->
-      """WITH cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
-        |tot AS (SELECT count(*) AS n FROM documents),
+      """WITH cnt AS (SELECT source, count(*) AS c FROM documents
+        |            WHERE source IS NOT NULL GROUP BY source),
+        |tot AS (SELECT count(*) AS n FROM documents WHERE source IS NOT NULL),
         |pw AS (SELECT source, c, pow(CAST(c AS DOUBLE), 0.7) AS p FROM cnt),
         |tp AS (SELECT list_sum(list(p ORDER BY source)) AS tp FROM pw),
         |rt AS (

@@ -27,7 +27,8 @@ object MixtureSample {
   def mixtureSample(docs: DataFrame, idCol: String, srcCol: String,
                     temperature: Double = 0.7,
                     frac: Double = 0.5): DataFrame = {
-    val counts = docs.groupBy(col(srcCol)).count().collect()
+    val counts = docs.filter(col(srcCol).isNotNull)
+      .groupBy(col(srcCol)).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     require(counts.nonEmpty, "mixtureSample: empty corpus")
     val n = counts.map(_._2).sum
@@ -44,8 +45,11 @@ object MixtureSample {
     val thr = rate9.map { case (s, r) => s -> math.floor(r * 4294967296.0).toLong }
     val u = conv(substring(md5(concat(lit("mix-"), col(idCol).cast("string"))), 1, 8),
       16, 10).cast("long")
-    docs.select(col(idCol), col(srcCol),
-      round(element_at(typedLit(rate9), col(srcCol)), 6).as("rate"),
-      (u < element_at(typedLit(thr), col(srcCol))).as("kept"))
+    // a null source has no rate — dropped, matching the oracle's inner
+    // join on source (a real pipeline routes unattributed docs upstream)
+    docs.filter(col(srcCol).isNotNull)
+      .select(col(idCol), col(srcCol),
+        round(element_at(typedLit(rate9), col(srcCol)), 6).as("rate"),
+        (u < element_at(typedLit(thr), col(srcCol))).as("kept"))
   }
 }
