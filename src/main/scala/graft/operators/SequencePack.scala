@@ -31,6 +31,12 @@ object SequencePack {
   /** `tokenCol`: per-row token count expression (long). Output:
     * (id, n_toks, seq_id, seq_offset, seqs_spanned), ordered however the
     * consumer sorts it — seq ids are assigned by ascending `idCol`.
+    *
+    * `idCol` must be UNIQUE: it is the total order the concatenation is
+    * defined over, and two rows sharing an id would get an arbitrary
+    * relative placement (the within-partition window breaks the tie
+    * nondeterministically). The engine's id assignment guarantees this
+    * for its own tables; external frames dedupe first.
     */
   def pack(docs: DataFrame, idCol: String, tokenCol: Column,
            seqLen: Long): DataFrame = {
