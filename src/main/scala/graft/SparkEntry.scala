@@ -72,6 +72,7 @@ object SparkEntry {
     "trained_knn"        -> (Queries.trainedKnn _),
     "prepared_knn"       -> (Queries.preparedKnn _),
     "knn_filtered_trained" -> (Queries.knnFilteredTrained _),
+    "knn_filtered_routed" -> (Queries.knnFilteredRouted _),
     "dataset_split"      -> (Queries.datasetSplit _),
     "contamination"      -> (Queries.contamination _),
     "repetition_score"   -> (Queries.repetitionScore _),

@@ -107,10 +107,71 @@ class Engine(val spark: SparkSession, val root: String) {
           autoPrepared.remove(doc.name).foreach(_.close())
           val p = prepareServing(doc.name)
           autoPrepared(doc.name) = p
+          // publish-then-recheck against a concurrent delete(): the drop
+          // removes the catalog BEFORE sweeping autoPrepared, so if the
+          // db vanished our just-published handle may have missed the
+          // sweep — close it here instead of leaking its pinned blocks
+          // until the engine dies. (A drop+recreate leaves a stale-but-
+          // bounded handle: the next query's isStaleFor(createdAt)
+          // rebuild closes it.)
+          if (!exists(doc.name)) {
+            autoPrepared.remove(doc.name, p)
+            p.close()
+            throw new IllegalArgumentException(
+              s"database '${doc.name}' was dropped during prepare")
+          }
           p
         }
       }
     }
+
+  /** Compile a metadata predicate Column into a directly-evaluable
+    * `(id, metadata) => Boolean` — the routed filtered path's replacement
+    * for per-query Catalyst planning. The predicate is ANALYZED once
+    * against the two-column candidate schema (same resolution + implicit
+    * casts a real filter would get), bound, and then evaluated row-wise
+    * over the in-memory preliminary candidates. Catalyst filter
+    * semantics are preserved exactly: a row survives only when the
+    * condition evaluates to TRUE (NULL and FALSE both drop it).
+    *
+    * `None` when the predicate doesn't resolve against (id, metadata) —
+    * e.g. it references `vector` — in which case the caller serves
+    * through the Catalyst path, where the full candidate schema is in
+    * scope.
+    */
+  private[core] def compileMetaPredicate(
+      pred: Column): Option[(Long, String) => Boolean] = {
+    import org.apache.spark.sql.catalyst.expressions.{BindReferences, Nondeterministic}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    try {
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("metadata", StringType, nullable = true))))
+      val analyzed = empty.filter(pred).queryExecution.analyzed
+      analyzed.collectFirst { case f: LFilter => (f.condition, f.child.output) }
+        .map { case (cond, out) =>
+          val bound = BindReferences.bindReference(cond, out)
+          bound.foreach {
+            case n: Nondeterministic => n.initialize(0)
+            case _ => ()
+          }
+          (id: Long, meta: String) => {
+            // fresh row per call: eval is re-entrant but the backing row
+            // must not be shared across concurrent queries
+            val row = new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(Array[Any](id,
+                if (meta == null) null
+                else org.apache.spark.unsafe.types.UTF8String.fromString(meta)))
+            bound.eval(row) == true
+          }
+        }
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+      case _: org.apache.spark.SparkException => None
+    }
+  }
 
   private def hitsDf(hits: Array[PreparedIndex.Hit]): DataFrame =
     spark.createDataFrame(
@@ -324,8 +385,15 @@ class Engine(val spark: SparkSession, val root: String) {
   def delete(name: String): Unit = dbLock(name).synchronized {
     indexCache.removeIf { case (n, _) => n == name }
     dropModelBroadcasts(name, keepBelow = Int.MaxValue)
-    autoPrepared.remove(name).foreach(_.close())
+    // catalog delete BEFORE the handle sweep: a prepare racing this drop
+    // publishes its handle then re-checks existence (autoPreparedFor), so
+    // with the catalog already gone its re-check always closes the handle
+    // — in the other order a handle published between our sweep and the
+    // catalog delete would pass its existence check and leak its pinned
+    // blocks until the engine died
     Catalog.delete(root, name)
+    autoPrepared.remove(name).foreach(_.close())
+    prepareLocks.remove(name)
     servingDocCache.remove(name)
     if (trainingStatus(name) != "in progress") trainOps.remove(name)
   }
@@ -596,6 +664,20 @@ class Engine(val spark: SparkSession, val root: String) {
     * scan — a selective predicate never silently returns fewer rows than
     * the data could supply.
     *
+    * VISIBILITY (routed trained path): results are bit-identical to the
+    * Catalyst plan over the catalog state the call observed, but that
+    * state may lag same-engine mutations by ≤ the adds-refresh debounce
+    * window ([[Engine.PreparedAddsRefreshIntervalMs]], 100 ms: adds
+    * committed inside the window can be invisible) and cross-driver
+    * mutations by ≤ the serving-doc TTL ([[Engine.ServingDocTtlNanos]]:
+    * adds AND removes from another driver inside the TTL can be served
+    * stale — the post-job re-check catches version moves, not pending-
+    * delete drift). The reference folds appends synchronously, so its
+    * reads are read-your-writes; callers needing that on this engine set
+    * `autoRoutePrepared = false` (or use [[queryCatalyst]]) — or
+    * `prepareServing(name, addsRefreshIntervalMs = 0)` for a handle that
+    * refreshes on every drift.
+    *
     * EXECUTION CONTRACT: on a trained db this method is EAGER — the
     * coarse ADC stage runs (a Spark job) at CALL time, and the returned
     * DataFrame holds only the candidate-fetch + rerank plan over its
@@ -612,28 +694,46 @@ class Engine(val spark: SparkSession, val root: String) {
     // serving-doc cache note above); the Catalyst path below re-loads
     // fresh itself
     val doc = loadForServing(name)
-    // AUTO-ROUTING (VERDICT r11 ask #3): a predicate-free single query on
-    // a TRAINED db serves through a warm engine-owned [[PreparedIndex]] —
-    // one job over pinned blocks instead of a fresh Catalyst plan whose
-    // analysis of the chunked probe-union dominated p50 at the 35M
-    // geometry (EVAL_r10 scale_run_35m: 944 ms of 1,045 ms was planning).
-    // Results are bit-identical (PreparedIndexSpec; the prepared_knn
-    // DuckDB replay). First routed query per (db, version) pays the
-    // block build; staleness falls back inside the handle, and the
-    // handle is rebuilt here once the catalog doc shows a moved version.
-    // `autoRoutePrepared = false` (or [[queryCatalyst]]) restores the
-    // pure-plan path.
-    if (autoRoutePrepared && doc.isTrained && predicate.isEmpty) {
-      try {
-        val p = autoPreparedFor(doc)
-        return hitsDf(p.queryWith(doc, q, preliminaryTopK, finalTopK))
-      } catch {
-        // a concurrent close (cache eviction / drop) can void the handle
-        // mid-call — the plan path serves the same observed state. This
-        // also covers validation failures: queryCatalyst re-runs the
-        // identical require()s, so a genuine bad query surfaces the same
-        // error from the plan path instead of racing the handle check.
-        case _: IllegalArgumentException => ()
+    // AUTO-ROUTING (VERDICT r11 ask #3, extended to predicates in r13): a
+    // single query on a TRAINED db serves through a warm engine-owned
+    // [[PreparedIndex]] — one job over pinned blocks instead of a fresh
+    // Catalyst plan whose analysis of the chunked probe-union dominated
+    // p50 at the 35M geometry (EVAL_r10 scale_run_35m: 944 ms of
+    // 1,045 ms was planning). A metadata predicate is compiled ONCE
+    // against the (id, metadata) schema and evaluated against the
+    // preliminary candidates inside the fused job, with the identical
+    // under-fill widening guard — so the filtered form shares the routed
+    // floor instead of paying the planning floor (EVAL_r12
+    // catalyst_query_ms_p50 1.05-1.53 s at 35M/100M). Results are
+    // bit-identical (PreparedIndexSpec; the prepared_knn /
+    // knn_filtered_trained DuckDB replays). First routed query per
+    // (db, version) pays the block build; staleness falls back inside
+    // the handle, and the handle is rebuilt here once the catalog doc
+    // shows a moved version. `autoRoutePrepared = false` (or
+    // [[queryCatalyst]]) restores the pure-plan path.
+    if (autoRoutePrepared && doc.isTrained) {
+      // catch IllegalArgumentException on all routed branches: a
+      // concurrent close (cache eviction / drop) can void the handle
+      // mid-call — the plan path serves the same observed state. This
+      // also covers validation failures: queryCatalyst re-runs the
+      // identical require()s, so a genuine bad query surfaces the same
+      // error from the plan path instead of racing the handle check.
+      predicate match {
+        case None =>
+          try {
+            val p = autoPreparedFor(doc)
+            return hitsDf(p.queryWith(doc, q, preliminaryTopK, finalTopK))
+          } catch { case _: IllegalArgumentException => () }
+        case Some(pred) =>
+          compileMetaPredicate(pred) match {
+            case Some(evalP) =>
+              try {
+                val p = autoPreparedFor(doc)
+                return hitsDf(p.queryFilteredWith(doc, q, preliminaryTopK,
+                  finalTopK, pred, evalP))
+              } catch { case _: IllegalArgumentException => () }
+            case None => () // predicate needs the full candidate schema
+          }
       }
     }
     queryCatalyst(name, q, preliminaryTopK, finalTopK, predicate)
@@ -645,15 +745,26 @@ class Engine(val spark: SparkSession, val root: String) {
     * collect a k-row frame. Same routing, same staleness handling, same
     * results (the fallback paths collect the equivalent plan); the
     * DataFrame form remains [[query]] for everything relational.
+    * The routed visibility window ([[query]]'s doc) applies here too.
     */
   def queryHits(name: String, q: Array[Float], preliminaryTopK: Int = 500,
-                finalTopK: Int = 100): Array[PreparedIndex.Hit] = {
+                finalTopK: Int = 100,
+                predicate: Option[Column] = None): Array[PreparedIndex.Hit] = {
     val doc = loadForServing(name)
     if (autoRoutePrepared && doc.isTrained) {
-      try return autoPreparedFor(doc).queryWith(doc, q, preliminaryTopK, finalTopK)
-      catch { case _: IllegalArgumentException => () }
+      predicate match {
+        case None =>
+          try return autoPreparedFor(doc).queryWith(doc, q, preliminaryTopK, finalTopK)
+          catch { case _: IllegalArgumentException => () }
+        case Some(pred) =>
+          compileMetaPredicate(pred).foreach { evalP =>
+            try return autoPreparedFor(doc).queryFilteredWith(doc, q,
+              preliminaryTopK, finalTopK, pred, evalP)
+            catch { case _: IllegalArgumentException => () }
+          }
+      }
     }
-    queryCatalyst(name, q, preliminaryTopK, finalTopK).collect().map { r =>
+    queryCatalyst(name, q, preliminaryTopK, finalTopK, predicate).collect().map { r =>
       PreparedIndex.Hit(r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3))
     }
   }
@@ -741,7 +852,16 @@ class Engine(val spark: SparkSession, val root: String) {
         }
       }
 
-    // Q5/Q6 — exact rerank by dot-product cosine (normalized vectors)
+    rerankFrame(candidates, qn, finalTopK)
+  }
+
+  /** Q5/Q6 — exact rerank by dot-product cosine (normalized vectors):
+    * the shared tail of every single-query plan path, so the prepared
+    * path's flat fallback produces the IDENTICAL frame the Catalyst
+    * path's terminal under-fill branch does.
+    */
+  private def rerankFrame(candidates: DataFrame, qn: Array[Float],
+                          finalTopK: Int): DataFrame = {
     val qLit = typedLit(qn.toSeq)
     val scored = candidates
       .select(col("id"), col("metadata"), dot(col("vector"), qLit).as("cosine_similarity"))
@@ -750,6 +870,22 @@ class Engine(val spark: SparkSession, val root: String) {
     scored.withColumn("rank",
       row_number().over(Window.orderBy(col("cosine_similarity").desc, col("id"))))
       .select("rank", "id", "metadata", "cosine_similarity")
+  }
+
+  /** The exact flat filtered scan — the terminal branch of the trained
+    * predicate path's under-fill guard, callable directly by the
+    * prepared filtered path once ITS widening has under-filled (so it
+    * serves the same frame without re-running the coarse rounds the
+    * handle already ran in-memory). Fresh catalog load: the fallback
+    * must see deletes committed after the handle's entry doc.
+    */
+  private[core] def queryFlatFiltered(name: String, q: Array[Float],
+                                      finalTopK: Int,
+                                      predicate: Option[Column]): DataFrame = {
+    val doc = load(name)
+    val qn = normalizeLocal(q)
+    val table = snapshot(doc)
+    rerankFrame(predicate.fold(table)(table.filter), qn, finalTopK)
   }
 
   /** Batched exact query for throughput (the Spark-side win): many query

@@ -130,11 +130,114 @@ final class PreparedIndex private[core] (
     require(!closed, s"prepared index for '${pinned.name}' is closed")
     require(cur.vectorDimension <= 0 || q.length == cur.vectorDimension,
       s"query dim ${q.length} != ${cur.vectorDimension}")
-    if (cur.indexVersion != pinned.indexVersion ||
-        cur.dataVersion != pinned.dataVersion ||
-        cur.createdAt != pinned.createdAt || addsOverflowed)
-      return fallback(q, preliminaryTopK, finalTopK)
+    refreshForServe(cur) match {
+      case None => fallback(q, preliminaryTopK, finalTopK)
+      case Some((bcDeleted, side)) =>
+        val qn = normalize(q)
+        val qp = model.pca.applyLocal(qn)
+        val probes = model.nearestClusters(qp, cur.nProbe)
+        val merged = PreparedANN.rerankCut(
+          probePrelim(probes, qp, qn, preliminaryTopK, bcDeleted, side),
+          finalTopK)
+        // VERDICT r11 ask #8: a train/compact swap landing between the
+        // entry catalog load and the serving job would have served one
+        // query from the superseded pinned blocks — re-check and reroute
+        // through fallback instead (the post-load is ~a small-file read;
+        // the reference holds a lock over the same window,
+        // mindb.py:395-417)
+        if (versionMoved(engine.load(pinned.name)))
+          fallback(q, preliminaryTopK, finalTopK)
+        else rank(merged)
+    }
+  }
 
+  /** The filtered twin of [[queryWith]]: Q1-Q9 with the metadata
+    * predicate evaluated against the preliminary candidates INSIDE the
+    * fused serving path — the same point the Catalyst plan filters the
+    * hydrated candidate frame — with the identical under-fill guard
+    * (selectivity-estimated widening, then the exact flat scan). `evalP`
+    * is the predicate compiled once against the (id, metadata) schema
+    * ([[Engine.compileMetaPredicate]]); `predCol` is the original Column
+    * for the fallback paths. Returns exactly what
+    * `Engine.queryCatalyst(name, q, prelimK, finalK, Some(predCol))`
+    * returns for the same observed catalog state (PreparedIndexSpec
+    * asserts bit-equality on all three branches: filled, widened,
+    * flat-fallback).
+    */
+  private[core] def queryFilteredWith(cur: CatalogDoc, q: Array[Float],
+                                      preliminaryTopK: Int, finalTopK: Int,
+                                      predCol: org.apache.spark.sql.Column,
+                                      evalP: (Long, String) => Boolean): Array[Hit] = {
+    require(!closed, s"prepared index for '${pinned.name}' is closed")
+    require(cur.vectorDimension <= 0 || q.length == cur.vectorDimension,
+      s"query dim ${q.length} != ${cur.vectorDimension}")
+    refreshForServe(cur) match {
+      case None => fallbackFiltered(q, preliminaryTopK, finalTopK, predCol)
+      case Some((bcDeleted, side)) =>
+        val qn = normalize(q)
+        val qp = model.pca.applyLocal(qn)
+        val probes = model.nearestClusters(qp, cur.nProbe)
+        def round(k: Int): Array[Cand] =
+          probePrelim(probes, qp, qn, k, bcDeleted, side)
+            .filter(c => evalP(c.id, c.meta))
+        // Under-fill guard — the exact arithmetic of the Catalyst path
+        // (Engine.queryCatalyst): estimated selectivity from the first
+        // round, ×2 safety, bounded; past the cap (or when the widened
+        // ask covers every id ever assigned) the exact flat scan is the
+        // better plan.
+        val first = round(preliminaryTopK)
+        val chosen: Option[Array[Cand]] =
+          if (first.length >= finalTopK) Some(first)
+          else {
+            val sel = math.max(first.length, 1L).toDouble / preliminaryTopK
+            val widened = math.max(preliminaryTopK * 2L,
+                math.ceil(finalTopK / sel * 2.0).toLong)
+              .min(Engine.MaxWidenedPreliminaryK).toInt
+            if (widened >= cur.maxId + 1) None
+            else {
+              val retry = round(widened)
+              if (retry.length >= finalTopK) Some(retry) else None
+            }
+          }
+        // post-job re-check (same contract as the unfiltered path): a
+        // swap landing during ANY serving job reroutes through the plan
+        // path instead of serving the superseded blocks
+        if (versionMoved(engine.load(pinned.name)))
+          fallbackFiltered(q, preliminaryTopK, finalTopK, predCol)
+        else chosen match {
+          case Some(cands) => rank(PreparedANN.rerankCut(cands, finalTopK))
+          case None => // exact flat fallback, the Catalyst terminal branch
+            collectHits(engine.queryFlatFiltered(
+              pinned.name, q, finalTopK, Some(predCol)))
+        }
+    }
+  }
+
+  // ---- shared serving machinery --------------------------------------
+
+  private def versionMoved(d: CatalogDoc): Boolean =
+    d.indexVersion != pinned.indexVersion ||
+      d.dataVersion != pinned.dataVersion ||
+      d.createdAt != pinned.createdAt
+
+  private def rank(cands: Array[Cand]): Array[Hit] =
+    cands.zipWithIndex.map { case (c, i) => Hit(i + 1, c.id, c.meta, c.sim) }
+
+  private def normalize(q: Array[Float]): Array[Float] = {
+    var s = 0.0; var i = 0
+    while (i < q.length) { s += q(i).toDouble * q(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0) q else q.map(x => (x / n).toFloat)
+  }
+
+  /** Staleness checks + delete/adds snapshot refresh shared by the
+    * filtered and unfiltered serving paths. `None` = the pinned blocks
+    * can't serve this state (version moved / side buffer overflowed) —
+    * fall back to the plan path; `Some((bcDeleted, side))` = serve.
+    */
+  private def refreshForServe(cur: CatalogDoc)
+      : Option[(Broadcast[Array[Long]], Map[Int, ClusterBlock])] = {
+    if (versionMoved(cur) || addsOverflowed) return None
     if (cur.numPendingDeletes != deletedSnapshot._1) refreshLock.synchronized {
       if (cur.numPendingDeletes != deletedSnapshot._1) {
         val old = deletedSnapshot._2
@@ -164,18 +267,18 @@ final class PreparedIndex private[core] (
           lastAddsRefreshMs = System.currentTimeMillis()
         }
       }
-    if (addsOverflowed) return fallback(q, preliminaryTopK, finalTopK)
-    val bcDeleted = deletedSnapshot._2
-    val side = addsSnapshot._2
+    if (addsOverflowed) None
+    else Some((deletedSnapshot._2, addsSnapshot._2))
+  }
 
-    val qn = {
-      var s = 0.0; var i = 0
-      while (i < q.length) { s += q(i).toDouble * q(i); i += 1 }
-      val n = math.sqrt(s)
-      if (n == 0) q else q.map(x => (x / n).toFloat)
-    }
-    val qp = model.pca.applyLocal(qn)
-    val probes = model.nearestClusters(qp, cur.nProbe)
+  /** One serving job over the pinned blocks (+ the appended-rows side
+    * scan) returning the per-partition ADC/rerank candidates, NOT yet
+    * globally merged.
+    */
+  private def probePrelim(probes: Array[Int], qp: Array[Float],
+                          qn: Array[Float], prelimK: Int,
+                          bcDeleted: Broadcast[Array[Long]],
+                          side: Map[Int, ClusterBlock]): Array[Cand] = {
     val bc = bcModel // avoid capturing `this` in the job closure
     val bcDel = bcDeleted
     val parts: Array[Array[Cand]] = spark.sparkContext.runJob(
@@ -183,7 +286,7 @@ final class PreparedIndex private[core] (
       (it: Iterator[Map[Int, ClusterBlock]]) =>
         if (it.hasNext)
           PreparedANN.servePartition(it.next(), bc.value, probes, qp, qn,
-            preliminaryTopK, bcDel.value)
+            prelimK, bcDel.value)
         else Array.empty[Cand])
     // the appended-rows side scan: same kernel, driver-local, merged as
     // one more part — arithmetic identical to the rows having been in a
@@ -191,21 +294,8 @@ final class PreparedIndex private[core] (
     val all =
       if (side.isEmpty) parts
       else parts :+ PreparedANN.servePartition(side, model, probes, qp, qn,
-        preliminaryTopK, bcDeleted.value)
-    val merged = PreparedANN.merge(all, preliminaryTopK, finalTopK)
-    // VERDICT r11 ask #8: a train/compact swap landing between the entry
-    // catalog load and the serving job would have served one query from
-    // the superseded pinned blocks — re-check and reroute through
-    // fallback instead (the post-load is ~a small-file read; the
-    // reference holds a lock over the same window, mindb.py:395-417)
-    val post = engine.load(pinned.name)
-    if (post.indexVersion != pinned.indexVersion ||
-        post.dataVersion != pinned.dataVersion ||
-        post.createdAt != pinned.createdAt)
-      return fallback(q, preliminaryTopK, finalTopK)
-    merged.zipWithIndex.map {
-      case (c, i) => Hit(i + 1, c.id, c.meta, c.sim)
-    }
+        prelimK, bcDeleted.value)
+    PreparedANN.mergePrelim(all, prelimK)
   }
 
   /** Serve through the engine's regular Catalyst plan (NOT the routed
@@ -213,7 +303,15 @@ final class PreparedIndex private[core] (
     */
   private def fallback(q: Array[Float], prelimK: Int,
                        finalK: Int): Array[Hit] =
-    engine.queryCatalyst(pinned.name, q, prelimK, finalK).collect().map { r =>
+    collectHits(engine.queryCatalyst(pinned.name, q, prelimK, finalK))
+
+  private def fallbackFiltered(q: Array[Float], prelimK: Int, finalK: Int,
+                               predCol: org.apache.spark.sql.Column): Array[Hit] =
+    collectHits(engine.queryCatalyst(pinned.name, q, prelimK, finalK,
+      Some(predCol)))
+
+  private def collectHits(df: org.apache.spark.sql.DataFrame): Array[Hit] =
+    df.collect().map { r =>
       Hit(r.getInt(0), r.getLong(1),
         if (r.isNullAt(2)) null else r.getString(2), r.getDouble(3))
     }

@@ -180,14 +180,25 @@ object PreparedANN {
     }.toArray
   }
 
+  /** Driver-side preliminary merge: global top-`prelimK` by (adc, id) —
+    * the same candidate set the regular path's coarse stage collects.
+    * Exposed separately from [[merge]] so the filtered serving path can
+    * evaluate its metadata predicate against the preliminary candidates
+    * (the regular path filters the hydrated candidate frame at exactly
+    * this point) before the final rerank cut.
+    */
+  def mergePrelim(parts: Array[Array[Cand]], prelimK: Int): Array[Cand] =
+    parts.iterator.flatten.toArray.sortBy(c => (c.adcDist, c.id)).take(prelimK)
+
+  /** Final rerank cut: top-`finalK` by (cosine desc, id). */
+  def rerankCut(cands: Array[Cand], finalK: Int): Array[Cand] =
+    cands.sortBy(c => (-c.sim, c.id)).take(finalK)
+
   /** Driver-side merge: global preliminary top-`prelimK` by (adc, id) —
     * the window the regular path computes — then final top-`finalK` by
     * (cosine desc, id).
     */
   def merge(parts: Array[Array[Cand]], prelimK: Int,
-            finalK: Int): Array[Cand] = {
-    val prelim = parts.iterator.flatten.toArray
-      .sortBy(c => (c.adcDist, c.id)).take(prelimK)
-    prelim.sortBy(c => (-c.sim, c.id)).take(finalK)
-  }
+            finalK: Int): Array[Cand] =
+    rerankCut(mergePrelim(parts, prelimK), finalK)
 }

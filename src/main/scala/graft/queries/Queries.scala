@@ -1091,6 +1091,13 @@ object Queries {
   def knnFilteredTrained(s: SparkSession, dir: String): DataFrame =
     TrainedFixture.knnFiltered(s, dir)
 
+  /** Filtered trained query through the ROUTED prepared path (filled
+    * first round — predicate evaluated inside the fused serving job; see
+    * [[TrainedFixture.knnFilteredRouted]]).
+    */
+  def knnFilteredRouted(s: SparkSession, dir: String): DataFrame =
+    TrainedFixture.knnFilteredRouted(s, dir)
+
   // ------------------------------------------------ LLM-pipeline: multimodal
 
   /** Binary media columns decoded by a REAL container parser: each doc

@@ -144,6 +144,35 @@ object TrainedFixture {
         round(col("cosine_similarity"), 6).as("cosine_similarity"))
   }
 
+  /** The PREDICATE-BEARING trained query through the ROUTED serving path
+    * (round-13: `Engine.query` with a predicate on a trained db compiles
+    * the predicate against (id, metadata) and evaluates it against the
+    * preliminary candidates inside the fused prepared job — the
+    * reference's own roadmap feature, README.md:52, at the routed
+    * latency floor instead of the ~1 s Catalyst planning floor). The
+    * predicate here keeps ≥ `FinalK` of the `PrelimK` preliminary
+    * candidates, so the FILLED first-round branch serves — the oracle
+    * replays coarse ADC → candidate filter → exact rerank bit-for-bit.
+    * (The widening and flat-fallback branches are spec-gated in
+    * PreparedIndexSpec; `knn_filtered_trained` hash-gates the terminal
+    * flat fallback end-to-end.)
+    */
+  def knnFilteredRouted(s: SparkSession, dir: String): DataFrame = {
+    val f = get(s, dir)
+    oracleSql.put("knn_filtered_routed", filteredKnnSql(f))
+    val pred = col("metadata").isin("1", "3", "5", "7", "9")
+    val out = f.eng.query("tf", f.qRaw, preliminaryTopK = PrelimK,
+        finalTopK = FinalK, predicate = Some(pred))
+      .select(col("rank"), col("id"), col("metadata").as("label"),
+        round(col("cosine_similarity"), 6).as("cosine_similarity"))
+    // the oracle assumes the filled first round; if the testdata ever
+    // drifts selective enough to engage widening, fail loudly here
+    // instead of hash-mismatching downstream
+    require(out.count() == FinalK,
+      s"knn_filtered_routed fixture drifted: filled branch expected $FinalK rows")
+    out
+  }
+
   // ------------------------------------------------------ oracle SQL gen
 
   /** Exact double value of a float, shortest round-trip repr. */
@@ -223,6 +252,23 @@ object TrainedFixture {
     s"""${replayCtes(f)}
        |SELECT id, round(dist, 6) AS adc_dist
        |FROM adc ORDER BY dist, id LIMIT $AdcK""".stripMargin
+
+  /** [[knnSql]] with the metadata predicate applied to the preliminary
+    * candidates before the rerank — exactly where Engine's trained
+    * predicate path (Catalyst AND routed) filters the hydrated frame.
+    */
+  private def filteredKnnSql(f: Fixture): String =
+    s"""${replayCtes(f)},
+       |cand AS (SELECT id FROM adc ORDER BY dist, id LIMIT $PrelimK),
+       |scored AS (
+       |  SELECT nv.id, nv.label,
+       |    list_sum([CAST(nv.v[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)
+       |      for i in generate_series(1, 64)]) AS sim
+       |  FROM nv JOIN cand USING (id), q
+       |  WHERE CAST(nv.label AS VARCHAR) IN ('1','3','5','7','9'))
+       |SELECT row_number() OVER (ORDER BY sim DESC, id) AS rank, id,
+       |  CAST(label AS VARCHAR) AS label, round(sim, 6) AS cosine_similarity
+       |FROM scored ORDER BY sim DESC, id LIMIT $FinalK""".stripMargin
 
   private def knnSql(f: Fixture): String =
     s"""${replayCtes(f)},

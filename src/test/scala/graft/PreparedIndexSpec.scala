@@ -285,6 +285,95 @@ class PreparedIndexSpec extends SparkSpec {
     } finally engine.autoRoutePrepared = true
   }
 
+  // ---- predicate-capable routed serving (round 13) --------------------
+  // Every branch of the routed filtered path must be bit-identical to
+  // queryCatalyst with the same predicate: filled first round, widened
+  // retry, terminal flat fallback, and the unresolvable-predicate
+  // Catalyst reroute.
+
+  private def regularP(q: Array[Float], pred: org.apache.spark.sql.Column)
+      : Seq[(Int, Long, String, Double)] =
+    engine.queryCatalyst("pdb", q, PrelimK, FinalK, Some(pred)).collect()
+      .toSeq.map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+
+  private def routedP(q: Array[Float], pred: org.apache.spark.sql.Column)
+      : Seq[(Int, Long, String, Double)] =
+    engine.query("pdb", q, PrelimK, FinalK, Some(pred)).collect()
+      .toSeq.map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+
+  test("filtered routed query: filled first round equals the Catalyst predicate path") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    // ~half the corpus survives → the preliminary stage fills without
+    // widening; metadata eval exercises the compiled json path
+    val pred = get_json_object(col("metadata"), "$.doc") % 2 === 0
+    queries.take(4).foreach { q =>
+      val exp = regularP(q, pred)
+      val got = routedP(q, pred)
+      assert(got == exp, s"filled-branch divergence for predicate query")
+      assert(got.size == FinalK)
+    }
+  }
+
+  test("filtered routed query: under-fill widening equals the Catalyst retry") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    // ~3% selectivity: the 200-candidate first round holds < FinalK
+    // survivors, the widened retry fills — both engines must compute the
+    // SAME widened K (same selectivity arithmetic) and the same rows
+    val pred = get_json_object(col("metadata"), "$.doc") % 29 === 0
+    queries.take(4).foreach { q =>
+      val exp = regularP(q, pred)
+      val got = routedP(q, pred)
+      assert(got == exp, s"widened-branch divergence for predicate query")
+    }
+  }
+
+  test("filtered routed query: terminal under-fill serves the exact flat scan") {
+    import org.apache.spark.sql.functions.col
+    // fewer live matches than FinalK exist in the WHOLE table → widening
+    // can never fill → both paths land on the exact flat filtered scan
+    val pred = col("id") < 10L
+    queries.take(2).foreach { q =>
+      val exp = regularP(q, pred)
+      val got = routedP(q, pred)
+      assert(got == exp, s"flat-fallback divergence for predicate query")
+      assert(got.size <= 10)
+      assert(got.forall(_._2 < 10L))
+    }
+  }
+
+  test("a predicate outside (id, metadata) reroutes to Catalyst, still exact") {
+    import org.apache.spark.sql.functions.{col, size => asize}
+    // references `vector` — compileMetaPredicate can't resolve it, the
+    // routed path must decline and the Catalyst path (full candidate
+    // schema) serve identical results
+    val pred = asize(col("vector")) === D && col("id") >= 0L
+    val q = queries(5)
+    assert(routedP(q, pred) == regularP(q, pred))
+  }
+
+  test("filtered queryHits equals the filtered DataFrame query") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val pred = get_json_object(col("metadata"), "$.doc") % 3 === 0
+    val q = queries(6)
+    val viaDf = routedP(q, pred)
+    val viaHits = engine.queryHits("pdb", q, PrelimK, FinalK, Some(pred))
+      .map(h => (h.rank, h.id, h.metadata, h.cosineSimilarity)).toSeq
+    assert(viaHits == viaDf)
+  }
+
+  test("filtered routed query sees same-driver removes immediately") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val pred = get_json_object(col("metadata"), "$.doc") % 2 === 1
+    val q = queries(7)
+    val before = routedP(q, pred)
+    val victims = before.take(2).map(_._2)
+    engine.remove("pdb", victims)
+    val after = routedP(q, pred)
+    assert(victims.forall(v => !after.exists(_._2 == v)),
+      "filtered routed query served removed ids")
+    assert(after == regularP(q, pred))
+  }
+
   test("closed handle refuses queries") {
     prep.close()
     intercept[IllegalArgumentException] { prep.query(queries(0), PrelimK, FinalK) }
