@@ -57,6 +57,7 @@ object SparkEntry {
     "hybrid_rrf"         -> (Queries.hybridRrf _),
     "semantic_dedup"     -> (Queries.semanticDedup _),
     "ccnet_bucket"       -> (Queries.ccnetBucket _),
+    "ccnet_bucket_sampled" -> (Queries.ccnetBucketSampled _),
     "seq_pack"           -> (Queries.seqPack _),
     "mixture_sample"     -> (Queries.mixtureSample _),
     "bigram_logprob"     -> (Queries.bigramLogprob _),
@@ -876,6 +877,40 @@ object SparkEntry {
         |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM (SELECT doc_id, n_toks, logprob,
         |        ntile(3) OVER (ORDER BY logprob DESC, doc_id) AS nt FROM lp)""".stripMargin,
+
+    // Replays the sampled-cutoff path verbatim: the same Knuth-multiplier
+    // id hash selects the sample (no RNG → same membership on both
+    // engines), the cutoffs are the (logprob, doc_id) rows at sample
+    // ranks ceil(n/3)/ceil(2n/3) under (logprob DESC, doc_id), and the
+    // bucket is a pure composite-key comparison — ties can't straddle a
+    // boundary, so a 6dp-rounded logprob makes the row hash-exact.
+    "ccnet_bucket_sampled" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(cnt) AS t FROM freq),
+        |lp AS (
+        |  SELECT doc_id, count(*) AS n_toks,
+        |    round(avg(ln(CAST(cnt AS DOUBLE) / t)), 6) AS logprob
+        |  FROM toks JOIN freq USING (tok), tot
+        |  GROUP BY doc_id),
+        |samp AS (
+        |  SELECT logprob, doc_id,
+        |    row_number() OVER (ORDER BY logprob DESC, doc_id) AS rn
+        |  FROM lp
+        |  WHERE (doc_id % 100003) * 2654435761 % 4294967296 % 1000 < 900),
+        |nn AS (SELECT count(*) AS n FROM samp),
+        |cut1 AS (SELECT logprob AS l1, doc_id AS i1 FROM samp, nn
+        |         WHERE rn = CAST(ceil(n / 3.0) AS BIGINT)),
+        |cut2 AS (SELECT logprob AS l2, doc_id AS i2 FROM samp, nn
+        |         WHERE rn = CAST(ceil(2.0 * n / 3.0) AS BIGINT))
+        |SELECT doc_id, n_toks, logprob,
+        |  CASE WHEN logprob > l1 OR (logprob = l1 AND doc_id <= i1) THEN 'head'
+        |       WHEN logprob > l2 OR (logprob = l2 AND doc_id <= i2) THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM lp, cut1, cut2""".stripMargin,
 
     // Window sum returns HUGEINT in DuckDB — CAST everything integral
     // back to BIGINT (skill gotcha); // is DuckDB integer division =

@@ -907,6 +907,19 @@ object Queries {
     graft.operators.TextAnalysis.ccnetBucketFromScores(
       unigramLogprob(s, dir), "doc_id")
 
+  /** The 100-TB form of [[ccnetBucket]]: tertile cutoffs from a
+    * deterministic 20% id-hash sample, then a shuffle-free bucket
+    * projection — no global window anywhere (PlanShapeSpec). Shares the
+    * `unigram_logprob` artifact with the exact form.
+    */
+  def ccnetBucketSampled(s: SparkSession, dir: String): DataFrame =
+    // 90% sample: at test SF the corpus is tiny, so cutoff precision
+    // needs a high sample FRACTION (the finite-population correction
+    // does the work); at 100 TB the same operator runs at ~1e-6
+    // permille where the absolute sample SIZE carries the precision
+    graft.operators.TextAnalysis.ccnetBucketSampled(
+      unigramLogprob(s, dir), "doc_id", samplePermille = 900)
+
   /** Bigram corpus-LM scoring — word-order fluency, past the unigram's
     * vocabulary-only view; no driver dictionary anywhere.
     */

@@ -49,6 +49,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "mixture decisions must not shuffle")
   }
 
+  test("ccnet_bucket_sampled: no window operator anywhere in the per-doc pass") {
+    // the exact form's scale hazard is the global no-partition ntile
+    // window; the sampled form must be aggregates + a pure projection
+    val p = plan("ccnet_bucket_sampled")
+    assert(!p.contains("Window"), "sampled ccnet must not use any window")
+    assert(!p.contains("ntile"), "sampled ccnet must not ntile")
+  }
+
   test("knn_flat: brute-force top-k is TakeOrdered over one scan") {
     val p = plan("knn_flat")
     assert(p.contains("TakeOrderedAndProject"))

@@ -105,4 +105,29 @@ class RetrievalSpec extends SparkSpec {
     val maxTail = r.filter(_.getString(3) == "tail").map(_.getDouble(2)).max
     assert(minHead >= maxTail, "head logprobs dominate tail logprobs")
   }
+
+  test("ccnet sampled cutoffs agree with the exact ntile away from the boundaries") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = graft.queries.Queries.ccnetBucket(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val sampled = graft.queries.Queries.ccnetBucketSampled(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(sampled.keySet == exact.keySet, "same doc set")
+    // every bucket remains an ORDER-contiguous logprob range in the
+    // sampled form too; disagreements are confined to the two cutoff
+    // neighborhoods, so agreement is high even at this tiny SF (500
+    // docs, ~100-row sample). At sf0.1 the measured agreement is ≥99%
+    // (recorded in the round changelog); here we gate the small-sample
+    // floor.
+    val agree = exact.count { case (id, b) => sampled(id) == b }
+    assert(agree.toDouble / exact.size >= 0.85,
+      s"sampled/exact agreement ${agree}/${exact.size} below small-SF floor")
+    // order consistency: a sampled 'head' doc never has a lower logprob
+    // than a sampled 'tail' doc
+    val byId = graft.queries.Queries.ccnetBucketSampled(spark, dir)
+      .collect().map(r => (r.getString(3), r.getDouble(2)))
+    val minHead2 = byId.filter(_._1 == "head").map(_._2).min
+    val maxTail2 = byId.filter(_._1 == "tail").map(_._2).max
+    assert(minHead2 >= maxTail2, "sampled buckets are logprob-ordered")
+  }
 }
