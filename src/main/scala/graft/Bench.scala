@@ -95,7 +95,22 @@ object Bench {
     val rt = Runtime.getRuntime
     val heapUsedMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
     val heapMaxMb = rt.maxMemory / (1024 * 1024)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"cpu_canary_ms":$canaryMs,"kernel_canary_rows_per_sec":$kernelCanary,"canary_waited_s":$canaryWaitedS,"heap_used_mb":$heapUsedMb,"heap_max_mb":$heapMaxMb}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"cpu_canary_ms":$canaryMs,"kernel_canary_rows_per_sec":$kernelCanary,"canary_waited_s":$canaryWaitedS,"heap_used_mb":$heapUsedMb,"heap_max_mb":$heapMaxMb}"""
+    println(line)
+    // Artifact of record (VERDICT r12 #3): the driver's stdout capture
+    // keeps only a 2000-char tail, which truncates an 80+-query map —
+    // write the COMPLETE json ourselves so every per-query timing and
+    // canary survives in a committed, machine-parsable file. Full runs
+    // land at BENCH_SELF.json in the repo root; diagnosis runs
+    // (BENCH_ONLY/REPEAT set) go to /tmp so they can't shadow a real
+    // artifact.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isEmpty && repeat == 1) "BENCH_SELF.json"
+      else "/tmp/bench_partial.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed ($outPath): $e") }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -193,11 +193,26 @@ object Catalog {
     // next save never reuses (and so never "repairs" into) its name
     val next = known.headOption.map(_._1).getOrElse(0L) + 1L
     writeString(f, epochFile(dir, next), json)
-    // sweep: keep `next` and one predecessor (the window in which a
-    // concurrent reader may have listed before this write); best-effort —
-    // a failed delete just leaves an extra old epoch for the next sweep
-    known.drop(1).foreach { case (_, p) =>
-      try f.delete(p, false) catch { case _: java.io.IOException => () }
+    // sweep: retain the newest COMPLETE predecessor — NOT merely the
+    // newest file. After a crashed writer leaves a torn newest epoch,
+    // keeping only that torn file would delete the sole complete
+    // predecessor, and a reader whose (eventually-consistent) listing
+    // misses the file just written would find nothing loadable (ADVICE
+    // r12). So: find the newest predecessor that carries the end
+    // marker and delete only epochs OLDER than it; torn files newer
+    // than it are retained too (harmless — readers skip them, and the
+    // next save's sweep removes them once a newer complete epoch
+    // exists). Best-effort: a failed read/delete just leaves an extra
+    // epoch for the next sweep.
+    val newestComplete = known.find { case (e, p) =>
+      e == 0L || (try {
+        """"complete"\s*:\s*true""".r.findFirstIn(readFile(f, p)).nonEmpty
+      } catch { case _: java.io.IOException => false })
+    }
+    newestComplete.foreach { case (ce, _) =>
+      known.filter(_._1 < ce).foreach { case (_, p) =>
+        try f.delete(p, false) catch { case _: java.io.IOException => () }
+      }
     }
   }
 
@@ -223,13 +238,15 @@ object Catalog {
         // every listed candidate was torn or vanished: the listing went
         // stale across ≥2 saves (reader paused, writer swept) or the
         // newest file is mid-write — a FRESH list sees a complete epoch.
-        // Bounded retry, then fail loudly (a root with only a torn file
-        // is a real crash artifact the caller must see).
+        // Bounded retry sized for eventually-consistent listings (6
+        // attempts, ~200 ms linear backoff — an EC LIST horizon, not
+        // just a local-FS race), then fail loudly (a root with only a
+        // torn file is a real crash artifact the caller must see).
         attempt += 1
-        if (attempt >= 3)
+        if (attempt >= 6)
           sys.error(s"catalog for '$name': no complete epoch among " +
             listEpochs(dir, f).map(_._2.getName).mkString(", "))
-        Thread.sleep(5L * attempt)
+        Thread.sleep(10L * attempt)
       }
     }
     def str(k: String): String =
