@@ -462,8 +462,14 @@ object TextAnalysis {
                textCol: String, queryTerms: Seq[String],
                k: Int = 10): org.apache.spark.sql.DataFrame = {
     // doc length as a shuffle-free projection (no explode+groupBy), and
-    // both corpus constants (N, total tokens) from ONE tiny action
-    val dlCol = size(filter(tokens(col(textCol)), t => t =!= "")).cast("long")
+    // both corpus constants (N, total tokens) from ONE tiny action.
+    // Null text is ZERO-length, not size(null) = -1 (the legacy
+    // sizeOfNull default): the oracle's unnest(NULL) contributes no
+    // token rows, so a null-text doc must count in N but add nothing to
+    // the token total on this side either (ADVICE r12).
+    val dlCol = when(col(textCol).isNotNull,
+      size(filter(tokens(col(textCol)), t => t =!= ""))
+    ).otherwise(lit(0)).cast("long")
     val stats = docs.agg(count(lit(1)), sum(dlCol)).head()
     val n = stats.getLong(0)
     val avgdl = stats.getLong(1).toDouble / n

@@ -31,6 +31,21 @@ class RetrievalSpec extends SparkSpec {
     assert(r.forall(_.getDouble(2) > 0.0))
   }
 
+  test("bm25: null text scores as zero-length — same result as empty text") {
+    import spark.implicits._
+    def run(mid: Option[String]) = TextAnalysis.bm25TopK(
+      Seq(0L -> Option("spark alpha"), 1L -> mid, 2L -> Option("spark"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", Seq("spark"), k = 10).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // a null-text doc must count in N but contribute nothing to avgdl
+    // or tf — bit-identical to the same corpus with "" text (where the
+    // tokenizer also yields zero tokens). The pre-fix size(null) = -1
+    // corrupted avgdl and shifted every score.
+    assert(run(None).toSeq == run(Some("")).toSeq)
+    assert(!run(None).map(_._1).contains(1L))
+  }
+
   test("bm25: length normalization — same tf, shorter doc scores higher") {
     val two = Seq(
       (0L, "spark alpha beta gamma delta"),
