@@ -88,8 +88,12 @@ object Eval {
       ms
     }.sorted
     val recall = recallSum / nQ
-    // the pure Catalyst plan path, for attribution of the routing win
-    val catalystLat = queries.map { q =>
+    // the pure Catalyst plan path, for attribution of the routing win —
+    // capped at 32 queries (each pays the ~0.5 s planning floor; it is
+    // the contrast number, not the headline, and at 648 queries the
+    // uncapped loop would dominate the whole eval's wall time)
+    val nCat = math.min(nQ, 32)
+    val catalystLat = queries.take(nCat).map { q =>
       val q0 = System.nanoTime()
       engine.queryCatalyst("eval", q, prelimK, finalK).collect()
       (System.nanoTime() - q0) / 1e6
@@ -118,17 +122,22 @@ object Eval {
     val prep = engine.prepareServing("eval")
     val prepBuildSec = (System.nanoTime() - p0) / 1e9
     prep.query(queries(0), prelimK, finalK) // warm (JIT + block touch)
+    // equality vs the Catalyst path gated on the first 32 queries (each
+    // comparison pays the planning floor; the prepared timing itself
+    // covers all nQ)
     var prepMatches = true
-    val prepLat = queries.map { q =>
-      val t = System.nanoTime()
+    queries.take(nCat).foreach { q =>
       val hits = prep.query(q, prelimK, finalK)
-      val ms = (System.nanoTime() - t) / 1e6
       val reg = engine.queryCatalyst("eval", q, prelimK, finalK).collect()
       prepMatches &&= hits.length == reg.length && hits.zip(reg).forall {
         case (h, r) => h.rank == r.getInt(0) && h.id == r.getLong(1) &&
           h.cosineSimilarity == r.getDouble(3)
       }
-      ms
+    }
+    val prepLat = queries.map { q =>
+      val t = System.nanoTime()
+      prep.query(q, prelimK, finalK)
+      (System.nanoTime() - t) / 1e6
     }.sorted
     // concurrent qps: 16 threads draining a shared queue of 2 rounds
     val conc = 16
@@ -154,8 +163,11 @@ object Eval {
         s""""train_sec":${"%.1f".format(trainSec)},""" +
         s""""query_ms_p50":${"%.0f".format(latencies(nQ / 2))},""" +
         s""""query_ms_p95":${"%.0f".format(latencies((nQ * 95) / 100))},""" +
-        s""""catalyst_query_ms_p50":${"%.0f".format(catalystLat(nQ / 2))},""" +
+        s""""query_ms_p99":${"%.0f".format(latencies((nQ * 99) / 100))},""" +
+        s""""catalyst_query_ms_p50":${"%.0f".format(catalystLat(nCat / 2))},""" +
         s""""hits_query_ms_p50":${"%.1f".format(hitsLat(nQ / 2))},""" +
+        s""""hits_query_ms_p95":${"%.1f".format(hitsLat((nQ * 95) / 100))},""" +
+        s""""hits_query_ms_p99":${"%.1f".format(hitsLat((nQ * 99) / 100))},""" +
         s""""batch_total_sec":${"%.2f".format(batchSec)},""" +
         s""""batch_per_query_ms":${"%.0f".format(batchSec * 1000 / nQ)},""" +
         s""""batch_rows":$batchRows,""" +
@@ -163,6 +175,7 @@ object Eval {
         s""""prepared_matches_regular":$prepMatches,""" +
         s""""prepared_query_ms_p50":${"%.1f".format(prepLat(nQ / 2))},""" +
         s""""prepared_query_ms_p95":${"%.1f".format(prepLat((nQ * 95) / 100))},""" +
+        s""""prepared_query_ms_p99":${"%.1f".format(prepLat((nQ * 99) / 100))},""" +
         s""""prepared_concurrent_qps":${"%.1f".format(concQps)},""" +
         s""""cpu_canary_ms":${Canary.cpuCanaryMs()},""" +
         s""""kernel_canary_rows_per_sec":${Canary.kernelCanaryRowsPerSec()}}""")

@@ -187,6 +187,37 @@ object ScaleEval {
     val planP50 = splits.map(_._1).sorted.apply(nSingle / 2)
     val execP50 = splits.map(_._2).sorted.apply(nSingle / 2)
 
+    // routed FILTERED single-query (VERDICT r12 ask #1): the metadata
+    // predicate is compiled once and evaluated against the preliminary
+    // candidates INSIDE the fused serving job, sharing the routed floor
+    // instead of the ~1 s Catalyst planning floor. sel≈0.5 predicate →
+    // the first probe round fills (250 of prelimK=500 survive ≥ finalK
+    // =50), the production shape for metadata filtering. Equality-gated
+    // against the Catalyst predicate path before timing.
+    val predCol = get_json_object(col("metadata"), "$.i").cast("long") % 2 === 0
+    val filteredMatches = (0 until 2).forall { qi =>
+      val exp = engine.queryCatalyst("scale", queries(qi), prelimK, finalK,
+          Some(predCol)).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3))).toSeq
+      val got = engine.queryHits("scale", queries(qi), prelimK, finalK,
+          Some(predCol))
+        .map(h => (h.rank, h.id, h.cosineSimilarity)).toSeq
+      got == exp
+    }
+    val fSingles = (0 until nSingle).map { qi =>
+      val s0 = System.nanoTime()
+      engine.queryHits("scale", queries(qi), prelimK, finalK, Some(predCol))
+      (System.nanoTime() - s0) / 1e6
+    }.sorted
+    val filteredP50 = fSingles(nSingle / 2)
+    val fCat = (0 until nSingle).map { qi =>
+      val s0 = System.nanoTime()
+      engine.queryCatalyst("scale", queries(qi), prelimK, finalK,
+        Some(predCol)).collect()
+      (System.nanoTime() - s0) / 1e6
+    }.sorted
+    val filteredCatalystP50 = fCat(nSingle / 2)
+
     // concurrent serving: nThreads callers × single queries, shared session
     val nConc = nThreads * 2
     val pool = Executors.newFixedThreadPool(nThreads)
@@ -260,6 +291,9 @@ object ScaleEval {
         s""""catalyst_query_ms_p50":${"%.0f".format(catalystP50)},""" +
         s""""query_plan_ms_p50":${"%.0f".format(planP50)},""" +
         s""""query_exec_ms_p50":${"%.0f".format(execP50)},""" +
+        s""""filtered_matches_catalyst":$filteredMatches,""" +
+        s""""filtered_query_ms_p50":${"%.0f".format(filteredP50)},""" +
+        s""""filtered_catalyst_ms_p50":${"%.0f".format(filteredCatalystP50)},""" +
         preparedJson +
         s""""concurrent_threads":$nThreads,"concurrent_queries":$nConc,""" +
         s""""concurrent_sec":${"%.1f".format(concSec)},""" +

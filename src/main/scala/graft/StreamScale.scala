@@ -26,14 +26,24 @@ object StreamScale {
     val nFiles = sys.env.getOrElse("GRAFT_SS_FILES", "12").toInt
     val hours = sys.env.getOrElse("GRAFT_SS_HOURS", "6").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // GRAFT_SS_PROVIDER=rocksdb swaps the state store to the disk-backed
+    // RocksDB provider (VERDICT r12 ask #6): the default HDFS-backed
+    // store holds every live state row on-heap (2.8 GB at 10M docs,
+    // EVAL_r12), which at 100x state is an executor-memory ceiling; the
+    // RocksDB provider keeps the working set in native memory + local
+    // SST files, bounded independent of heap.
+    val provider = sys.env.getOrElse("GRAFT_SS_PROVIDER", "default")
     val canaryMsBefore = Canary.cpuCanaryMs()
     val kernelBefore = Canary.kernelCanaryRowsPerSec()
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (provider == "rocksdb")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- corpus: deterministic text from the doc id, all executor-side.
@@ -104,7 +114,8 @@ object StreamScale {
 
     val docsPerSec = nDocs / streamSec
     println(
-      s"""{"metric":"streaming_near_dup","docs":$nDocs,"files":$nFiles,""" +
+      s"""{"metric":"streaming_near_dup","provider":"$provider",""" +
+        s""""docs":$nDocs,"files":$nFiles,""" +
         s""""event_hours":$hours,"gen_sec":${f"$genSec%.1f"},""" +
         s""""stream_sec":${f"$streamSec%.1f"},"docs_per_sec":${f"$docsPerSec%.0f"},""" +
         s""""survivors":${survivors.get()},""" +
