@@ -18,8 +18,8 @@ object PlanAudit {
         "range_join_count", "q6_filter_agg", "length_percentiles",
         "topk_per_group",
         "bm25_topk", "hybrid_rrf", "semantic_dedup", "ccnet_bucket",
-        "seq_pack", "mixture_sample", "bigram_logprob", "csv_source",
-        "funnel_steps")) {
+        "seq_pack", "mixture_sample", "bigram_logprob", "dsir_weights",
+        "csv_source", "funnel_steps")) {
       println(s"===== $n =====")
       println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -61,6 +61,7 @@ object SparkEntry {
     "seq_pack"           -> (Queries.seqPack _),
     "mixture_sample"     -> (Queries.mixtureSample _),
     "bigram_logprob"     -> (Queries.bigramLogprob _),
+    "dsir_weights"       -> (Queries.dsirWeights _),
     "csv_source"         -> (Queries.csvSourceRoundtrip _),
     "funnel_steps"       -> (Queries.funnelSteps _),
     "char_shingle_min"   -> (Queries.charShingleMin _),
@@ -976,6 +977,39 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(avg(ln(CAST(cp AS DOUBLE) / c1)), 6) AS logprob
         |FROM bg JOIN pair USING (w1, w2) JOIN pref USING (w1)
+        |GROUP BY doc_id""".stripMargin,
+
+    // Same bigram extraction as bigram_logprob; both models from one
+    // conditional agg (NULL target flag lands in ELSE 0 on both
+    // engines); add-1 smoothing denominators are integer-valued doubles
+    // so the ratio arithmetic is bit-reproducible.
+    "dsir_weights" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    source IN ('src0', 'src1', 'src2', 'src3', 'src4') AS tgt,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                x -> x <> '') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |bg AS (
+        |  SELECT doc_id, tgt, w[1] AS w1, w[2] AS w2
+        |  FROM (SELECT doc_id, tgt,
+        |          unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS w
+        |        FROM tk WHERE len(t) >= 2)),
+        |model AS (
+        |  SELECT w1, w2,
+        |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT) AS cr
+        |  FROM bg GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr,
+        |    count(*) AS v
+        |  FROM model)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(
+        |    ln(CAST(ct + 1 AS DOUBLE) / (SELECT CAST(nt + v AS DOUBLE) FROM tot)) -
+        |    ln(CAST(cr + 1 AS DOUBLE) / (SELECT CAST(nr + v AS DOUBLE) FROM tot))), 6)
+        |    AS logweight
+        |FROM bg JOIN model USING (w1, w2)
         |GROUP BY doc_id""".stripMargin,
 
     "char_shingle_min" ->

@@ -436,6 +436,59 @@ object TextAnalysis {
         round(avg(log(col("cp").cast("double") / col("c1"))), 6).as("logprob"))
   }
 
+  /** DSIR-style importance weighting (Xie et al., 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more probable its bigrams are under a TARGET
+    * subcorpus's bigram model than under the RAW remainder's — the
+    * data-selection signal used to resample a web-scale raw corpus
+    * toward a high-quality target distribution (select by logweight
+    * desc, or compose with [[graft.operators.MixtureSample]] for
+    * per-source rates). `isTarget` marks the target docs (a NULL
+    * evaluation counts the doc in neither model, but it still gets
+    * scored). Add-1 smoothing over the joint bigram vocabulary keeps
+    * every weight finite; both models come from ONE conditional
+    * aggregate over the corpus bigrams.
+    *
+    * This is the exact-feature form (bigram identity as the feature
+    * key) — DSIR's hashed buckets exist only to bound model size, and
+    * exact features are what the SQL oracle can replay; at 100 TB swap
+    * the (w1, w2) key for hash(w1, w2) % nBuckets and everything
+    * downstream is unchanged (the model frame becomes nBuckets rows,
+    * broadcastable).
+    *
+    * Scale shape: identical to [[bigramLogProb]] — shuffle-free
+    * slice-zip bigram extraction, one map-side-combined conditional agg
+    * for both models, key-partitioned join back, and exactly three
+    * scalars (the two totals and the vocab size) ever touch the driver.
+    */
+  def dsirWeights(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String,
+                  isTarget: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = filter(tokens(col(textCol)), x => x =!= "")
+    val bg = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), isTarget.as("tgt"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col(idCol), col("tgt"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("tgt"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val model = bg.groupBy("w1", "w2").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
+    val tot = model.agg(sum("ct"), sum("cr"), count(lit(1))).head()
+    val nt = tot.getLong(0); val nr = tot.getLong(1); val v = tot.getLong(2)
+    bg.join(model, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(
+          log((col("ct") + lit(1L)).cast("double") / lit((nt + v).toDouble)) -
+            log((col("cr") + lit(1L)).cast("double") / lit((nr + v).toDouble))),
+          6).as("logweight"))
+  }
+
   /** Okapi BM25 keyword retrieval (Robertson et al., TREC-3) — the lexical
     * half of hybrid search next to the engine's vector kNN. Scores every
     * document against a fixed bag of query terms with the standard

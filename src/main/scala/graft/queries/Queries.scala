@@ -927,6 +927,16 @@ object Queries {
     graft.operators.TextAnalysis.bigramLogProb(
       t(s, dir, "documents"), "doc_id", "text")
 
+  /** DSIR importance weights against a 5-source target slice
+    * (src0-src4): every doc scored by target-vs-raw bigram model
+    * likelihood ratio — the resampling signal for steering a raw corpus
+    * toward the target distribution.
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.dsirWeights(
+      t(s, dir, "documents"), "doc_id", "text",
+      col("source").isin("src0", "src1", "src2", "src3", "src4"))
+
   /** Temperature-flattened (τ=0.7) half-corpus mixture sample over the
     * `source` column — deterministic coin flips, broadcast thresholds.
     */

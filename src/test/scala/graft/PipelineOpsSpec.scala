@@ -139,4 +139,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(3L) == ((2L, r6b(math.log(1.0 / 4) / 2))))
     assert(out(3L)._2 < out(0L)._2)
   }
+
+  test("dsir weights: target-like docs score positive, divergent negative, NULL flag scored but unmodeled") {
+    import spark.implicits._
+    // Bigram counts — target: (the,cat)=1 (cat,sat)=1; raw: (the,cat)=1
+    // (cat,sat)=1 (the,sat)=1 (sat,cat)=1. nt=2 nr=4 v=4. Weight of a
+    // shared bigram: ln(2/6)-ln(2/8)=ln(4/3); raw-only: ln(1/6)-ln(2/8)
+    // =ln(2/3). Doc 3's NULL flag counts it in NEITHER model (nt/nr/v
+    // unchanged) yet it is still scored; doc 4 has <2 tokens -> no row.
+    val docs = Seq(
+      (0L, "the cat sat", Some(true)),
+      (1L, "the sat cat", Some(false)),
+      (2L, "the cat sat", Some(false)),
+      (3L, "the cat sat", None: Option[Boolean]),
+      (4L, "x", Some(false))
+    ).toDF("doc_id", "text", "tgt")
+    val out = TextAnalysis.dsirWeights(docs, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r6d(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(!out.contains(4L))
+    assert(out(0L) == ((2L, r6d(math.log(4.0 / 3)))))
+    assert(out(2L) == out(0L) && out(3L) == out(0L))
+    assert(out(1L) == ((2L, r6d(math.log(2.0 / 3)))))
+    assert(out(1L)._2 < 0 && out(0L)._2 > 0)
+  }
 }

@@ -21,7 +21,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("no plan degenerates to a cartesian or broadcast nested loop") {
     for (q <- Seq("bm25_topk", "hybrid_rrf", "semantic_dedup", "seq_pack",
-        "mixture_sample", "bigram_logprob", "sim_join_topk",
+        "mixture_sample", "bigram_logprob", "dsir_weights", "sim_join_topk",
         "range_join_count", "asof_join", "tfidf_topk", "dup_spans")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product")
