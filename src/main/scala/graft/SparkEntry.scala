@@ -43,6 +43,7 @@ object SparkEntry {
     "text_fingerprint"   -> (Queries.textFingerprint _),
     "minhash_lsh"        -> (Queries.minhashLsh _),
     "near_dup_jaccard"   -> (Queries.nearDupJaccard _),
+    "dedup_incremental"  -> (Queries.dedupIncremental _),
     "dedup_groups"       -> (Queries.dedupGroups _),
     "simhash"            -> (Queries.simhashFp _),
     "simhash_near_dup"   -> (Queries.simhashNearDup _),
@@ -553,6 +554,34 @@ object SparkEntry {
         |  JOIN sets sb ON p.doc_b = sb.doc_id)
         |SELECT doc_a, doc_b, round(j9, 6) AS jaccard
         |FROM scored WHERE j9 >= 0.1""".stripMargin),
+
+    // Band keys are per-row, so bands over ALL docs split by id in the
+    // join replays the Spark side's per-frame band computation exactly.
+    // coalesce keeps n_dups BIGINT; max_j/dup_of stay NULL for novel docs.
+    "dedup_incremental" ->
+      (s"WITH $MinhashBandsSql,\n" +
+      """cand AS (
+        |  SELECT DISTINCT i.doc_id AS doc_id, c.doc_id AS corpus_id
+        |  FROM bands i JOIN bands c
+        |    ON i.band_idx = c.band_idx AND i.band_key = c.band_key
+        |  WHERE i.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
+        |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh),
+        |m AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dups,
+        |    min(corpus_id) AS dup_of, round(max(j9), 6) AS max_j
+        |  FROM (
+        |    SELECT cand.doc_id, cand.corpus_id,
+        |      round(CAST(len(list_filter(si.sset, x -> list_contains(sc.sset, x))) AS DOUBLE)
+        |        / (len(si.sset) + len(sc.sset)
+        |           - len(list_filter(si.sset, x -> list_contains(sc.sset, x)))), 9) AS j9
+        |    FROM cand
+        |    JOIN sets si ON cand.doc_id = si.doc_id
+        |    JOIN sets sc ON cand.corpus_id = sc.doc_id)
+        |  WHERE j9 >= 0.1 GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(m.n_dups, CAST(0 AS BIGINT)) AS n_dups,
+        |  m.dup_of, m.max_j
+        |FROM documents d LEFT JOIN m USING (doc_id)
+        |WHERE d.doc_id % 5 = 0""".stripMargin),
 
     "simhash" ->
       """WITH toks AS (

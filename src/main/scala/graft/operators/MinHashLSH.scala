@@ -244,4 +244,53 @@ object MinHashLSH {
     val inter = size(array_intersect(setA, setB)).cast("double")
     inter / (size(setA) + size(setB) - inter)
   }
+
+  /** Incremental corpus-growth dedup: score every INCOMING doc against an
+    * EXISTING corpus — the shape of continuous ingestion, where each new
+    * crawl batch must be deduped against everything already kept without
+    * re-pairing the corpus with itself. Returns one row per incoming doc:
+    * `n_dups` (corpus docs with exact shingle Jaccard ≥ threshold),
+    * `dup_of` (the minimum matching corpus id — the canonical keeper to
+    * attribute the duplicate to), `max_j` (the strongest match, 6dp), with
+    * `n_dups = 0` and nulls for novel docs.
+    *
+    * Shape at 100 TB: band keys are the same pure per-row kernel as
+    * [[bands]] on BOTH sides (no shuffle to compute), candidates come from
+    * ONE equi-join of incoming bands against corpus bands on
+    * (band_idx, band_key) — cost tracks bucket collisions, never
+    * |incoming| × |corpus|, and the corpus side's band table is exactly
+    * the artifact a production pipeline persists once and reuses across
+    * every ingest batch. Degenerate buckets are capped per side at
+    * `maxBucket` BEFORE the join (≤ maxBucket² candidate pairs per
+    * bucket); members of a dropped bucket are near-exact template classes
+    * whose match, if real, also surfaces through their healthy buckets.
+    * Verification joins the candidates back to distinct shingle sets and
+    * filters on true Jaccard, so banding false-positives never reach the
+    * output.
+    */
+  def crossCorpusDups(corpus: DataFrame, incoming: DataFrame, idCol: String,
+                      textCol: String, threshold: Double,
+                      w: Int = 3, numHashes: Int = 12, r: Int = 3,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val cb = capBuckets(bands(corpus, idCol, textCol, w, numHashes, r),
+      Seq("band_idx", "band_key"), maxBucket)
+      .select(col(idCol).as("corpus_id"), col("band_idx"), col("band_key"))
+    val ib = capBuckets(bands(incoming, idCol, textCol, w, numHashes, r),
+      Seq("band_idx", "band_key"), maxBucket)
+    val cand = ib.join(cb, Seq("band_idx", "band_key"))
+      .select(col(idCol), col("corpus_id")).distinct()
+    val isets = incoming.select(col(idCol), shingleSet(col(textCol), w).as("iset"))
+    val csets = corpus.select(col(idCol).as("corpus_id"),
+      shingleSet(col(textCol), w).as("cset"))
+    val matches = cand.join(isets, Seq(idCol)).join(csets, Seq("corpus_id"))
+      .withColumn("j9", round(jaccard(col("iset"), col("cset")), 9))
+      .filter(col("j9") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dups"), min(col("corpus_id")).as("dup_of"),
+        round(max(col("j9")), 6).as("max_j"))
+    incoming.select(col(idCol))
+      .join(matches, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("dup_of"), col("max_j"))
+  }
 }

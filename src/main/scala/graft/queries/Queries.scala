@@ -715,6 +715,18 @@ object Queries {
     verifiedPairs(s, dir)
       .select(col("doc_a"), col("doc_b"), round(col("j9"), 6).as("jaccard"))
 
+  /** Incremental ingest dedup: the 20% of docs with doc_id % 5 = 0 arrive
+    * as a new batch and are scored against the 80% already-kept corpus —
+    * novel docs pass with n_dups = 0, near-duplicates carry the canonical
+    * corpus keeper and their strongest Jaccard.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.MinHashLSH.crossCorpusDups(
+      docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", threshold = 0.1)
+  }
+
   /** Duplicate-cluster resolution over the verified near-dup pair graph:
     * connected components by min-label propagation — each paired doc maps
     * to the minimum doc id in its duplicate cluster (the keeper).

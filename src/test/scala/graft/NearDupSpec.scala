@@ -415,4 +415,30 @@ class NearDupSpec extends SparkSpec {
       empty, "vec_id", "embedding", numBands = 3, planesPerBand = 2, dim = 4)
     assert(pairs.collect().isEmpty)
   }
+
+  test("cross-corpus dedup: planted dup flags against the corpus keeper, novel doc passes") {
+    // corpus: docs 0-2 (0 and 2 identical); incoming: 10 = exact copy of
+    // doc 0's text, 11 = novel, 12 = near-dup of 0 (one word changed)
+    val corpus = docs.filter(col("doc_id") <= 2)
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "nothing in common with anything else whatsoever entirely"),
+      (12L, "the quick brown fox jumps over the lazy cat")
+    ).toDF("doc_id", "text")
+    val out = MinHashLSH.crossCorpusDups(corpus, incoming, "doc_id", "text",
+        threshold = 0.1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+         if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L), "one row per incoming doc")
+    // exact copy: matches 0, 1 (near), 2 (exact) — keeper is min id 0, J=1
+    assert(out(10L)._2 == 0L && out(10L)._3 == 1.0, s"exact dup: ${out(10L)}")
+    assert(out(10L)._1 == 3L)
+    assert(out(11L) == ((0L, -1L, -1.0)), "novel doc must pass clean")
+    // near-dup: collides and verifies above 0.1 against at least doc 1
+    assert(out(12L)._1 >= 1L && out(12L)._3 >= 0.1, s"near dup: ${out(12L)}")
+    // incoming docs are never paired with EACH OTHER (10 vs 12 are near
+    // dups but both incoming — corpus-only matching by contract)
+    assert(out(12L)._2 <= 2L)
+  }
 }
