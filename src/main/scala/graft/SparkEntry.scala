@@ -45,6 +45,7 @@ object SparkEntry {
     "near_dup_jaccard"   -> (Queries.nearDupJaccard _),
     "dedup_incremental"  -> (Queries.dedupIncremental _),
     "dedup_groups"       -> (Queries.dedupGroups _),
+    "dedup_keep_best"    -> (Queries.dedupKeepBest _),
     "simhash"            -> (Queries.simhashFp _),
     "simhash_near_dup"   -> (Queries.simhashNearDup _),
     "embed_near_dup"     -> (Queries.embedNearDup _),
@@ -554,6 +555,54 @@ object SparkEntry {
         |  JOIN sets sb ON p.doc_b = sb.doc_id)
         |SELECT doc_a, doc_b, round(j9, 6) AS jaccard
         |FROM scored WHERE j9 >= 0.1""".stripMargin),
+
+    // dedup_groups' recursive-CTE clusters + the quality_score formula +
+    // a per-cluster first_value window (quality desc, id asc) — the same
+    // 6dp rounding both engines already hash-match in their own rows.
+    "dedup_keep_best" ->
+      (s"WITH RECURSIVE $MinhashBandsSql,\n" +
+      """cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |   AND a.doc_id < b.doc_id),
+        |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh),
+        |scored AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    round(CAST(len(list_filter(sa.sset, x -> list_contains(sb.sset, x))) AS DOUBLE)
+        |      / (len(sa.sset) + len(sb.sset)
+        |         - len(list_filter(sa.sset, x -> list_contains(sb.sset, x)))), 9) AS j9
+        |  FROM cand p
+        |  JOIN sets sa ON p.doc_a = sa.doc_id
+        |  JOIN sets sb ON p.doc_b = sb.doc_id),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM scored WHERE j9 >= 0.1
+        |  UNION ALL
+        |  SELECT doc_b AS a, doc_a AS b FROM scored WHERE j9 >= 0.1),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |clusters AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+        |  FROM reach GROUP BY a),
+        |q AS (
+        |  SELECT doc_id, round(
+        |      0.4 * least(CAST(len(list_filter(w, t -> t IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE) / greatest(len(w), 1) * 4.0, 1.0)
+        |    + 0.4 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
+        |    + 0.2 * (1.0 - CAST(length(lt) - length(regexp_replace(lt, '[^a-z0-9\s]', '', 'g')) AS DOUBLE) / greatest(length(lt), 1))
+        |    , 6) AS quality
+        |  FROM (SELECT doc_id, lower(text) AS lt,
+        |          regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |        FROM documents))
+        |SELECT doc_id, quality, keeper_id,
+        |  CAST(doc_id = keeper_id AS INT) AS keep
+        |FROM (
+        |  SELECT c.doc_id, q.quality, c.canonical_id,
+        |    first_value(c.doc_id) OVER (PARTITION BY c.canonical_id
+        |      ORDER BY q.quality DESC, c.doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keeper_id
+        |  FROM clusters c JOIN q USING (doc_id))""".stripMargin),
 
     // Band keys are per-row, so bands over ALL docs split by id in the
     // join replays the Spark side's per-frame band computation exactly.

@@ -736,6 +736,28 @@ object Queries {
       verifiedPairs(s, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("canonical_id"))
 
+  /** Quality-aware cluster canonicalization: within each near-dup cluster
+    * RETAIN the highest-quality member (6dp quality, doc_id tiebreak) —
+    * what a curation pipeline actually keeps, vs [[dedupGroups]]' min-id
+    * labeling. The only window is per-cluster (cluster sizes are bounded
+    * by the dedup contract), never a global sort.
+    */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val clusters = graft.operators.ConnectedComponents.canonicalIds(
+      verifiedPairs(s, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("canonical_id"))
+    val q = t(s, dir, "documents").select(col("doc_id"),
+      round(graft.operators.TextAnalysis.docScores(col("text"))
+        .getField("quality"), 6).as("quality"))
+    val w = Window.partitionBy("canonical_id")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    clusters.join(q, Seq("doc_id"))
+      .withColumn("keeper_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("quality"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).cast("int").as("keep"))
+  }
+
   /** 32-bit SimHash fingerprint per document (near-dup by Hamming key);
     * the fingerprint table is the shared artifact the banded near-dup
     * join consumes.

@@ -416,6 +416,21 @@ class NearDupSpec extends SparkSpec {
     assert(pairs.collect().isEmpty)
   }
 
+  test("dedup keep-best: one keeper per cluster, and it has the cluster's max quality") {
+    val rows = SparkEntry.queries("dedup_keep_best")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._3)
+    for ((keeper, members) <- byCluster) {
+      assert(members.count(_._4 == 1) == 1, s"cluster $keeper: exactly one keep")
+      val kept = members.find(_._4 == 1).get
+      assert(kept._1 == keeper, "the keep row is the keeper itself")
+      assert(members.forall(m => m._2 < kept._2 ||
+        (m._2 == kept._2 && m._1 >= kept._1)),
+        s"cluster $keeper: keeper must have max quality (min-id tiebreak)")
+    }
+  }
+
   test("cross-corpus dedup: planted dup flags against the corpus keeper, novel doc passes") {
     // corpus: docs 0-2 (0 and 2 identical); incoming: 10 = exact copy of
     // doc 0's text, 11 = novel, 12 = near-dup of 0 (one word changed)
