@@ -65,6 +65,7 @@ object SparkEntry {
     "bigram_logprob"     -> (Queries.bigramLogprob _),
     "dsir_weights"       -> (Queries.dsirWeights _),
     "csv_source"         -> (Queries.csvSourceRoundtrip _),
+    "orc_source"         -> (Queries.orcSourceRoundtrip _),
     "funnel_steps"       -> (Queries.funnelSteps _),
     "char_shingle_min"   -> (Queries.charShingleMin _),
     "multimodal_meta"    -> (Queries.multimodalMeta _),
@@ -1293,6 +1294,14 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "csv_source" ->
+      """SELECT source, count(*) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  round(avg(length(text)), 2) AS avg_len,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "orc_source" ->
       """SELECT source, count(*) AS cnt,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id,

@@ -1598,6 +1598,29 @@ object Queries {
         .localCheckpoint(eager = true)
     }
 
+  /** ORC source round-trip — the columnar interchange format next to
+    * parquet (Hive/Trino ecosystems). Types survive natively (no header
+    * or schema-inference knobs), so the same corruption-sensitive
+    * aggregate as [[csvSourceRoundtrip]] proves the full write→read path;
+    * zlib is ORC's default codec and exercises the compressed path.
+    */
+  def orcSourceRoundtrip(s: SparkSession, dir: String): DataFrame =
+    sharedFrame(s, dir, "orc_source") {
+      val d = t(s, dir, "documents")
+      val staged = java.nio.file.Files
+        .createTempDirectory("graft-orc-src").toString
+      d.select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").orc(staged)
+      s.read.orc(staged)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          round(avg(length(col("text"))), 2).as("avg_len"),
+          countDistinct(col("lang")).as("n_langs"))
+        .localCheckpoint(eager = true)
+    }
+
   /** Native pivot (conditional-aggregation reshaping): per-user event
     * counts pivoted by type — `RelationalGroupedDataset.pivot` with an
     * EXPLICIT value list (never the value-discovery scan at scale);
