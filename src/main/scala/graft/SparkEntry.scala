@@ -88,6 +88,7 @@ object SparkEntry {
     "trained_counters"   -> (Queries.trainedCounters _),
     "streaming_hourly"   -> (Queries.streamingHourly _),
     "streaming_ingest"   -> (Queries.streamingIngestIds _),
+    "streaming_dedup_inc" -> (Queries.streamingDedupInc _),
     "engine_verbs"       -> (Queries.engineVerbs _),
     "retrain_decisions"  -> (Queries.retrainDecisions _),
     "sessionize"         -> (Queries.sessionize _),
@@ -143,6 +144,38 @@ object SparkEntry {
       |  SELECT doc_id, b AS band_idx,
       |    md5(array_to_string(sig[3*b+1:3*b+3], ':')) AS band_key
       |  FROM sig, generate_series(0, 3) t(b))""".stripMargin
+
+  /** Incremental cross-corpus dedup replay, shared by the batch row and
+    * its streaming twin (whose cross-batch union must equal the batch
+    * result exactly). Band keys are per-row, so bands over ALL docs split
+    * by id in the join replays the Spark side's per-frame band
+    * computation; coalesce keeps n_dups BIGINT; dup_of/max_j stay NULL
+    * for novel docs.
+    */
+  private val DedupIncrementalSql: String =
+    (s"WITH $MinhashBandsSql,\n" +
+    """cand AS (
+      |  SELECT DISTINCT i.doc_id AS doc_id, c.doc_id AS corpus_id
+      |  FROM bands i JOIN bands c
+      |    ON i.band_idx = c.band_idx AND i.band_key = c.band_key
+      |  WHERE i.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
+      |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh),
+      |m AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dups,
+      |    min(corpus_id) AS dup_of, round(max(j9), 6) AS max_j
+      |  FROM (
+      |    SELECT cand.doc_id, cand.corpus_id,
+      |      round(CAST(len(list_filter(si.sset, x -> list_contains(sc.sset, x))) AS DOUBLE)
+      |        / (len(si.sset) + len(sc.sset)
+      |           - len(list_filter(si.sset, x -> list_contains(sc.sset, x)))), 9) AS j9
+      |    FROM cand
+      |    JOIN sets si ON cand.doc_id = si.doc_id
+      |    JOIN sets sc ON cand.corpus_id = sc.doc_id)
+      |  WHERE j9 >= 0.1 GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(m.n_dups, CAST(0 AS BIGINT)) AS n_dups,
+      |  m.dup_of, m.max_j
+      |FROM documents d LEFT JOIN m USING (doc_id)
+      |WHERE d.doc_id % 5 = 0""".stripMargin)
 
   /** The nprobe piecewise-linear factor (index/Heuristics.nProbe) as a SQL
     * CASE over a BIGINT nlist expression — shared by every oracle that
@@ -608,30 +641,10 @@ object SparkEntry {
     // Band keys are per-row, so bands over ALL docs split by id in the
     // join replays the Spark side's per-frame band computation exactly.
     // coalesce keeps n_dups BIGINT; max_j/dup_of stay NULL for novel docs.
-    "dedup_incremental" ->
-      (s"WITH $MinhashBandsSql,\n" +
-      """cand AS (
-        |  SELECT DISTINCT i.doc_id AS doc_id, c.doc_id AS corpus_id
-        |  FROM bands i JOIN bands c
-        |    ON i.band_idx = c.band_idx AND i.band_key = c.band_key
-        |  WHERE i.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
-        |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh),
-        |m AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dups,
-        |    min(corpus_id) AS dup_of, round(max(j9), 6) AS max_j
-        |  FROM (
-        |    SELECT cand.doc_id, cand.corpus_id,
-        |      round(CAST(len(list_filter(si.sset, x -> list_contains(sc.sset, x))) AS DOUBLE)
-        |        / (len(si.sset) + len(sc.sset)
-        |           - len(list_filter(si.sset, x -> list_contains(sc.sset, x)))), 9) AS j9
-        |    FROM cand
-        |    JOIN sets si ON cand.doc_id = si.doc_id
-        |    JOIN sets sc ON cand.corpus_id = sc.doc_id)
-        |  WHERE j9 >= 0.1 GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(m.n_dups, CAST(0 AS BIGINT)) AS n_dups,
-        |  m.dup_of, m.max_j
-        |FROM documents d LEFT JOIN m USING (doc_id)
-        |WHERE d.doc_id % 5 = 0""".stripMargin),
+    "dedup_incremental" -> DedupIncrementalSql,
+
+    // the streaming twin's cross-batch union must EQUAL the batch result
+    "streaming_dedup_inc" -> DedupIncrementalSql,
 
     "simhash" ->
       """WITH toks AS (

@@ -1670,6 +1670,48 @@ object Queries {
       ).toDF("metric", "value")
     }
 
+  /** Streaming incremental dedup — the REAL stream: incoming docs
+    * (doc_id % 5 = 0) arrive as a 2-file parquet stream, each micro-batch
+    * stream-static joins against the kept corpus's band/shingle frames,
+    * and the per-doc verdicts reduce in foreachBatch. The union across
+    * batches must EQUAL the batch twin ([[dedupIncremental]]) — the
+    * oracle is the same SQL.
+    */
+  def streamingDedupInc(s: SparkSession, dir: String): DataFrame =
+    sharedFrame(s, dir, "streaming_dedup_inc") {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 5 === 0)
+      val stage = java.nio.file.Files.createTempDirectory("graft-sdi-src")
+      incoming.repartition(2).write.mode("overwrite").parquet(stage.toString)
+      val src = s.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sdi-ckpt")
+      val q = graft.streaming.EventStream.crossCorpusCandidates(src, corpus)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val flags = graft.streaming.EventStream
+            .crossCorpusFlags(batch, threshold = 0.1).collect()
+          out.synchronized { out ++= flags }: Unit
+        }
+        .start()
+      q.awaitTermination()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_dups",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("dup_of",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("max_j",
+          org.apache.spark.sql.types.DoubleType, nullable = true)))
+      s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1), schema)
+        .localCheckpoint(eager = true)
+    }
+
   // ------------------------------------------- lifecycle verbs (oracle-gated)
 
   /** S12/D1/D4/A1/Q1/T2/T3/T20 through the LIVE engine: one scratch root

@@ -149,6 +149,58 @@ object EventStream {
       }
   }
 
+  // -------------------------------- streaming cross-corpus dedup
+
+  /** Stream-static incremental corpus dedup — the streaming face of
+    * [[graft.operators.MinHashLSH.crossCorpusDups]]: incoming docs stream
+    * in; the KEPT corpus's band table and shingle sets are STATIC frames
+    * (the persisted artifacts the batch pipeline already materializes —
+    * broadcastable when small, bucketed on the band key at scale so the
+    * stream side aligns without a corpus-side reshuffle per batch). The
+    * two joins are stream-static and therefore STATELESS — no watermark,
+    * no state store, nothing to expire: every candidate row of a doc
+    * lands in the doc's own micro-batch, so the per-doc verdict reduces
+    * in foreachBatch ([[crossCorpusFlags]]), mirroring the
+    * [[nearDupClaims]]/[[nearDupSurvivors]] split.
+    *
+    * `posexplode_outer` keeps band-less docs (null text) flowing — they
+    * surface as novel (`n_dups = 0`) instead of vanishing. The stream
+    * side carries its own shingle set through the band join (bytes ∝
+    * bands-per-doc × tokens — the price of not being able to re-join a
+    * stream to itself); the corpus sets join hydrates only matched rows.
+    * Input stream columns: (doc_id long, text string).
+    */
+  def crossCorpusCandidates(docs: DataFrame, corpus: DataFrame,
+                            w: Int = 3, numHashes: Int = 12, r: Int = 3)
+      : DataFrame = {
+    import graft.operators.MinHashLSH
+    val cb = MinHashLSH.bands(corpus, "doc_id", "text", w, numHashes, r)
+      .select(col("doc_id").as("corpus_id"), col("band_idx"), col("band_key"))
+    val cs = corpus.select(col("doc_id").as("corpus_id"),
+      MinHashLSH.shingleSet(col("text"), w).as("cset"))
+    docs.select(col("doc_id"),
+        MinHashLSH.shingleSet(col("text"), w).as("iset"),
+        posexplode_outer(MinHashLSH.bandKeys(col("text"), w, numHashes, r))
+          .as(Seq("band_idx", "band_key")))
+      .join(cb, Seq("band_idx", "band_key"), "left")
+      .join(cs, Seq("corpus_id"), "left")
+      .select(col("doc_id"), col("corpus_id"),
+        round(MinHashLSH.jaccard(col("iset"), col("cset")), 9).as("j9"))
+  }
+
+  /** Per-micro-batch verdict reduce over [[crossCorpusCandidates]]: one
+    * row per incoming doc with the batch twin's exact schema and
+    * semantics — count of distinct verified matches, canonical keeper
+    * (min corpus id), strongest Jaccard (6dp); zeros/nulls for novel
+    * docs. Plain batch aggregation by design (co-batch contract).
+    */
+  def crossCorpusFlags(cands: DataFrame, threshold: Double): DataFrame =
+    cands.groupBy(col("doc_id"))
+      .agg(
+        count_distinct(when(col("j9") >= threshold, col("corpus_id"))).as("n_dups"),
+        min(when(col("j9") >= threshold, col("corpus_id"))).as("dup_of"),
+        round(max(when(col("j9") >= threshold, col("j9"))), 6).as("max_j"))
+
   /** Per-micro-batch survivor reduce over [[nearDupClaims]] output: keep a
     * doc iff every one of its band claims is fresh. Plain batch
     * aggregation by design — all claims of a doc are co-batch.

@@ -179,4 +179,20 @@ class StreamingSpec extends SparkSpec {
       assert(res.head.getLong(1) == 0L)
     } finally q.stop()
   }
+
+  test("streaming cross-corpus dedup: multi-batch union equals the batch twin exactly") {
+    val dir = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))
+    val streamed = SparkEntry.queries("streaming_dedup_inc")(spark, dir)
+      .collect().map(key).sortBy(_._1)
+    val batch = SparkEntry.queries("dedup_incremental")(spark, dir)
+      .collect().map(key).sortBy(_._1)
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      s"streaming union diverged: ${streamed.length} vs ${batch.length} rows")
+    // real stream exercised: at least one verified duplicate and one novel
+    assert(streamed.exists(_._2 > 0) && streamed.exists(_._2 == 0))
+  }
 }
