@@ -64,6 +64,7 @@ object SparkEntry {
     "mixture_sample"     -> (Queries.mixtureSample _),
     "bigram_logprob"     -> (Queries.bigramLogprob _),
     "dsir_weights"       -> (Queries.dsirWeights _),
+    "dsir_weights_hashed" -> (Queries.dsirWeightsHashed _),
     "csv_source"         -> (Queries.csvSourceRoundtrip _),
     "orc_source"         -> (Queries.orcSourceRoundtrip _),
     "funnel_steps"       -> (Queries.funnelSteps _),
@@ -1102,6 +1103,38 @@ object SparkEntry {
         |    ln(CAST(cr + 1 AS DOUBLE) / (SELECT CAST(nr + v AS DOUBLE) FROM tot))), 6)
         |    AS logweight
         |FROM bg JOIN model USING (w1, w2)
+        |GROUP BY doc_id""".stripMargin,
+
+    // hashed-feature twin: the 60-bit md5 parse already proven portable
+    // by the minhash rows; smoothing denominator is nt/nr + 4096 (the
+    // FIXED bucket space), so no bucket materialization is needed.
+    "dsir_weights_hashed" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    source IN ('src0', 'src1', 'src2', 'src3', 'src4') AS tgt,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                x -> x <> '') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |bg AS (
+        |  SELECT doc_id, tgt,
+        |    ('0x' || substr(md5(w[1] || ' ' || w[2]), 1, 15))::BIGINT % 4096 AS bucket
+        |  FROM (SELECT doc_id, tgt,
+        |          unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS w
+        |        FROM tk WHERE len(t) >= 2)),
+        |model AS (
+        |  SELECT bucket,
+        |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT) AS cr
+        |  FROM bg GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
+        |  FROM model)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(
+        |    ln(CAST(ct + 1 AS DOUBLE) / (SELECT CAST(nt + 4096 AS DOUBLE) FROM tot)) -
+        |    ln(CAST(cr + 1 AS DOUBLE) / (SELECT CAST(nr + 4096 AS DOUBLE) FROM tot))), 6)
+        |    AS logweight
+        |FROM bg JOIN model USING (bucket)
         |GROUP BY doc_id""".stripMargin,
 
     "char_shingle_min" ->

@@ -451,10 +451,9 @@ object TextAnalysis {
     *
     * This is the exact-feature form (bigram identity as the feature
     * key) — DSIR's hashed buckets exist only to bound model size, and
-    * exact features are what the SQL oracle can replay; at 100 TB swap
-    * the (w1, w2) key for hash(w1, w2) % nBuckets and everything
-    * downstream is unchanged (the model frame becomes nBuckets rows,
-    * broadcastable).
+    * exact features are the more faithful small-corpus signal; the
+    * production 100-TB form is [[dsirWeightsHashed]] (same extraction,
+    * md5-bucketed features, broadcast model).
     *
     * Scale shape: identical to [[bigramLogProb]] — shuffle-free
     * slice-zip bigram extraction, one map-side-combined conditional agg
@@ -465,16 +464,7 @@ object TextAnalysis {
                   textCol: String,
                   isTarget: org.apache.spark.sql.Column)
       : org.apache.spark.sql.DataFrame = {
-    val toks = filter(tokens(col(textCol)), x => x =!= "")
-    val bg = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), isTarget.as("tgt"), toks.as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(col(idCol), col("tgt"), explode(zip_with(
-        slice(col("t"), lit(1), size(col("t")) - 1),
-        slice(col("t"), lit(2), size(col("t")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col(idCol), col("tgt"),
-        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bg = bigramsWithTarget(docs, idCol, textCol, isTarget)
     val model = bg.groupBy("w1", "w2").agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
       sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
@@ -487,6 +477,63 @@ object TextAnalysis {
           log((col("ct") + lit(1L)).cast("double") / lit((nt + v).toDouble)) -
             log((col("cr") + lit(1L)).cast("double") / lit((nr + v).toDouble))),
           6).as("logweight"))
+  }
+
+  /** The hashed-feature DSIR form — the 100-TB variant [[dsirWeights]]
+    * promises: bigram identity collapses to
+    * `md5(w1 ' ' w2)[0,15) mod nBuckets` (the same 60-bit md5 parse the
+    * MinHash kernel already proves portable to the oracle), so the model
+    * is AT MOST nBuckets rows — BROADCAST to the scoring join instead of
+    * shuffling the corpus bigrams by key. Exactly DSIR's own design: the
+    * paper hashes n-grams into 10k buckets precisely so the importance
+    * model stays driver/broadcast sized at web scale. Smoothing is add-1
+    * over the FIXED bucket space (denominator nt + nBuckets), so absent
+    * buckets are well-defined without materializing them.
+    */
+  def dsirWeightsHashed(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String,
+                        isTarget: org.apache.spark.sql.Column,
+                        nBuckets: Int = 4096)
+      : org.apache.spark.sql.DataFrame = {
+    val bg = bigramsWithTarget(docs, idCol, textCol, isTarget)
+      .select(col(idCol), col("tgt"),
+        (conv(substring(md5(concat(col("w1"), lit(" "), col("w2"))), 1, 15),
+          16, 10).cast("long") % nBuckets).as("bucket"))
+    val model = bg.groupBy("bucket").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
+    val tot = model.agg(sum("ct"), sum("cr")).head()
+    val nt = tot.getLong(0); val nr = tot.getLong(1)
+    bg.join(broadcast(model), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(
+          log((col("ct") + lit(1L)).cast("double") /
+            lit((nt + nBuckets).toDouble)) -
+            log((col("cr") + lit(1L)).cast("double") /
+              lit((nr + nBuckets).toDouble))),
+          6).as("logweight"))
+  }
+
+  /** Shared DSIR upstream: (id, tgt, w1, w2) corpus bigrams — the
+    * shuffle-free slice-zip extraction; null text drops, <2-token docs
+    * emit nothing, a NULL target flag keeps the doc scored but counted
+    * in neither model.
+    */
+  private def bigramsWithTarget(docs: org.apache.spark.sql.DataFrame,
+                                idCol: String, textCol: String,
+                                isTarget: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = filter(tokens(col(textCol)), x => x =!= "")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), isTarget.as("tgt"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col(idCol), col("tgt"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("tgt"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
   }
 
   /** Okapi BM25 keyword retrieval (Robertson et al., TREC-3) — the lexical

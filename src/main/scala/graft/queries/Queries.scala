@@ -971,6 +971,14 @@ object Queries {
       t(s, dir, "documents"), "doc_id", "text",
       col("source").isin("src0", "src1", "src2", "src3", "src4"))
 
+  /** The hashed-bucket DSIR form (4096 buckets, broadcast model) — the
+    * 100-TB variant, over the same 5-source target slice.
+    */
+  def dsirWeightsHashed(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.dsirWeightsHashed(
+      t(s, dir, "documents"), "doc_id", "text",
+      col("source").isin("src0", "src1", "src2", "src3", "src4"))
+
   /** Temperature-flattened (τ=0.7) half-corpus mixture sample over the
     * `source` column — deterministic coin flips, broadcast thresholds.
     */

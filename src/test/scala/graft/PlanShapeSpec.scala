@@ -49,6 +49,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "mixture decisions must not shuffle")
   }
 
+  test("dsir_weights_hashed: the model joins BROADCAST (never a corpus-sized shuffle)") {
+    // the hashed variant's entire point: the ≤nBuckets-row model
+    // broadcasts to the scoring join; a SortMergeJoin here means the
+    // corpus bigrams shuffled by key — the exact-form cost it must avoid
+    val p = plan("dsir_weights_hashed")
+    assert(p.contains("BroadcastHashJoin"), "model join must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no corpus-keyed shuffle join")
+  }
+
   test("ccnet_bucket_sampled: no window operator anywhere in the per-doc pass") {
     // the exact form's scale hazard is the global no-partition ntile
     // window; the sampled form must be aggregates + a pure projection
