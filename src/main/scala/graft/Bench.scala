@@ -96,7 +96,13 @@ object Bench {
     val heapUsedMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
     val heapMaxMb = rt.maxMemory / (1024 * 1024)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"cpu_canary_ms":$canaryMs,"kernel_canary_rows_per_sec":$kernelCanary,"canary_waited_s":$canaryWaitedS,"heap_used_mb":$heapUsedMb,"heap_max_mb":$heapMaxMb}"""
+    // Full line first (complete stdout captures keep it); the LAST line
+    // is a compact summary guaranteed to fit a 2000-char tail capture —
+    // an 89-query map cannot (≥2.2k chars at any precision), which is
+    // exactly how BENCH_r12's "parsed": null happened. The complete
+    // per-query map lives in the self-written artifact below.
     println(line)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","cpu_canary_ms":$canaryMs,"kernel_canary_rows_per_sec":$kernelCanary,"canary_waited_s":$canaryWaitedS,"queries_in":"BENCH_SELF.json"}""")
     // Artifact of record (VERDICT r12 #3): the driver's stdout capture
     // keeps only a 2000-char tail, which truncates an 80+-query map —
     // write the COMPLETE json ourselves so every per-query timing and
