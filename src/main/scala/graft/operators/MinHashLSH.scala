@@ -188,6 +188,12 @@ object MinHashLSH {
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
 
+  /** Public face of the band-bucket skew guard for pipelines composed
+    * outside this package (e.g. the streaming stream-static twin).
+    */
+  def cappedBands(bandsDf: DataFrame, maxBucket: Int): DataFrame =
+    capBuckets(bandsDf, Seq("band_idx", "band_key"), maxBucket)
+
   def candidatePairs(bandsDf: DataFrame, idCol: String,
                      maxBucket: Int = Int.MaxValue): DataFrame = {
     val src = capBuckets(bandsDf, Seq("band_idx", "band_key"), maxBucket)

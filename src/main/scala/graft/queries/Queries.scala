@@ -722,9 +722,12 @@ object Queries {
     */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // DefaultMaxBucket exercises the production skew cap; a no-op on this
+    // corpus (no band bucket near 1000), so the uncapped oracle replays it
     graft.operators.MinHashLSH.crossCorpusDups(
       docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
-      "doc_id", "text", threshold = 0.1)
+      "doc_id", "text", threshold = 0.1,
+      maxBucket = graft.operators.MinHashLSH.DefaultMaxBucket)
   }
 
   /** Duplicate-cluster resolution over the verified near-dup pair graph:

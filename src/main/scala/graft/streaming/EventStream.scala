@@ -171,10 +171,17 @@ object EventStream {
     * Input stream columns: (doc_id long, text string).
     */
   def crossCorpusCandidates(docs: DataFrame, corpus: DataFrame,
-                            w: Int = 3, numHashes: Int = 12, r: Int = 3)
+                            w: Int = 3, numHashes: Int = 12, r: Int = 3,
+                            maxCorpusBucket: Int =
+                              graft.operators.MinHashLSH.DefaultMaxBucket)
       : DataFrame = {
     import graft.operators.MinHashLSH
-    val cb = MinHashLSH.bands(corpus, "doc_id", "text", w, numHashes, r)
+    // skew guard on the STATIC side only (a degenerate corpus bucket
+    // would flood every micro-batch); the stream side is bounded by
+    // micro-batch sizing, which is the streaming-native cap
+    val cb = MinHashLSH.cappedBands(
+        MinHashLSH.bands(corpus, "doc_id", "text", w, numHashes, r),
+        maxCorpusBucket)
       .select(col("doc_id").as("corpus_id"), col("band_idx"), col("band_key"))
     val cs = corpus.select(col("doc_id").as("corpus_id"),
       MinHashLSH.shingleSet(col("text"), w).as("cset"))
