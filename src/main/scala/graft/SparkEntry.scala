@@ -65,6 +65,7 @@ object SparkEntry {
     "bigram_logprob"     -> (Queries.bigramLogprob _),
     "dsir_weights"       -> (Queries.dsirWeights _),
     "dsir_weights_hashed" -> (Queries.dsirWeightsHashed _),
+    "chunk_docs"         -> (Queries.chunkDocs _),
     "csv_source"         -> (Queries.csvSourceRoundtrip _),
     "orc_source"         -> (Queries.orcSourceRoundtrip _),
     "funnel_steps"       -> (Queries.funnelSteps _),
@@ -1104,6 +1105,25 @@ object SparkEntry {
         |    AS logweight
         |FROM bg JOIN model USING (w1, w2)
         |GROUP BY doc_id""".stripMargin,
+
+    // chunk k covers tokens [k*48+1, k*48+64]; DuckDB list slicing is
+    // inclusive and end-truncating like Spark's slice. ceil on a DOUBLE
+    // ratio matches Spark's ceil(cast double); n>=1 docs only.
+    "chunk_docs" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                x -> x <> '') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |ck AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(0,
+        |      greatest(0, CAST(ceil((len(t) - 64) / 48.0) AS INT)))) AS chunk_idx
+        |  FROM tk WHERE len(t) >= 1)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(t[chunk_idx*48+1 : chunk_idx*48+64], ' ') AS chunk_text,
+        |  len(t[chunk_idx*48+1 : chunk_idx*48+64]) AS chunk_toks
+        |FROM ck""".stripMargin,
 
     // hashed-feature twin: the 60-bit md5 parse already proven portable
     // by the minhash rows; smoothing denominator is nt/nr + 4096 (the

@@ -515,6 +515,37 @@ object TextAnalysis {
           6).as("logweight"))
   }
 
+  /** Overlapping token-window document chunking — the upstream step that
+    * produces a retrieval corpus from raw documents (the reference's own
+    * published eval runs over "57,638 corpus CHUNKS" of FIQA docs,
+    * README.md:12; this is how those rows come to exist). Each doc with
+    * ≥1 token emits `max(1, ceil((n − window)/stride) + 1)` chunks; chunk
+    * k covers tokens `[k·stride+1, k·stride+window]` (truncated at the
+    * doc end), so consecutive chunks overlap by `window − stride` tokens
+    * and every token lands in ≥1 chunk. Pure per-row kernel — zero
+    * shuffles at any corpus size; feed the output straight into the
+    * engine's add path or the BM25/embedding stages.
+    */
+  def chunkDocs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, window: Int = 64, stride: Int = 48)
+      : org.apache.spark.sql.DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val toks = filter(tokens(col(textCol)), x => x =!= "")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col(idCol), col("t"), explode(sequence(lit(0),
+        greatest(lit(0),
+          ceil((size(col("t")) - window).cast("double") / stride)
+            .cast("int")))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("t"), col("chunk_idx") * stride + 1, lit(window)), " ")
+          .as("chunk_text"),
+        size(slice(col("t"), col("chunk_idx") * stride + 1, lit(window)))
+          .as("chunk_toks"))
+  }
+
   /** Shared DSIR upstream: (id, tgt, w1, w2) corpus bigrams — the
     * shuffle-free slice-zip extraction; null text drops, <2-token docs
     * emit nothing, a NULL target flag keeps the doc scored but counted

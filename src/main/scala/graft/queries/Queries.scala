@@ -974,6 +974,14 @@ object Queries {
       t(s, dir, "documents"), "doc_id", "text",
       col("source").isin("src0", "src1", "src2", "src3", "src4"))
 
+  /** Overlapping token-window chunking (64-token windows, stride 48) —
+    * the raw-docs → retrieval-corpus step upstream of the engine's add
+    * path.
+    */
+  def chunkDocs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.chunkDocs(
+      t(s, dir, "documents"), "doc_id", "text")
+
   /** The hashed-bucket DSIR form (4096 buckets, broadcast model) — the
     * 100-TB variant, over the same 5-source target slice.
     */

@@ -140,6 +140,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(3L)._2 < out(0L)._2)
   }
 
+  test("chunk docs: full coverage, exact overlap, short doc is one whole chunk") {
+    import spark.implicits._
+    // 10 tokens, window 4, stride 3 → chunks at 1,4,7: [t1..t4][t4..t7][t7..t10]
+    val docs = Seq(
+      (0L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (1L, "a b"),            // shorter than window → ONE whole-doc chunk
+      (2L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(docs, "doc_id", "text", window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val d0 = out.filter(_._1 == 0L).sortBy(_._2)
+    assert(d0.map(_._3).toSeq == Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(d0.forall(_._4 == 4))
+    // every token covered; consecutive chunks overlap by window - stride
+    assert(d0.flatMap(_._3.split(" ")).toSet == (1 to 10).map(i => s"w$i").toSet)
+    assert(out.filter(_._1 == 1L).toSeq == Seq((1L, 0, "a b", 2)))
+    assert(!out.exists(_._1 == 2L), "null text emits no chunks")
+  }
+
   test("dsir weights: target-like docs score positive, divergent negative, NULL flag scored but unmodeled") {
     import spark.implicits._
     // Bigram counts — target: (the,cat)=1 (cat,sat)=1; raw: (the,cat)=1
