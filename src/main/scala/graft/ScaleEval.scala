@@ -4,7 +4,7 @@ import java.util.concurrent.{Callable, Executors, TimeUnit}
 
 import scala.util.Random
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Engine
@@ -190,26 +190,47 @@ object ScaleEval {
     // routed FILTERED single-query (VERDICT r12 ask #1): the metadata
     // predicate is compiled once and evaluated against the preliminary
     // candidates INSIDE the fused serving job, sharing the routed floor
-    // instead of the ~1 s Catalyst planning floor. sel≈0.5 predicate →
-    // the first probe round fills (250 of prelimK=500 survive ≥ finalK
-    // =50), the production shape for metadata filtering. Equality-gated
-    // against the Catalyst predicate path before timing.
-    val predCol = get_json_object(col("metadata"), "$.i").cast("long") % 2 === 0
+    // instead of the ~1 s Catalyst planning floor.
+    //
+    // TWO predicates, deliberately (found via graft.core.FilterProfile):
+    //  - hash-parity — 50% selectivity WITHIN every cluster, the
+    //    production metadata-filter shape: the first probe round fills
+    //    (~250 of prelimK=500 survive ≥ finalK=50) and the query stays
+    //    on the routed floor. Plain `i % 2` is NOT that here: the
+    //    generator assigns center = i % numCenters, so id parity is
+    //    cluster-CONSTANT and every query keeps 0 or 500 — parity is a
+    //    property of the blob, not of a row.
+    //  - cluster-correlated (`i % 2` itself) — the adversarial case
+    //    where the predicate tracks cluster structure (think lang=X on
+    //    semantically clustered text): half the queries under-fill,
+    //    pay the widened re-probe, and may land on the terminal exact
+    //    flat scan. Recorded separately so the under-fill cost is an
+    //    honest, named number instead of polluting the headline.
+    // Both equality-gated against the Catalyst predicate path.
+    val predCol =
+      pmod(hash(get_json_object(col("metadata"), "$.i")), lit(2)) === 0
+    val predCorr = get_json_object(col("metadata"), "$.i").cast("long") % 2 === 0
     val filteredMatches = (0 until 2).forall { qi =>
-      val exp = engine.queryCatalyst("scale", queries(qi), prelimK, finalK,
-          Some(predCol)).collect()
-        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3))).toSeq
-      val got = engine.queryHits("scale", queries(qi), prelimK, finalK,
-          Some(predCol))
-        .map(h => (h.rank, h.id, h.cosineSimilarity)).toSeq
-      got == exp
+      Seq(predCol, predCorr).forall { p =>
+        val exp = engine.queryCatalyst("scale", queries(qi), prelimK, finalK,
+            Some(p)).collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3))).toSeq
+        val got = engine.queryHits("scale", queries(qi), prelimK, finalK,
+            Some(p))
+          .map(h => (h.rank, h.id, h.cosineSimilarity)).toSeq
+        got == exp
+      }
     }
-    val fSingles = (0 until nSingle).map { qi =>
-      val s0 = System.nanoTime()
-      engine.queryHits("scale", queries(qi), prelimK, finalK, Some(predCol))
-      (System.nanoTime() - s0) / 1e6
-    }.sorted
-    val filteredP50 = fSingles(nSingle / 2)
+    def fLoop(p: Column): Double = {
+      val xs = (0 until nSingle).map { qi =>
+        val s0 = System.nanoTime()
+        engine.queryHits("scale", queries(qi), prelimK, finalK, Some(p))
+        (System.nanoTime() - s0) / 1e6
+      }.sorted
+      xs(nSingle / 2)
+    }
+    val filteredP50 = fLoop(predCol)
+    val filteredCorrelatedP50 = fLoop(predCorr)
     val fCat = (0 until nSingle).map { qi =>
       val s0 = System.nanoTime()
       engine.queryCatalyst("scale", queries(qi), prelimK, finalK,
@@ -293,6 +314,7 @@ object ScaleEval {
         s""""query_exec_ms_p50":${"%.0f".format(execP50)},""" +
         s""""filtered_matches_catalyst":$filteredMatches,""" +
         s""""filtered_query_ms_p50":${"%.0f".format(filteredP50)},""" +
+        s""""filtered_cluster_correlated_ms_p50":${"%.0f".format(filteredCorrelatedP50)},""" +
         s""""filtered_catalyst_ms_p50":${"%.0f".format(filteredCatalystP50)},""" +
         preparedJson +
         s""""concurrent_threads":$nThreads,"concurrent_queries":$nConc,""" +

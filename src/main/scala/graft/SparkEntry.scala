@@ -68,6 +68,7 @@ object SparkEntry {
     "chunk_docs"         -> (Queries.chunkDocs _),
     "csv_source"         -> (Queries.csvSourceRoundtrip _),
     "orc_source"         -> (Queries.orcSourceRoundtrip _),
+    "partitioned_sink"   -> (Queries.partitionedSink _),
     "funnel_steps"       -> (Queries.funnelSteps _),
     "char_shingle_min"   -> (Queries.charShingleMin _),
     "multimodal_meta"    -> (Queries.multimodalMeta _),
@@ -1366,6 +1367,14 @@ object SparkEntry {
         |  round(avg(length(text)), 2) AS avg_len,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM documents GROUP BY source""".stripMargin,
+
+    "partitioned_sink" ->
+      """SELECT lang, count(*) AS cnt,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  round(avg(length(text)), 2) AS avg_len,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "orc_source" ->
       """SELECT source, count(*) AS cnt,

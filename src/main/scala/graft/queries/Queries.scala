@@ -1640,6 +1640,31 @@ object Queries {
         .localCheckpoint(eager = true)
     }
 
+  /** Hive-style partitioned parquet sink round-trip — how a 100 TB table
+    * is actually laid out: `partitionBy(lang)` writes one directory per
+    * language, the partition column comes back from directory names (not
+    * file bytes), and a reader filtering on it prunes whole directories
+    * before any I/O (PlanShapeSpec asserts the pruned scan). The same
+    * corruption-sensitive aggregate as the other format rows, grouped by
+    * the partition column so a lost/duplicated partition breaks the hash.
+    */
+  def partitionedSink(s: SparkSession, dir: String): DataFrame =
+    sharedFrame(s, dir, "partitioned_sink") {
+      val d = t(s, dir, "documents")
+      val staged = java.nio.file.Files
+        .createTempDirectory("graft-part-sink").toString
+      d.select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").partitionBy("lang").parquet(staged)
+      s.read.parquet(staged)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          round(avg(length(col("text"))), 2).as("avg_len"),
+          countDistinct(col("source")).as("n_sources"))
+        .localCheckpoint(eager = true)
+    }
+
   /** Native pivot (conditional-aggregation reshaping): per-user event
     * counts pivoted by type — `RelationalGroupedDataset.pivot` with an
     * EXPLICIT value list (never the value-discovery scan at scale);

@@ -49,6 +49,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "mixture decisions must not shuffle")
   }
 
+  test("partitioned sink: a partition-column filter prunes directories at the scan") {
+    import spark.implicits._
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft-psink-spec").toString
+    Seq((1L, "aa", "en"), (2L, "bb", "de"), (3L, "cc", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").partitionBy("lang").parquet(staged)
+    val scan = spark.read.parquet(staged)
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    // the filter must land in PartitionFilters (directory pruning before
+    // any file I/O), NOT as a data filter over file bytes
+    assert(scan.contains("PartitionFilters") &&
+      scan.split("PartitionFilters")(1).takeWhile(_ != ']').contains("lang"),
+      s"lang filter must prune partitions:\n$scan")
+  }
+
   test("dsir_weights_hashed: the model joins BROADCAST (never a corpus-sized shuffle)") {
     // the hashed variant's entire point: the ≤nBuckets-row model
     // broadcasts to the scoring join; a SortMergeJoin here means the
