@@ -164,6 +164,14 @@ object ScaleEval {
     val w0 = System.nanoTime()
     engine.query("scale", queries(0), prelimK, finalK).collect()
     val routeBuildSec = (System.nanoTime() - w0) / 1e9
+    // settle before the latency loops: the build/gt/batch phases leave
+    // collector debt on a ~100 GB heap, and a full GC landing inside an
+    // 8-sample p50 reads as a serving regression (observed: singles p50
+    // 294 ms in a run whose prepared/filtered/concurrent numbers minutes
+    // later were 31/34 ms and 88 qps) — measure steady-state serving,
+    // not the one-time build-phase garbage
+    System.gc()
+    Thread.sleep(2000)
     val singles = (0 until nSingle).map { qi =>
       val s0 = System.nanoTime()
       engine.query("scale", queries(qi), prelimK, finalK).collect()
