@@ -36,6 +36,7 @@ object SparkEntry {
     "pq_fit_invariants"  -> (Queries.pqFitInvariants _),
     "train_subsample"    -> (Queries.trainSubsampleGoldens _),
     "knn_filtered"       -> (Queries.knnFiltered _),
+    "knn_batch_filtered" -> (Queries.knnBatchFiltered _),
     "lifecycle_ids"      -> (Queries.lifecycleIds _),
     "lifecycle_counters" -> (Queries.lifecycleCounters _),
     "dedup_exact"        -> (Queries.dedupExact _),
@@ -519,6 +520,28 @@ object SparkEntry {
         |SELECT row_number() OVER (ORDER BY sim DESC, id) AS rank, id,
         |  CAST(label AS VARCHAR) AS label, round(sim, 6) AS cosine_similarity
         |FROM scored ORDER BY sim DESC, id LIMIT 15""".stripMargin,
+
+    "knn_batch_filtered" ->
+      """WITH nv AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS id, vec_id, label,
+        |    [CAST(CAST(x AS DOUBLE) / n AS REAL) for x in embedding] AS v
+        |  FROM (
+        |    SELECT vec_id, label, embedding,
+        |      sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS n
+        |    FROM embeddings)),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM nv WHERE vec_id < 4),
+        |scored AS (
+        |  SELECT q.query_id, nv.id, nv.label,
+        |    list_sum([CAST(nv.v[j] AS DOUBLE) * CAST(q.qv[j] AS DOUBLE)
+        |      for j in generate_series(1, 64)]) AS sim
+        |  FROM nv, q WHERE nv.label IN (2, 5, 8)),
+        |rk AS (
+        |  SELECT query_id, id, label, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, id, CAST(label AS VARCHAR) AS label,
+        |  round(sim, 6) AS cosine_similarity
+        |FROM rk WHERE rank <= 10""".stripMargin,
 
     "knn_filtered_trained" ->
       """WITH nv AS (

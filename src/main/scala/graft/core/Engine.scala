@@ -932,16 +932,23 @@ class Engine(val spark: SparkSession, val root: String) {
     * `queries`: (query_id long, qvec array<float>) — pre-normalized or not,
     * broadcast-small by contract (collected to the driver).
     */
-  def queryBatchFlat(name: String, queries: DataFrame, finalTopK: Int): DataFrame = {
+  def queryBatchFlat(name: String, queries: DataFrame, finalTopK: Int,
+                     predicate: Option[Column] = None): DataFrame = {
     val doc = load(name)
     val table = snapshot(doc)
+    // exact path: the predicate pushes into the ONE shared scan, so every
+    // query's top-k ranges over ALL matching rows — no under-fill
+    // semantics needed (this is the batch face of the single flat
+    // filtered query, and the terminal fallback target of the trained
+    // filtered batch below)
+    val src = predicate.fold(table)(table.filter)
     val qs = queries
       .select(col("query_id").cast("long"), col("qvec").cast("array<float>"))
       .collect()
       .map(r => r.getLong(0) -> normalizeLocal(r.getSeq[Float](1).toArray))
-    val topk = graft.operators.TopK.topKPerQuery(table, qs, finalTopK)
+    val topk = graft.operators.TopK.topKPerQuery(src, qs, finalTopK)
     // metadata hydrate: broadcast the tiny q·k result against the table
-    table.select(col("id"), col("metadata"))
+    src.select(col("id"), col("metadata"))
       .join(broadcast(topk), Seq("id"))
       .select(col("query_id"), col("id"), col("metadata"),
         col("sim").as("cosine_similarity"), col("rank"))
@@ -955,14 +962,20 @@ class Engine(val spark: SparkSession, val root: String) {
     * `queries`: (query_id long, qvec array<float>), broadcast-small.
     */
   def queryBatchTrained(name: String, queries: DataFrame,
-                        preliminaryTopK: Int = 500, finalTopK: Int = 100): DataFrame = {
+                        preliminaryTopK: Int = 500, finalTopK: Int = 100,
+                        predicate: Option[Column] = None): DataFrame = {
     val doc = load(name)
     require(doc.isTrained, s"'$name' has no trained index — use queryBatchFlat")
     val model = indexModel(doc)
-    val qs = queries
+    val raw = queries
       .select(col("query_id").cast("long"), col("qvec").cast("array<float>"))
       .collect()
-      .map(r => r.getLong(0) -> normalizeLocal(r.getSeq[Float](1).toArray))
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // raw vectors are kept for the predicate path's per-query re-route:
+    // the single filtered path normalizes the RAW query itself, and
+    // normalize is not bit-idempotent
+    val rawByQid = raw.toMap
+    val qs = raw.map { case (qid, v) => qid -> normalizeLocal(v) }
     // Driver-memory guard: the candidate round-trip holds q·prelimK rows
     // on the driver (twice, briefly: Array[Row] + the rebuilt frame). A
     // very large batch would OOM it, so past the cap the batch splits
@@ -979,10 +992,11 @@ class Engine(val spark: SparkSession, val root: String) {
         (Engine.MaxDriverBatchCandidates / preliminaryTopK).toInt)
       return qs.grouped(perChunk).map { chunk =>
         queryBatchTrainedNormalized(doc, model, chunk, preliminaryTopK,
-          finalTopK).localCheckpoint(true)
+          finalTopK, predicate, rawByQid).localCheckpoint(true)
       }.reduce(_ union _)
     }
-    queryBatchTrainedNormalized(doc, model, qs, preliminaryTopK, finalTopK)
+    queryBatchTrainedNormalized(doc, model, qs, preliminaryTopK, finalTopK,
+      predicate, rawByQid)
   }
 
   /** [[queryBatchTrained]] body over collected, already-normalized
@@ -991,7 +1005,9 @@ class Engine(val spark: SparkSession, val root: String) {
     */
   private def queryBatchTrainedNormalized(doc: CatalogDoc,
       model: Engine.IndexModel, qs: Array[(Long, Array[Float])],
-      preliminaryTopK: Int, finalTopK: Int): DataFrame = {
+      preliminaryTopK: Int, finalTopK: Int,
+      predicate: Option[Column] = None,
+      rawByQid: Map[Long, Array[Float]] = Map.empty): DataFrame = {
     val qsP = qs.map { case (qid, qn) => qid -> model.pca.applyLocal(qn) }
     val probes = qsP.map { case (_, qp) => model.nearestClusters(qp, doc.nProbe) }
     val probeUnion = probes.flatten.distinct
@@ -1015,7 +1031,47 @@ class Engine(val spark: SparkSession, val root: String) {
         live.select("cluster_id", "id", "vector", "metadata").filter(lit(false))
       else prunedLiveCoded(doc, candRows.map(_.getInt(2)).distinct)
         .select("cluster_id", "id", "vector", "metadata")
-    graft.operators.BatchANN.rerank(spark, fetchScan, candidates, qs, finalTopK)
+    predicate match {
+      case None =>
+        graft.operators.BatchANN.rerank(spark, fetchScan, candidates, qs,
+          finalTopK)
+      case Some(pred) =>
+        // Filtered batch = the batch face of the single filtered query:
+        // the predicate filters the hydrated candidate rows (pushed into
+        // the pruned fetch scan as a Catalyst filter), and a query whose
+        // filtered preliminary set can't fill finalTopK — EXACTLY the
+        // condition under which the single path widens — re-routes
+        // through `query(.., predicate)` on its RAW vector, inheriting
+        // the identical under-fill guard (widened re-probe, terminal
+        // exact flat scan). Eager by necessity (per-query fill counts
+        // drive the re-route), like the trained single form. Collected
+        // rows ≤ q·finalK — strictly smaller than the q·prelimK the
+        // candidate stage already held.
+        val ranked = graft.operators.BatchANN.rerank(
+          spark, fetchScan.filter(pred), candidates, qs, finalTopK)
+        val rows = ranked.collect()
+        val filledBy = rows.groupBy(_.getLong(0))
+        val rerouted = qs.iterator.map(_._1).filter { qid =>
+          filledBy.getOrElse(qid, Array.empty).length < finalTopK
+        }.flatMap { qid =>
+          query(doc.name, rawByQid(qid), preliminaryTopK, finalTopK,
+            Some(pred)).collect().map { h =>
+            org.apache.spark.sql.Row(qid, h.getLong(1),
+              if (h.isNullAt(2)) null else h.getString(2),
+              h.getDouble(3), h.getInt(0))
+          }
+        }.toArray
+        val kept = rows.filter(r =>
+          filledBy(r.getLong(0)).length >= finalTopK)
+        spark.createDataFrame(
+          java.util.Arrays.asList((kept ++ rerouted): _*),
+          StructType(Seq(
+            StructField("query_id", LongType, nullable = false),
+            StructField("id", LongType, nullable = false),
+            StructField("metadata", StringType, nullable = true),
+            StructField("cosine_similarity", DoubleType, nullable = false),
+            StructField("rank", IntegerType, nullable = false))))
+    }
   }
 
   /** Pin the trained index into a memory-resident [[PreparedIndex]] —

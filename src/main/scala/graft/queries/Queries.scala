@@ -623,6 +623,21 @@ object Queries {
       e
     })
 
+  /** Metadata-filtered BATCH kNN through the engine's flat batch path —
+    * four queries share ONE predicate-pushed scan, per-query top-10 over
+    * all matching rows (exact: no under-fill semantics on the flat path).
+    */
+  def knnBatchFiltered(s: SparkSession, dir: String): DataFrame = {
+    val eng = filteredDb(s, dir)
+    val qs = t(s, dir, "embeddings").filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    eng.queryBatchFlat("fk", qs, finalTopK = 10,
+      predicate = Some(col("metadata").isin("2", "5", "8")))
+      .select(col("query_id"), col("rank"), col("id"),
+        col("metadata").as("label"),
+        round(col("cosine_similarity"), 6).as("cosine_similarity"))
+  }
+
   def knnFiltered(s: SparkSession, dir: String): DataFrame = {
     // the measured operator is the filtered query; the scratch-db build is
     // setup, memoized per (JVM, sf dir) like the lifecycle probes

@@ -374,6 +374,37 @@ class PreparedIndexSpec extends SparkSpec {
     assert(after == regularP(q, pred))
   }
 
+  test("filtered BATCH equals the single filtered path on every branch") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    import spark.implicits._
+    // the same three predicate regimes as the single-path tests: filled
+    // (~50%), under-fill → widened (~3%), terminal flat (id < 10). The
+    // batch path re-routes under-filled queries through the single
+    // filtered query, so every row must be bit-identical per query.
+    val preds = Seq(
+      get_json_object(col("metadata"), "$.doc") % 2 === 0,
+      get_json_object(col("metadata"), "$.doc") % 29 === 0,
+      col("id") < 10L)
+    val qdf = queries.take(4).zipWithIndex
+      .map { case (q, i) => (i.toLong, q.toSeq) }.toSeq.toDF("query_id", "qvec")
+    for (pred <- preds) {
+      val got = engine.queryBatchTrained("pdb", qdf, PrelimK, FinalK,
+          Some(pred)).collect()
+        .map(r => (r.getLong(0), r.getInt(4), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getString(2), r.getDouble(3)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+      queries.take(4).zipWithIndex.foreach { case (q, i) =>
+        val exp = engine.query("pdb", q, PrelimK, FinalK, Some(pred))
+          .collect()
+          .map(r => (i.toLong, r.getInt(0), r.getLong(1),
+            if (r.isNullAt(2)) null else r.getString(2), r.getDouble(3)))
+          .toSeq
+        assert(got.getOrElse(i.toLong, Seq.empty) == exp,
+          s"batch/single divergence for query $i under $pred")
+      }
+    }
+  }
+
   test("closed handle refuses queries") {
     prep.close()
     intercept[IllegalArgumentException] { prep.query(queries(0), PrelimK, FinalK) }
