@@ -70,6 +70,7 @@ object SparkEntry {
     "csv_source"         -> (Queries.csvSourceRoundtrip _),
     "orc_source"         -> (Queries.orcSourceRoundtrip _),
     "partitioned_sink"   -> (Queries.partitionedSink _),
+    "corpus_report"      -> (Queries.corpusReport _),
     "funnel_steps"       -> (Queries.funnelSteps _),
     "char_shingle_min"   -> (Queries.charShingleMin _),
     "multimodal_meta"    -> (Queries.multimodalMeta _),
@@ -1390,6 +1391,31 @@ object SparkEntry {
         |  round(avg(length(text)), 2) AS avg_len,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM documents GROUP BY source""".stripMargin,
+
+    // quality formula = the quality_score row's; dup_docs counts docs
+    // whose md5(text) repeats CORPUS-wide (null text never a dup)
+    "corpus_report" ->
+      """WITH q AS (
+        |  SELECT doc_id, source, lang, n_chars,
+        |    CASE WHEN text IS NOT NULL THEN
+        |      len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                      x -> x <> '')) ELSE 0 END AS n_toks,
+        |    CASE WHEN text IS NOT NULL THEN
+        |        0.4 * least(CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE) / greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')), 1) * 4.0, 1.0)
+        |      + 0.4 * least(CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE) / 100.0, 1.0)
+        |      + 0.2 * (1.0 - CAST(length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g')) AS DOUBLE) / greatest(length(lower(text)), 1))
+        |      ELSE NULL END AS quality,
+        |    CASE WHEN text IS NOT NULL THEN md5(text) END AS h
+        |  FROM documents),
+        |dc AS (SELECT h, count(*) AS h_n FROM q WHERE h IS NOT NULL GROUP BY h)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  round(avg(quality), 6) AS avg_quality,
+        |  CAST(count(CASE WHEN h_n > 1 THEN 1 END) AS BIGINT) AS dup_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM q LEFT JOIN dc USING (h)
+        |GROUP BY source""".stripMargin,
 
     "partitioned_sink" ->
       """SELECT lang, count(*) AS cnt,

@@ -1655,6 +1655,38 @@ object Queries {
         .localCheckpoint(eager = true)
     }
 
+  /** Corpus report card — the per-source health summary a curation
+    * pipeline publishes after every ingest: volume (docs/tokens/chars),
+    * quality (mean of the scoring kernel), language spread, and the
+    * exact-duplicate fraction (docs whose content hash repeats
+    * CORPUS-wide, so a source can't hide its duplication inside another
+    * source's rows). Two shuffles total at any corpus size: the
+    * content-hash self-aggregation and the final per-source rollup —
+    * both map-side combined.
+    */
+  def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = filter(graft.operators.TextAnalysis.tokens(col("text")),
+      x => x =!= "")
+    val scored = d.select(col("doc_id"), col("source"), col("lang"),
+      col("n_chars"),
+      when(col("text").isNotNull, size(toks)).otherwise(0L).as("n_toks"),
+      when(col("text").isNotNull,
+        graft.operators.TextAnalysis.docScores(col("text"))
+          .getField("quality")).as("quality"),
+      when(col("text").isNotNull, md5(col("text"))).as("h"))
+    val dupCounts = scored.filter(col("h").isNotNull)
+      .groupBy("h").agg(count(lit(1)).as("h_n"))
+    scored.join(dupCounts, Seq("h"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        round(avg(col("quality")), 6).as("avg_quality"),
+        count(when(col("h_n") > 1, 1)).as("dup_docs"),
+        countDistinct(col("lang")).as("n_langs"))
+  }
+
   /** Hive-style partitioned parquet sink round-trip — how a 100 TB table
     * is actually laid out: `partitionBy(lang)` writes one directory per
     * language, the partition column comes back from directory names (not
