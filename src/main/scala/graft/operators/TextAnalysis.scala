@@ -489,6 +489,13 @@ object TextAnalysis {
     * model stays driver/broadcast sized at web scale. Smoothing is add-1
     * over the FIXED bucket space (denominator nt + nBuckets), so absent
     * buckets are well-defined without materializing them.
+    *
+    * Bench note: at small SF this form measures SLOWER than the exact
+    * one (the md5 per bigram costs more than shuffling a tiny vocab);
+    * the crossover is where the exact form's vocab-keyed corpus shuffle
+    * stops fitting comfortably — the hashed form's shuffle volume is
+    * zero regardless of corpus size, which is the 100-TB property the
+    * variant exists for (and the BroadcastHashJoin plan spec pins).
     */
   def dsirWeightsHashed(docs: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String,
