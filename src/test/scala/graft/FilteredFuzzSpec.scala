@@ -84,6 +84,35 @@ class FilteredFuzzSpec extends SparkSpec {
     for (i <- 0 until 30) check(gen(rnd, 2), s"fuzz#$i")
   }
 
+  test("concurrent filtered callers: 8 threads share one predicate object, all exact") {
+    // the compiled-predicate cache is per-THREAD because interpreted
+    // eval nodes keep per-instance scratch state; this drives the cache
+    // from a fresh pool (every thread compiles once, then reuses) while
+    // sharing the SAME Column object across threads — any cross-thread
+    // state bleed or race shows up as a wrong row vs the single-threaded
+    // ground truth
+    val pred = j % 3 === 0 && get_json_object(col("metadata"), "$.tag") =!= "t5"
+    val expected = queries.map(q =>
+      engine.queryCatalyst("fz", q, PrelimK, FinalK, Some(pred)).collect()
+        .toSeq.map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+          r.getDouble(3))))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (0 until 32).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            val qi = i % queries.length
+            val got = engine.queryHits("fz", queries(qi), PrelimK, FinalK,
+                Some(pred))
+              .toSeq.map(h => (h.rank, h.id, h.metadata, h.cosineSimilarity))
+            got == expected(qi)
+          }
+        })
+      }
+      assert(tasks.forall(_.get()), "concurrent filtered divergence")
+    } finally { pool.shutdown() }
+  }
+
   test("edge predicates: always-true, always-false, null-tainted, unresolvable") {
     check(lit(true), "always-true")
     check(lit(false), "always-false")
