@@ -71,6 +71,7 @@ object SparkEntry {
     "orc_source"         -> (Queries.orcSourceRoundtrip _),
     "partitioned_sink"   -> (Queries.partitionedSink _),
     "corpus_report"      -> (Queries.corpusReport _),
+    "kmv_distinct"       -> (Queries.kmvDistinct _),
     "funnel_steps"       -> (Queries.funnelSteps _),
     "char_shingle_min"   -> (Queries.charShingleMin _),
     "multimodal_meta"    -> (Queries.multimodalMeta _),
@@ -1391,6 +1392,35 @@ object SparkEntry {
         |  round(avg(length(text)), 2) AS avg_len,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM documents GROUP BY source""".stripMargin,
+
+    // KMV k-minimum-values: rank distinct token hashes per source, keep
+    // the 64 smallest; estimate = 63*P / h_(64) (or the exact count when
+    // a source has < 64 distinct hashes). Same 60-bit md5 parse as the
+    // minhash rows; P = 2147483647.
+    "kmv_distinct" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |ex AS (
+        |  SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_exact
+        |  FROM tk GROUP BY source),
+        |vh AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647 AS h
+        |  FROM (SELECT DISTINCT source, tok FROM tk)),
+        |rk AS (
+        |  SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS r
+        |  FROM vh),
+        |sk AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS kmv_k,
+        |    max(h) AS kth_min,
+        |    round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |      ELSE 63.0 * 2147483647.0 / max(h) END, 2) AS kmv_estimate
+        |  FROM rk WHERE r <= 64 GROUP BY source)
+        |SELECT source, n_distinct_exact, kmv_k, kth_min, kmv_estimate
+        |FROM ex JOIN sk USING (source)""".stripMargin,
 
     // quality formula = the quality_score row's; dup_docs counts docs
     // whose md5(text) repeats CORPUS-wide (null text never a dup)

@@ -553,6 +553,51 @@ object TextAnalysis {
           .as("chunk_toks"))
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch per group — the
+    * classic mergeable cardinality sketch (Bar-Yossef et al. 2002) over
+    * the corpus token vocabulary: hash every distinct token to the
+    * 60-bit md5 base the MinHash kernel already proves portable, keep
+    * the k smallest per group, and estimate |distinct| as
+    * (k−1)·U / h_(k) (U = the hash universe). Relative error ~1/√k.
+    * Unlike HLL/CMS binaries, every intermediate here is plain integer
+    * arithmetic the DuckDB oracle replays bit-for-bit — estimate
+    * INCLUDED.
+    *
+    * Scale shape: the explode feeds ONE distinct on (group, token) —
+    * map-side combined, shuffle ∝ vocabulary (Zipf-bounded, the
+    * [[MaxUnigramVocab]] class), never corpus rows; the per-group rank
+    * window sorts each group's VOCABULARY hash set (≤ ~1e7 rows per
+    * group at web scale — one task-local sort of longs), not its
+    * documents. Groups don't co-reside: each sorts in its own task. The
+    * sketches themselves are k longs per group — mergeable downstream
+    * by taking the k smallest of a union, which is how a 100-TB
+    * pipeline unions per-shard sketches without re-touching text.
+    */
+  def kmvDistinct(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+                  textCol: String, k: Int = 256)
+      : org.apache.spark.sql.DataFrame = {
+    require(k >= 16, s"k=$k too small for a usable estimate")
+    val toks = filter(tokens(col(textCol)), x => x =!= "")
+    val vocab = docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol), explode(toks).as("tok"))
+      .distinct()
+      .select(col(groupCol),
+        (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") %
+          graft.operators.MinHashLSH.P).as("h"))
+      .distinct() // hash collisions collapse, exactly as the sketch defines
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("h"))
+    vocab.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("kmv_k"), max(col("h")).as("kth_min"),
+        round(
+          when(count(lit(1)) < k, count(lit(1)).cast("double"))
+            .otherwise((lit(k - 1).cast("double") *
+              graft.operators.MinHashLSH.P.toDouble) / max(col("h"))),
+          2).as("kmv_estimate"))
+  }
+
   /** Shared DSIR upstream: (id, tgt, w1, w2) corpus bigrams — the
     * shuffle-free slice-zip extraction; null text drops, <2-token docs
     * emit nothing, a NULL target flag keeps the doc scored but counted

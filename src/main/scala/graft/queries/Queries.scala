@@ -1655,6 +1655,24 @@ object Queries {
         .localCheckpoint(eager = true)
     }
 
+  /** KMV distinct-vocabulary sketch per source (k=64) next to the exact
+    * count — the mergeable-cardinality primitive for corpus accounting
+    * at scales where exact per-shard distinct counts can't be unioned.
+    * The estimate column is deterministic integer/float arithmetic the
+    * oracle replays exactly — no opaque sketch binaries.
+    */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sketch = graft.operators.TextAnalysis.kmvDistinct(
+      d, "source", "text", k = 64)
+    val exact = d.filter(col("text").isNotNull)
+      .select(col("source"), explode(filter(
+        graft.operators.TextAnalysis.tokens(col("text")),
+        x => x =!= "")).as("tok"))
+      .groupBy("source").agg(countDistinct(col("tok")).as("n_distinct_exact"))
+    exact.join(sketch, Seq("source"))
+  }
+
   /** Corpus report card — the per-source health summary a curation
     * pipeline publishes after every ingest: volume (docs/tokens/chars),
     * quality (mean of the scoring kernel), language spread, and the

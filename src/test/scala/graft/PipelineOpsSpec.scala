@@ -140,6 +140,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(3L)._2 < out(0L)._2)
   }
 
+  test("kmv sketch: estimate within 3/sqrt(k) of a 20k-token truth; exact below k") {
+    import spark.implicits._
+    // one group with 20,000 distinct tokens (k=256 -> ~6% rel error,
+    // assert 3x that); one tiny group below k -> exact count
+    val big = (0 until 200).map(i =>
+      (0L + i, (i * 100 until (i + 1) * 100).map(t => s"tok$t").mkString(" "), "big"))
+    val small = Seq((9000L, "a b c d e", "small"))
+    val docs = (big ++ small).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.kmvDistinct(docs, "source", "text", k = 256)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val (bigK, bigEst) = out("big")
+    assert(bigK == 256)
+    assert(math.abs(bigEst - 20000.0) / 20000.0 < 3.0 / math.sqrt(256),
+      s"estimate $bigEst too far from 20000")
+    assert(out("small") == ((5L, 5.0)), "below-k group must be exact")
+  }
+
   test("chunk docs: full coverage, exact overlap, short doc is one whole chunk") {
     import spark.implicits._
     // 10 tokens, window 4, stride 3 → chunks at 1,4,7: [t1..t4][t4..t7][t7..t10]
