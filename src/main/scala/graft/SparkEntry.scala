@@ -72,6 +72,7 @@ object SparkEntry {
     "partitioned_sink"   -> (Queries.partitionedSink _),
     "corpus_report"      -> (Queries.corpusReport _),
     "kmv_distinct"       -> (Queries.kmvDistinct _),
+    "kmv_overlap"        -> (Queries.kmvOverlap _),
     "funnel_steps"       -> (Queries.funnelSteps _),
     "char_shingle_min"   -> (Queries.charShingleMin _),
     "multimodal_meta"    -> (Queries.multimodalMeta _),
@@ -1421,6 +1422,37 @@ object SparkEntry {
         |  FROM rk WHERE r <= 64 GROUP BY source)
         |SELECT source, n_distinct_exact, kmv_k, kth_min, kmv_estimate
         |FROM ex JOIN sk USING (source)""".stripMargin,
+
+    // sketch merge replay: per-source 64-min lists, pairwise union's
+    // k-th value as tau, J = |intersect <= tau| / |union list|
+    "kmv_overlap" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |vh AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647 AS h
+        |  FROM (SELECT DISTINCT source, tok FROM tk)),
+        |rk AS (
+        |  SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS r
+        |  FROM vh),
+        |sk AS (
+        |  SELECT source, list(h ORDER BY h) AS kmins
+        |  FROM rk WHERE r <= 64 GROUP BY source),
+        |pr AS (
+        |  SELECT a.source AS group_a, b.source AS group_b,
+        |    list_sort(list_distinct(a.kmins || b.kmins))[1:64] AS u,
+        |    a.kmins AS ka, b.kmins AS kb
+        |  FROM sk a JOIN sk b ON a.source < b.source)
+        |SELECT group_a, group_b,
+        |  CAST(len(u) AS BIGINT) AS union_k,
+        |  round(CAST(len(list_filter(list_intersect(ka, kb),
+        |      x -> x <= u[len(u)])) AS DOUBLE) / len(u), 6) AS jaccard_est,
+        |  round(CASE WHEN len(u) < 64 THEN CAST(len(u) AS DOUBLE)
+        |    ELSE 63.0 * 2147483647.0 / u[len(u)] END, 2) AS union_est
+        |FROM pr""".stripMargin,
 
     // quality formula = the quality_score row's; dup_docs counts docs
     // whose md5(text) repeats CORPUS-wide (null text never a dup)

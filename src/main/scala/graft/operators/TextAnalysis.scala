@@ -598,6 +598,61 @@ object TextAnalysis {
           2).as("kmv_estimate"))
   }
 
+  /** The KMV sketches themselves: one row per group with its sorted
+    * k-minimum hash list — the mergeable artifact ([[kmvDistinct]]
+    * derives its estimate from exactly this). `collect_list` here is
+    * bounded by k per group BY CONSTRUCTION (the rank filter runs
+    * first), so the sketch table is |groups|·k longs at any corpus
+    * size.
+    */
+  def kmvSketches(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+                  textCol: String, k: Int = 256)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = filter(tokens(col(textCol)), x => x =!= "")
+    val vocab = docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol), explode(toks).as("tok"))
+      .distinct()
+      .select(col(groupCol),
+        (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") %
+          graft.operators.MinHashLSH.P).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("h"))
+    vocab.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col("h"))).as("kmins"))
+  }
+
+  /** Pairwise set-overlap estimation from the SKETCHES ALONE — the
+    * operation KMV's mergeability exists for: the union sketch of two
+    * groups is the k smallest of their combined k-min lists, and with
+    * τ = that union's k-th value, J ≈ |{h ∈ A∩B : h ≤ τ}| / k and
+    * |A∪B| ≈ (k−1)·U/τ (Beyer et al. 2007). Nothing here touches text
+    * or vocabulary: the input is |groups|·k longs, so at 100 TB the
+    * pairwise pass costs |groups|² tiny array ops — the whole point of
+    * sketching per shard and combining later. Groups whose sketch holds
+    * fewer than k values (small vocabularies) are exact: τ covers both
+    * sets entirely and J is the true Jaccard of the hash sets.
+    */
+  def kmvOverlap(sketches: org.apache.spark.sql.DataFrame, groupCol: String,
+                 k: Int = 256): org.apache.spark.sql.DataFrame = {
+    val a = sketches.select(col(groupCol).as("group_a"), col("kmins").as("ka"))
+    val b = sketches.select(col(groupCol).as("group_b"), col("kmins").as("kb"))
+    val pairs = a.crossJoin(b).filter(col("group_a") < col("group_b"))
+    val unionK = slice(array_sort(array_union(col("ka"), col("kb"))), 1, k)
+    val tau = element_at(unionK, size(unionK))
+    val interBelow = size(filter(array_intersect(col("ka"), col("kb")),
+      h => h <= tau))
+    pairs.select(col("group_a"), col("group_b"),
+      size(unionK).cast("long").as("union_k"),
+      round(interBelow.cast("double") /
+        size(unionK).cast("double"), 6).as("jaccard_est"),
+      round(when(size(unionK) < k, size(unionK).cast("double"))
+        .otherwise(lit((k - 1).toDouble) *
+          graft.operators.MinHashLSH.P.toDouble / tau), 2).as("union_est"))
+  }
+
   /** Shared DSIR upstream: (id, tgt, w1, w2) corpus bigrams — the
     * shuffle-free slice-zip extraction; null text drops, <2-token docs
     * emit nothing, a NULL target flag keeps the doc scored but counted

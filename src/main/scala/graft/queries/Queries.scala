@@ -1673,6 +1673,16 @@ object Queries {
     exact.join(sketch, Seq("source"))
   }
 
+  /** Pairwise source-vocabulary overlap from the KMV sketches alone
+    * (k=64): 190 source pairs scored without re-touching text — the
+    * merge operation sketching exists for.
+    */
+  def kmvOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.kmvOverlap(
+      graft.operators.TextAnalysis.kmvSketches(
+        t(s, dir, "documents"), "source", "text", k = 64),
+      "source", k = 64)
+
   /** Corpus report card — the per-source health summary a curation
     * pipeline publishes after every ingest: volume (docs/tokens/chars),
     * quality (mean of the scoring kernel), language spread, and the

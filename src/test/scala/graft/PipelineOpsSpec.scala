@@ -157,6 +157,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out("small") == ((5L, 5.0)), "below-k group must be exact")
   }
 
+  test("kmv overlap: sketch-only jaccard within 3/sqrt(k) of a controlled truth") {
+    import spark.implicits._
+    // A = tokens 0..2999, B = 2000..4999 → true J = 1000/5000 = 0.2;
+    // C = 0..2999 (identical to A) → J(A,C) = 1.0 exactly
+    def doc(lo: Int, hi: Int, id: Long, g: String) =
+      (id, (lo until hi).map(t => s"tok$t").mkString(" "), g)
+    val docs = ((0 until 30).map(i => doc(i * 100, (i + 1) * 100, i, "a")) ++
+      (0 until 30).map(i => doc(2000 + i * 100, 2000 + (i + 1) * 100, 100 + i, "b")) ++
+      (0 until 30).map(i => doc(i * 100, (i + 1) * 100, 200 + i, "c")))
+      .toDF("doc_id", "text", "source")
+    val sk = TextAnalysis.kmvSketches(docs, "source", "text", k = 256)
+    val out = TextAnalysis.kmvOverlap(sk, "source", k = 256)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    val (jab, uab) = out(("a", "b"))
+    assert(math.abs(jab - 0.2) < 3.0 / math.sqrt(256), s"J(a,b)=$jab vs 0.2")
+    assert(math.abs(uab - 5000.0) / 5000.0 < 3.0 / math.sqrt(256), s"U=$uab")
+    val (jac, _) = out(("a", "c"))
+    assert(jac == 1.0, s"identical vocabularies must estimate J=1, got $jac")
+  }
+
   test("chunk docs: full coverage, exact overlap, short doc is one whole chunk") {
     import spark.implicits._
     // 10 tokens, window 4, stride 3 → chunks at 1,4,7: [t1..t4][t4..t7][t7..t10]
