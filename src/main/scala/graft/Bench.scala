@@ -30,17 +30,7 @@ object Bench {
     // rather than publish a degraded artifact. Bounded: after maxWait the
     // run proceeds (an artifact with an honest in-band canary beats no
     // artifact) and `canary_waited_s` records the delay either way.
-    var kernelCanary = Canary.kernelCanaryRowsPerSec()
-    val waitStart = System.nanoTime()
-    val maxWaitS = sys.env.getOrElse("SPARK_GRAFT_CANARY_MAX_WAIT_S", "900").toLong
-    while (kernelCanary < Canary.HealthyKernelFloor &&
-           (System.nanoTime() - waitStart) / 1e9 < maxWaitS) {
-      System.err.println(s"[bench] kernel canary $kernelCanary rows/s < " +
-        s"${Canary.HealthyKernelFloor} (host contention) — waiting 60 s")
-      Thread.sleep(60000)
-      kernelCanary = Canary.kernelCanaryRowsPerSec()
-    }
-    val canaryWaitedS = math.rint((System.nanoTime() - waitStart) / 1e9)
+    val (kernelCanary, canaryWaitedS) = Canary.awaitHealthyKernel("bench")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

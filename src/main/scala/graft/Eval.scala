@@ -29,6 +29,10 @@ object Eval {
     val prelimK = sys.env.getOrElse("GRAFT_EVAL_PRELIM_K", "500").toInt
     val finalK = sys.env.getOrElse("GRAFT_EVAL_FINAL_K", "50").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // contention gate at entry AND re-admission before the latency loops
+    // below — r13's published-eval artifact read kernel canary 1,172
+    // (< the 1,600 floor) and failed the repo's own comparability rule
+    val (_, waitedBeforeS) = Canary.awaitHealthyKernel("eval")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -73,6 +77,10 @@ object Eval {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
 
     var recallSum = 0.0
+    // re-admit after the train: every number below is a latency
+    // measurement and must carry a healthy canary of its OWN window
+    val (kernelServing, waitedServingS) =
+      Canary.awaitHealthyKernel("eval-serving")
     // engine.query = the DEFAULT public path (r12: auto-routed through a
     // warm PreparedIndex; first call pays the block build)
     val latencies = queries.map { q =>
@@ -177,6 +185,9 @@ object Eval {
         s""""prepared_query_ms_p95":${"%.1f".format(prepLat((nQ * 95) / 100))},""" +
         s""""prepared_query_ms_p99":${"%.1f".format(prepLat((nQ * 99) / 100))},""" +
         s""""prepared_concurrent_qps":${"%.1f".format(concQps)},""" +
+        s""""canary_waited_before_s":$waitedBeforeS,""" +
+        s""""kernel_canary_serving_rows_per_sec":$kernelServing,""" +
+        s""""canary_waited_serving_s":$waitedServingS,""" +
         s""""cpu_canary_ms":${Canary.cpuCanaryMs()},""" +
         s""""kernel_canary_rows_per_sec":${Canary.kernelCanaryRowsPerSec()}}""")
     spark.stop()

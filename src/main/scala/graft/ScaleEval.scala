@@ -59,7 +59,11 @@ object ScaleEval {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val prelimK = 500
     val finalK = 50
-    val canaryBefore = (Canary.cpuCanaryMs(), Canary.kernelCanaryRowsPerSec())
+    // contention gate before the build AND again before each serving
+    // measurement block (r13: the 35M tail went contaminated AFTER a
+    // clean start — the long build is a window for contention to land)
+    val (kernelBefore, waitedBeforeS) = Canary.awaitHealthyKernel("scale-eval")
+    val canaryBefore = (Canary.cpuCanaryMs(), kernelBefore)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -172,6 +176,11 @@ object ScaleEval {
     // not the one-time build-phase garbage
     System.gc()
     Thread.sleep(2000)
+    // re-admit: everything below is a serving-latency measurement — the
+    // artifact is only comparable if the canary is healthy HERE, not
+    // just at process start (r13 "what's wrong" #1)
+    val (kernelServing, waitedServingS) =
+      Canary.awaitHealthyKernel("scale-eval-serving")
     val singles = (0 until nSingle).map { qi =>
       val s0 = System.nanoTime()
       engine.query("scale", queries(qi), prelimK, finalK).collect()
@@ -248,6 +257,8 @@ object ScaleEval {
     val filteredCatalystP50 = fCat(nSingle / 2)
 
     // concurrent serving: nThreads callers × single queries, shared session
+    val (kernelConc, waitedConcS) =
+      Canary.awaitHealthyKernel("scale-eval-concurrent")
     val nConc = nThreads * 2
     val pool = Executors.newFixedThreadPool(nThreads)
     val tasks = (0 until nConc).map { qi =>
@@ -332,6 +343,11 @@ object ScaleEval {
         s""""concurrency_speedup":${"%.1f".format(concurrentQps / singleQps)},""" +
         s""""cpu_canary_ms_before":${canaryBefore._1},""" +
         s""""kernel_canary_before_rows_per_sec":${canaryBefore._2},""" +
+        s""""canary_waited_before_s":$waitedBeforeS,""" +
+        s""""kernel_canary_serving_rows_per_sec":$kernelServing,""" +
+        s""""canary_waited_serving_s":$waitedServingS,""" +
+        s""""kernel_canary_concurrent_rows_per_sec":$kernelConc,""" +
+        s""""canary_waited_concurrent_s":$waitedConcS,""" +
         s""""cpu_canary_ms":${Canary.cpuCanaryMs()},""" +
         s""""kernel_canary_rows_per_sec":${Canary.kernelCanaryRowsPerSec()},""" +
         s""""load_after":${Canary.loadAvg1()}}""")

@@ -34,7 +34,21 @@ object StreamScale {
     // SST files, bounded independent of heap.
     val provider = sys.env.getOrElse("GRAFT_SS_PROVIDER", "default")
     val canaryMsBefore = Canary.cpuCanaryMs()
-    val kernelBefore = Canary.kernelCanaryRowsPerSec()
+    val (kernelBefore, canaryWaitedS) = Canary.awaitHealthyKernel("stream-scale")
+    if (provider == "rocksdb") {
+      // silence the RocksDB JNI info logger: its native callback racing
+      // JVM shutdown was the r13 teardown SIGSEGV (LoggerJniCallback::
+      // Logv on a detached thread). Spark derives the native log level
+      // from this class's slf4j level at DB open, so OFF here means the
+      // callback is never armed; the explicit StateStore stop below
+      // closes the DBs on a healthy JVM either way.
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.streaming.state.RocksDB",
+        org.apache.logging.log4j.Level.OFF)
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        org.apache.logging.log4j.Level.WARN)
+    }
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -126,8 +140,13 @@ object StreamScale {
         s""""band_rows_total":${nDocs * 4},""" +
         s""""cpu_canary_ms_before":$canaryMsBefore,""" +
         s""""kernel_canary_before_rows_per_sec":$kernelBefore,""" +
+        s""""canary_waited_before_s":$canaryWaitedS,""" +
         s""""cpu_canary_ms":${Canary.cpuCanaryMs()},""" +
         s""""kernel_canary_rows_per_sec":${Canary.kernelCanaryRowsPerSec()}}""")
+    // close state stores (RocksDB instances) while the JVM is healthy —
+    // see Bridge.stopStateStores; shutdown-hook teardown was the r13
+    // non-zero exit
+    org.apache.spark.sql.graftbridge.Bridge.stopStateStores()
     spark.stop()
   }
 }

@@ -106,7 +106,12 @@ class Engine(val spark: SparkSession, val root: String) {
         autoPrepared.get(doc.name).filter(!_.isStaleFor(doc)).getOrElse {
           autoPrepared.remove(doc.name).foreach(_.close())
           val p = prepareServing(doc.name)
-          autoPrepared(doc.name) = p
+          // close any handle the publish displaces: after a drop+recreate
+          // the OLD lock object is gone (delete() removes prepareLocks),
+          // so a stale builder still holding it can race this publish —
+          // whichever handle loses the put must not leak its pinned
+          // blocks until engine shutdown
+          autoPrepared.put(doc.name, p).foreach(_.close())
           // publish-then-recheck against a concurrent delete(): the drop
           // removes the catalog BEFORE sweeping autoPrepared, so if the
           // db vanished our just-published handle may have missed the
@@ -148,8 +153,10 @@ class Engine(val spark: SparkSession, val root: String) {
   // cached regex) that must not be raced across concurrent queries —
   // each serving thread compiles once and reuses privately.
   // Nondeterministic predicates are never cached (reusing their
-  // initialized instances would replay state); bounded per thread by
-  // clear-on-overflow (predicate shapes per process are few).
+  // initialized instances would replay state) — detected on the RESOLVED
+  // tree, because the unresolved one hides `expr("rand() < 0.5")` behind
+  // an UnresolvedFunction node. Bounded per thread by clear-on-overflow
+  // (predicate shapes per process are few).
   private val metaPredCache = ThreadLocal.withInitial(() =>
     scala.collection.mutable.HashMap
       .empty[org.apache.spark.sql.catalyst.expressions.Expression,
@@ -158,27 +165,28 @@ class Engine(val spark: SparkSession, val root: String) {
   private[core] def compileMetaPredicate(
       pred: Column): Option[(Long, String) => Boolean] = {
     val key = org.apache.spark.sql.graftbridge.Bridge.expression(pred)
-    val deterministic = key.find {
-      case _: org.apache.spark.sql.catalyst.expressions.Nondeterministic => true
-      case _ => false
-    }.isEmpty
-    if (!deterministic) compileMetaPredicateUncached(pred)
-    else {
-      val cache = metaPredCache.get()
-      cache.get(key) match {
-        case Some(cached) => cached
-        case None =>
-          val compiled = compileMetaPredicateUncached(pred)
+    val cache = metaPredCache.get()
+    cache.get(key) match {
+      case Some(cached) => cached
+      case None =>
+        val (compiled, cacheable) = compileMetaPredicateUncached(pred)
+        if (cacheable) {
           if (cache.size >= 64) cache.clear()
           cache.put(key, compiled)
-          compiled
-      }
+        }
+        compiled
     }
   }
 
+  /** `(compiled, cacheable)` — `cacheable` is false exactly when the
+    * resolved condition is nondeterministic (its initialized eval
+    * instances must not be reused across queries).
+    */
   private def compileMetaPredicateUncached(
-      pred: Column): Option[(Long, String) => Boolean] = {
-    import org.apache.spark.sql.catalyst.expressions.{BindReferences, Nondeterministic}
+      pred: Column): (Option[(Long, String) => Boolean], Boolean) = {
+    import org.apache.spark.sql.catalyst.expressions.{BindReferences,
+      CurrentDate, CurrentTimestamp, LocalTimestamp, Nondeterministic, Now,
+      RuntimeReplaceable, Unevaluable}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
     try {
       val empty = spark.createDataFrame(
@@ -187,26 +195,60 @@ class Engine(val spark: SparkSession, val root: String) {
           StructField("id", LongType, nullable = false),
           StructField("metadata", StringType, nullable = true))))
       val analyzed = empty.filter(pred).queryExecution.analyzed
-      analyzed.collectFirst { case f: LFilter => (f.condition, f.child.output) }
-        .map { case (cond, out) =>
+      analyzed.collectFirst { case f: LFilter => (f.condition, f.child.output) } match {
+        case None => (None, true)
+        case Some((cond, out)) =>
           val bound = BindReferences.bindReference(cond, out)
-          bound.foreach {
-            case n: Nondeterministic => n.initialize(0)
-            case _ => ()
+          // Nodes ANALYSIS accepts but direct eval can't serve (r13
+          // ADVICE — these crashed query() at serve time where
+          // queryCatalyst succeeded):
+          //  - Unevaluable (subqueries, optimizer-only nodes);
+          //  - RuntimeReplaceable (to_date, now(), …) — replaced only by
+          //    the optimizer's ReplaceExpressions, eval ASSERTS;
+          //  - the current-time family — evaluable per-row in Spark 4,
+          //    but Catalyst pins ONE query-start value via
+          //    ComputeCurrentTime, so per-row eval would diverge.
+          // After binding every attribute is a BoundReference, so any
+          // such node means "serve via Catalyst instead" (None is itself
+          // cacheable: analysis is deterministic).
+          val unservable = bound.exists {
+            case _: Unevaluable | _: RuntimeReplaceable => true
+            case _: CurrentDate | _: CurrentTimestamp | _: Now |
+                _: LocalTimestamp => true
+            case _ => false
           }
-          (id: Long, meta: String) => {
-            // fresh row per call: eval is re-entrant but the backing row
-            // must not be shared across concurrent queries
-            val row = new org.apache.spark.sql.catalyst.expressions
-              .GenericInternalRow(Array[Any](id,
-                if (meta == null) null
-                else org.apache.spark.unsafe.types.UTF8String.fromString(meta)))
-            bound.eval(row) == true
+          if (unservable) (None, true)
+          else {
+            val nondet =
+              bound.exists { case _: Nondeterministic => true; case _ => false }
+            def init(): Unit = bound.foreach {
+              case n: Nondeterministic => n.initialize(0)
+              case _ => ()
+            }
+            init()
+            val closure = (id: Long, meta: String) => {
+              // fresh row per call: eval is re-entrant but the backing row
+              // must not be shared across concurrent queries
+              val row = new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(Array[Any](id,
+                  if (meta == null) null
+                  else org.apache.spark.unsafe.types.UTF8String.fromString(meta)))
+              bound.eval(row) == true
+            }
+            // trial eval: the safety net for any OTHER node class whose
+            // eval throws outside execution — never learn that on a
+            // serving thread. Re-initialize afterwards so nondeterministic
+            // state is untouched by the probe.
+            val servable =
+              try { closure(0L, null); closure(1L, "{}"); true }
+              catch { case scala.util.control.NonFatal(_) => false }
+            init()
+            if (!servable) (None, true) else (Some(closure), !nondet)
           }
-        }
+      }
     } catch {
-      case _: org.apache.spark.sql.AnalysisException => None
-      case _: org.apache.spark.SparkException => None
+      case _: org.apache.spark.sql.AnalysisException => (None, true)
+      case _: org.apache.spark.SparkException => (None, true)
     }
   }
 
@@ -1040,29 +1082,71 @@ class Engine(val spark: SparkSession, val root: String) {
         // the predicate filters the hydrated candidate rows (pushed into
         // the pruned fetch scan as a Catalyst filter), and a query whose
         // filtered preliminary set can't fill finalTopK — EXACTLY the
-        // condition under which the single path widens — re-routes
-        // through `query(.., predicate)` on its RAW vector, inheriting
-        // the identical under-fill guard (widened re-probe, terminal
-        // exact flat scan). Eager by necessity (per-query fill counts
-        // drive the re-route), like the trained single form. Collected
-        // rows ≤ q·finalK — strictly smaller than the q·prelimK the
-        // candidate stage already held.
-        val ranked = graft.operators.BatchANN.rerank(
-          spark, fetchScan.filter(pred), candidates, qs, finalTopK)
-        val rows = ranked.collect()
+        // condition under which the single path widens — re-runs at ITS
+        // widened k (the single path's arithmetic, per query), grouped
+        // by widened k so every group is ONE coarse+rerank job, never a
+        // per-query loop: under a cluster-correlated predicate (the
+        // adversarial shape) half the batch under-fills AT ONCE, and a
+        // sequential re-route would silently lose the batch path's
+        // one-job throughput property. Queries whose widened round still
+        // can't fill (or whose widened ask covers every id) take the
+        // terminal exact scan TOGETHER via [[queryBatchFlat]] — the
+        // batch face of the single path's flat fallback (same kernel
+        // ordering, gated bit-identical by PreparedIndexSpec). Eager by
+        // necessity (per-query fill counts drive the re-route), like the
+        // trained single form. Collected rows ≤ q·finalK — strictly
+        // smaller than the q·prelimK the candidate stage already held.
+        val rows = graft.operators.BatchANN.rerank(
+          spark, fetchScan.filter(pred), candidates, qs, finalTopK).collect()
         val filledBy = rows.groupBy(_.getLong(0))
-        val rerouted = qs.iterator.map(_._1).filter { qid =>
-          filledBy.getOrElse(qid, Array.empty).length < finalTopK
-        }.flatMap { qid =>
-          query(doc.name, rawByQid(qid), preliminaryTopK, finalTopK,
-            Some(pred)).collect().map { h =>
-            org.apache.spark.sql.Row(qid, h.getLong(1),
-              if (h.isNullAt(2)) null else h.getString(2),
-              h.getDouble(3), h.getInt(0))
+        def fill(qid: Long): Int = filledBy.getOrElse(qid, Array.empty).length
+        val kept = rows.filter(r => fill(r.getLong(0)) >= finalTopK)
+        val under = qs.filter { case (qid, _) => fill(qid) < finalTopK }
+        val rerouted: Array[org.apache.spark.sql.Row] =
+          if (under.isEmpty) Array.empty
+          else {
+            // the single path's exact widening arithmetic, per query
+            val widenedOf: Map[Long, Int] = under.map { case (qid, _) =>
+              val sel = math.max(fill(qid), 1L).toDouble / preliminaryTopK
+              qid -> math.max(preliminaryTopK * 2L,
+                  math.ceil(finalTopK / sel * 2.0).toLong)
+                .min(Engine.MaxWidenedPreliminaryK).toInt
+            }.toMap
+            val (flatNow, retry) = under.partition { case (qid, _) =>
+              widenedOf(qid) >= doc.maxId + 1
+            }
+            log.info(s"filtered batch under-fill: ${under.length} of " +
+              s"${qs.length} queries re-route (${retry.length} widened " +
+              s"across ${widenedOf.values.toSet.size} k-groups, " +
+              s"${flatNow.length} straight to the exact scan)")
+            val retryRows = retry.groupBy { case (qid, _) => widenedOf(qid) }
+              .toSeq.sortBy(_._1).iterator.flatMap { case (wk, group) =>
+                filteredBatchRound(doc, model, group, wk, finalTopK, pred)
+              }.toArray
+            val retryFilled = retryRows.groupBy(_.getLong(0))
+            val retryKept = retryRows.filter(r =>
+              retryFilled(r.getLong(0)).length >= finalTopK)
+            val flatQids = (flatNow.iterator.map(_._1) ++
+              retry.iterator.map(_._1).filter(q =>
+                retryFilled.getOrElse(q, Array.empty).length < finalTopK))
+              .toArray
+            val flatRows: Array[org.apache.spark.sql.Row] =
+              if (flatQids.isEmpty) Array.empty
+              else {
+                // RAW vectors: the flat path normalizes the raw query
+                // itself, and normalize is not bit-idempotent
+                val qdf = spark.createDataFrame(
+                  java.util.Arrays.asList(flatQids.map(qid =>
+                    org.apache.spark.sql.Row(qid, rawByQid(qid).toSeq)): _*),
+                  StructType(Seq(
+                    StructField("query_id", LongType, nullable = false),
+                    StructField("qvec",
+                      ArrayType(FloatType, containsNull = false),
+                      nullable = false))))
+                queryBatchFlat(doc.name, qdf, finalTopK, Some(pred)).collect()
+              }
+            retryKept ++ flatRows
           }
-        }.toArray
-        val kept = rows.filter(r =>
-          filledBy(r.getLong(0)).length >= finalTopK)
         spark.createDataFrame(
           java.util.Arrays.asList((kept ++ rerouted): _*),
           StructType(Seq(
@@ -1072,6 +1156,45 @@ class Engine(val spark: SparkSession, val root: String) {
             StructField("cosine_similarity", DoubleType, nullable = false),
             StructField("rank", IntegerType, nullable = false))))
     }
+  }
+
+  /** One widened coarse+rerank round for a group of under-filled
+    * filtered batch queries — the batch twin of the single filtered
+    * path's `probedCandidates(widened)` retry: identical per-query
+    * candidate arithmetic (same coarse kernel, same probes, same
+    * widened k), one job for the whole group.
+    */
+  private def filteredBatchRound(doc: CatalogDoc, model: Engine.IndexModel,
+      qsSub: Array[(Long, Array[Float])], prelim: Int, finalTopK: Int,
+      pred: Column): Array[org.apache.spark.sql.Row] = {
+    // widened k can be much larger than the entry prelimK the outer
+    // chunking sized for — re-apply the driver-candidate bound at the
+    // widened geometry (per-query results are independent, so the split
+    // is invisible to correctness)
+    if (qsSub.length.toLong * prelim > Engine.MaxDriverBatchCandidates &&
+        qsSub.length > 1) {
+      val perChunk = math.max(1,
+        (Engine.MaxDriverBatchCandidates / prelim).toInt)
+      return qsSub.grouped(perChunk).flatMap(g =>
+        filteredBatchRound(doc, model, g, prelim, finalTopK, pred)).toArray
+    }
+    val qsP = qsSub.map { case (qid, qn) => qid -> model.pca.applyLocal(qn) }
+    val probes = qsP.map { case (_, qp) => model.nearestClusters(qp, doc.nProbe) }
+    val live = prunedLiveCoded(doc, probes.flatten.distinct)
+    val candRows = graft.operators.BatchANN.coarseCandidates(
+      spark, live, modelBroadcast(doc), qsP, probes, prelim)
+      .select("query_id", "id", "cluster_id").collect()
+    if (candRows.isEmpty) return Array.empty
+    val candidates = spark.createDataFrame(
+      java.util.Arrays.asList(candRows: _*),
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("id", LongType, nullable = false),
+        StructField("cluster_id", IntegerType, nullable = false))))
+    val fetchScan = prunedLiveCoded(doc, candRows.map(_.getInt(2)).distinct)
+      .select("cluster_id", "id", "vector", "metadata")
+    graft.operators.BatchANN.rerank(spark, fetchScan.filter(pred), candidates,
+      qsSub, finalTopK).collect()
   }
 
   /** Pin the trained index into a memory-resident [[PreparedIndex]] —
@@ -1159,7 +1282,7 @@ class Engine(val spark: SparkSession, val root: String) {
     // (512 floor: below it either plan reads a trivial table — keep the
     // pushed-In shape small fixtures and specs rely on)
 
-  private def prunedLiveCoded(doc: CatalogDoc, probes: Array[Int]): DataFrame = {
+  private[core] def prunedLiveCoded(doc: CatalogDoc, probes: Array[Int]): DataFrame = {
     val pruned =
       if (doc.codedBucketShift < 0)
         // legacy layout: one hive dir per cluster — the In is a pure
@@ -1893,7 +2016,7 @@ class Engine(val spark: SparkSession, val root: String) {
 
   // --------------------------------------------------------------- private
 
-  private def indexModel(doc: CatalogDoc): IndexModel =
+  private[core] def indexModel(doc: CatalogDoc): IndexModel =
     indexCache.getOrElseUpdate((doc.name, doc.indexVersion)) {
       IndexStore.loadModel(spark, doc.indexPath(root))
     }
@@ -1906,7 +2029,7 @@ class Engine(val spark: SparkSession, val root: String) {
     * broadcast (it may re-register its own old version — harmless, the
     * next new-version query sweeps it).
     */
-  private def modelBroadcast(
+  private[core] def modelBroadcast(
       doc: CatalogDoc): org.apache.spark.broadcast.Broadcast[IndexModel] = {
     val bc = modelBcCache.getOrElseUpdate((doc.name, doc.indexVersion),
       spark.sparkContext.broadcast(indexModel(doc)))

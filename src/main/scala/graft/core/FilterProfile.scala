@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * structure. This main found the r13 35M "filtered ≈ 5× unfiltered"
   * reading: the eval generator assigns center = i mod C, so an id-parity
   * predicate is cluster-CONSTANT — every query keeps 0 or 500 of its
-  * candidates (GRAFT_FP_DEBUG=1 prints the kept counts), and the
+  * candidates (the per-regime p50 split below shows it), and the
   * 0-keepers pay the widened re-probe and the terminal exact flat scan.
   * That is the documented under-fill semantics working as designed; the
   * production metadata-filter shape (selectivity holds WITHIN a probe's

@@ -1,0 +1,116 @@
+package graft.core
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage attribution for the COMPOSABLE Catalyst trained-query path's
+  * planning floor (VERDICT r13 "what's wrong" #2: `catalyst_query_ms_p50`
+  * 1.1–1.3 s at 35M/5M-768, ~1 s of it before execution). The 35M plan
+  * is an 8-chunk pushed-In union (nprobe 3561 / chunk 500); this main
+  * reproduces that SHAPE on a small corpus by shrinking the chunk size,
+  * so the per-stage costs — probe selection, coarse-plan construction
+  * (analysis), coarse job, fetch+rerank construction, physical planning,
+  * execution — can be measured in seconds, not eval-run hours. Analysis
+  * and planning costs scale with TREE size and file count, not row
+  * count, so the attribution transfers to the big geometries.
+  *
+  * No args. Prints one JSON line.
+  */
+object PlanFloorProfile {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft-pfloor").toString
+    // chunk=42 turns nprobe≈335 at 150k rows into the same 8-subtree
+    // union the 35M geometry plans
+    val engine = new Engine(spark, root) {
+      override protected def probePushChunk: Int = 42
+    }
+    val d = 32
+    val n = 150000
+    val rnd = new Random(7)
+    val centers = Array.fill(96, d)(rnd.nextGaussian().toFloat)
+    engine.create("pf", vectorDimension = d)
+    val rows = (0 until n).map { i =>
+      val c = centers(i % 96)
+      (c.map(x => x + 0.25f * rnd.nextGaussian().toFloat).toSeq, s"""{"i":$i}""")
+    }
+    engine.add("pf", rows.toDF("vector", "metadata")
+      .select(col("vector").cast("array<float>").as("vector"), col("metadata")))
+    engine.train("pf", kmeansIters = 4, seed = 7L)
+    val doc = engine.load("pf")
+    System.err.println(s"nlist=${doc.numClusters} nprobe=${doc.nProbe} " +
+      s"shift=${doc.codedBucketShift}")
+
+    val nQ = 12
+    val qs = Array.fill(nQ)(Array.fill(d)(rnd.nextGaussian().toFloat))
+
+    // warm: footer caches, codegen, broadcast
+    engine.queryCatalyst("pf", qs(0), 500, 50).collect()
+    engine.queryCatalyst("pf", qs(1), 500, 50).collect()
+
+    def p50(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+
+    // end-to-end split, same probe points as ScaleEval
+    val model = engine.indexModel(doc)
+    val splits = qs.toIndexedSeq.map { q =>
+      val t0 = System.nanoTime()
+      val df = engine.queryCatalyst("pf", q, 500, 50)
+      val t1 = System.nanoTime()
+      df.queryExecution.executedPlan
+      val t2 = System.nanoTime()
+      df.collect()
+      val t3 = System.nanoTime()
+      ((t1 - t0) / 1e6, (t2 - t1) / 1e6, (t3 - t2) / 1e6)
+    }
+
+    // inner-stage attribution of the queryCatalyst() call itself
+    val inner = qs.toIndexedSeq.map { q =>
+      val a0 = System.nanoTime()
+      val qn = q // normalization cost negligible; skip
+      val qp = model.pca.applyLocal(qn)
+      val probes = model.nearestClusters(qp, doc.nProbe)
+      val a1 = System.nanoTime()
+      val live = engine.prunedLiveCoded(doc, probes) // union CONSTRUCTION (analysis)
+      val a2 = System.nanoTime()
+      val cand = graft.operators.BatchANN.coarseCandidates(
+        spark, live, engine.modelBroadcast(doc), Array(0L -> qp),
+        Array(probes), 500)
+      val a3 = System.nanoTime()
+      val candRows = cand.select("id", "cluster_id").collect() // optimize+plan+run coarse
+      val a4 = System.nanoTime()
+      val fetched = engine.prunedLiveCoded(doc, candRows.map(_.getInt(1)).distinct)
+        .select("id", "vector", "metadata")
+        .filter(col("id").isInCollection(
+          candRows.map(r => java.lang.Long.valueOf(r.getLong(0))).toIndexedSeq))
+      val a5 = System.nanoTime()
+      fetched.collect()
+      val a6 = System.nanoTime()
+      IndexedSeq((a1 - a0) / 1e6, (a2 - a1) / 1e6, (a3 - a2) / 1e6,
+        (a4 - a3) / 1e6, (a5 - a4) / 1e6, (a6 - a5) / 1e6)
+    }
+
+    def col50(i: Int): Double = p50(inner.map(_(i)))
+    println(f"""{"n":$n,"nlist":${doc.numClusters},"nprobe":${doc.nProbe},""" +
+      f""""chunks":${math.ceil(doc.nProbe / 42.0).toInt},""" +
+      f""""construct_ms_p50":${p50(splits.map(_._1))}%.0f,""" +
+      f""""force_plan_ms_p50":${p50(splits.map(_._2))}%.0f,""" +
+      f""""exec_ms_p50":${p50(splits.map(_._3))}%.0f,""" +
+      f""""probe_select_ms":${col50(0)}%.1f,""" +
+      f""""union_construct_ms":${col50(1)}%.1f,""" +
+      f""""coarse_df_ms":${col50(2)}%.1f,""" +
+      f""""coarse_job_ms":${col50(3)}%.1f,""" +
+      f""""fetch_construct_ms":${col50(4)}%.1f,""" +
+      f""""fetch_job_ms":${col50(5)}%.1f}""")
+    spark.stop()
+  }
+}

@@ -185,11 +185,7 @@ final class PreparedIndex private[core] (
         // round, ×2 safety, bounded; past the cap (or when the widened
         // ask covers every id ever assigned) the exact flat scan is the
         // better plan.
-        val tDbg0 = System.nanoTime()
         val first = round(preliminaryTopK)
-        val tDbg1 = System.nanoTime()
-        if (sys.env.contains("GRAFT_FP_DEBUG"))
-          println(f"[fpdbg] round=${(tDbg1 - tDbg0) / 1e6}%.1f ms kept=${first.length}")
         val chosen: Option[Array[Cand]] =
           if (first.length >= finalTopK) Some(first)
           else {

@@ -45,7 +45,7 @@ class FilteredFuzzSpec extends SparkSpec {
   private def j: Column =
     get_json_object(col("metadata"), "$.doc").cast("long")
 
-  private def atom(rnd: Random): Column = rnd.nextInt(10) match {
+  private def atom(rnd: Random): Column = rnd.nextInt(12) match {
     case 0 => j % (2 + rnd.nextInt(9)) === rnd.nextInt(3)
     case 1 => j < rnd.nextInt(N)
     case 2 => j >= rnd.nextInt(N)
@@ -56,6 +56,12 @@ class FilteredFuzzSpec extends SparkSpec {
     case 7 => get_json_object(col("metadata"), "$.missing").isNull
     case 8 => col("metadata").contains(rnd.nextInt(10).toString)
     case 9 => j.isNotNull
+    // time functions are Unevaluable until the optimizer runs
+    // (ComputeCurrentTime) — they must route to Catalyst, never crash
+    // the compiled-predicate path (ADVICE r13)
+    case 10 => j < rnd.nextInt(N) &&
+      current_date() >= to_date(lit("2000-01-01"))
+    case 11 => current_timestamp().isNotNull && col("id") % 2 === 0
   }
 
   private def gen(rnd: Random, depth: Int): Column =
@@ -117,6 +123,12 @@ class FilteredFuzzSpec extends SparkSpec {
     check(lit(true), "always-true")
     check(lit(false), "always-false")
     check(get_json_object(col("metadata"), "$.missing") > 1, "null-tainted")
+    // bare Unevaluable time predicates (r13 ADVICE: these crashed
+    // query() at serve time — bound.eval on a node only the optimizer
+    // can resolve); the compiler must hand them to Catalyst
+    check(current_date() >= to_date(lit("2000-01-01")) && j % 3 === 0,
+      "current_date-conjunct")
+    check(unix_timestamp(current_timestamp()) > 0, "current_timestamp")
     // a predicate outside (id, metadata) cannot compile against the
     // candidate schema — the routed entry must reroute to Catalyst and
     // both sides then throw the same analysis error OR evaluate; for
