@@ -45,7 +45,7 @@ class StreamingRecoverySpec extends SparkSpec {
     val base = if (id % 10 == 7 && id >= 7) id - 7 else id
     (0 until 40).map { j =>
       val src = if (id % 10 == 3 && id >= 3 && j >= 2) id - 3 else base
-      s"w${math.floorMod((src * 41 + j) * 7919, 8000)}"
+      s"w${src}x$j" // (src, j)-unique tokens: overlap ONLY by design
     }.mkString(" ")
   }
 
@@ -132,8 +132,11 @@ class StreamingRecoverySpec extends SparkSpec {
     // at-least-once: the crashed batch ran twice; idempotence by batchId
     // absorbed the replay
     assert(batchRuns(2L) >= 2, s"batch 2 must be replayed: ran ${batchRuns(2L)}x")
-    assert(perBatch.keySet == (0L until NFiles.toLong).toSet,
-      s"every file-batch must be processed exactly per checkpoint: ${perBatch.keySet}")
+    // every file-batch processed; the restart may append a no-new-data
+    // batch (watermark advance / timeout sweep) — allowed, counted in
+    // the union like any other
+    assert((0L until NFiles.toLong).toSet.subsetOf(perBatch.keySet),
+      s"every file-batch must be processed per checkpoint: ${perBatch.keySet}")
 
     val union = perBatch.values.flatten.toSet
     val expected = batchSurvivors()
