@@ -272,6 +272,16 @@ class Engine(val spark: SparkSession, val root: String) {
   // 512 keeps the chain shallow; [[prunedLiveCoded]] chunks bigger
   // probe lists into ≤[[probePushChunk]]-value disjoint scans instead.
   spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "512")
+  // Keep generated code LITERAL-FREE for list predicates: every query
+  // carries fresh probe/candidate-id lists, and both the small-list `In`
+  // codegen and `InSet`'s switch form inline the values into the
+  // generated source — a Janino recompile per query (and per partition-
+  // prune) instead of a cache hit. Converting at ≥2 values and disabling
+  // the switch puts the values in `references` (the source text is
+  // stable), trading a hash-set probe per row — noise next to the scan —
+  // for zero steady-state compilation in the serving path.
+  spark.conf.set("spark.sql.optimizer.inSetConversionThreshold", "1")
+  spark.conf.set("spark.sql.optimizer.inSetSwitchThreshold", "0")
 
   /** Per-db monitor serializing every catalog read-modify-write (add,
     * remove, compact, the train swap, the post-train drain). The
@@ -873,11 +883,15 @@ class Engine(val spark: SparkSession, val root: String) {
         val model = indexModel(doc)
         val qp = model.pca.applyLocal(qn)
         val probes = model.nearestClusters(qp, doc.nProbe)
-        val live = prunedLiveCoded(doc, probes)
+        lazy val live = prunedLiveCoded(doc, probes) // only the empty-candidate branch needs the union form
         def probedCandidates(prelim: Int): DataFrame = {
-          val candRows = graft.operators.BatchANN.coarseCandidates(
-            spark, live, modelBroadcast(doc), Array(0L -> qp), Array(probes),
-            prelim).select("id", "cluster_id").collect()
+          // q=1 coarse: same kernel and (adc_dist, id) order as the batch
+          // form, merged on the driver — one CONCURRENT job per probe
+          // chunk, no window shuffle (BatchANN.coarseSingleChunked; the
+          // r14 planning-floor work)
+          val candRows = graft.operators.BatchANN.coarseSingleChunked(
+            spark, prunedLiveCodedChunks(doc, probes), modelBroadcast(doc),
+            qp, probes, prelim)
           // Q4 — candidate fetch reads ∝ CANDIDATES, not ∝ probes: the
           // surviving ids land on the driver (≤ prelim rows — the same
           // bound the old broadcast build already imposed), and the fetch
@@ -892,11 +906,10 @@ class Engine(val spark: SparkSession, val root: String) {
             if (candRows.isEmpty)
               live.select("id", "vector", "metadata").filter(lit(false))
             else
-              prunedLiveCoded(doc, candRows.map(_.getInt(1)).distinct)
+              prunedLiveCoded(doc, candRows.map(_._3).distinct)
                 .select("id", "vector", "metadata")
                 .filter(col("id").isInCollection(
-                  candRows.map(r => java.lang.Long.valueOf(r.getLong(0)))
-                    .toIndexedSeq))
+                  candRows.map(r => java.lang.Long.valueOf(r._1)).toIndexedSeq))
           predicate.fold(fetched)(fetched.filter)
         }
         predicate match {
@@ -1282,7 +1295,41 @@ class Engine(val spark: SparkSession, val root: String) {
     // (512 floor: below it either plan reads a trivial table — keep the
     // pushed-In shape small fixtures and specs rely on)
 
+  /** The per-chunk branch plans of the pruned coded scan: each chunk's
+    * `Filter(In(cluster_id), Filter(In(cluster_bucket), coded))` over the
+    * cached analyzed base plan. Built as raw LogicalPlans and analyzed
+    * once per consumer (Bridge.ofRows) — the DataFrame-API fold analyzed
+    * the accumulated tree at every `.filter`/`.union`, O(chunks²)
+    * analyzer passes ≈ 40 ms/query at the 8-chunk 35M shape
+    * (PlanFloorProfile r14 attribution).
+    */
+  private def prunedCodedBranchPlans(doc: CatalogDoc, probes: Array[Int])
+      : IndexedSeq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{In => ExprIn, Literal => ExprLit}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan}
+    val shift = doc.codedBucketShift
+    val basePlan = codedDf(doc).queryExecution.analyzed
+    val bucketAttr = basePlan.output.find(_.name == "cluster_bucket").get
+    val clusterAttr = basePlan.output.find(_.name == "cluster_id").get
+    def branchPlan(chunk: Array[Int]): LogicalPlan =
+      LFilter(
+        ExprIn(clusterAttr, chunk.toIndexedSeq.map(v => ExprLit(v))),
+        LFilter(
+          ExprIn(bucketAttr,
+            chunk.map(_ >>> shift).distinct.toIndexedSeq.map(v => ExprLit(v))),
+          basePlan))
+    val sorted = probes.sorted
+    if (sorted.length <= maxChunkedProbePush(doc.numClusters))
+      sorted.grouped(probePushChunk).map(branchPlan).toIndexedSeq
+    else IndexedSeq(branchPlan(sorted)) // row-level only; bucket pruning still applies
+  }
+
+  private def withLiveDeletes(doc: CatalogDoc, pruned: DataFrame): DataFrame =
+    if (doc.numPendingDeletes == 0) pruned
+    else pruned.join(broadcast(deletes(doc)), Seq("id"), "left_anti")
+
   private[core] def prunedLiveCoded(doc: CatalogDoc, probes: Array[Int]): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Union => LUnion}
     val pruned =
       if (doc.codedBucketShift < 0)
         // legacy layout: one hive dir per cluster — the In is a pure
@@ -1290,21 +1337,25 @@ class Engine(val spark: SparkSession, val root: String) {
         codedDf(doc).filter(
           col("cluster_id").isin(probes.toIndexedSeq.map(Integer.valueOf): _*))
       else {
-        val shift = doc.codedBucketShift
-        def branch(chunk: Array[Int]): DataFrame =
-          codedDf(doc)
-            .filter(col("cluster_bucket").isin(
-              chunk.map(_ >>> shift).distinct.toIndexedSeq.map(Integer.valueOf): _*))
-            .filter(col("cluster_id").isin(
-              chunk.toIndexedSeq.map(Integer.valueOf): _*))
-        val sorted = probes.sorted
-        if (sorted.length <= maxChunkedProbePush(doc.numClusters))
-          sorted.grouped(probePushChunk).map(branch).reduce(_ union _)
-        else branch(sorted) // row-level only; bucket pruning still applies
+        val plans = prunedCodedBranchPlans(doc, probes)
+        org.apache.spark.sql.graftbridge.Bridge.ofRows(spark,
+          if (plans.length == 1) plans.head else LUnion(plans))
       }
-    if (doc.numPendingDeletes == 0) pruned
-    else pruned.join(broadcast(deletes(doc)), Seq("id"), "left_anti")
+    withLiveDeletes(doc, pruned)
   }
+
+  /** [[prunedLiveCoded]] split into its chunk scans, one DataFrame per
+    * chunk — for the q=1 coarse path, which runs the chunks as
+    * CONCURRENT jobs so each chunk's driver-side scan setup (the
+    * per-scan Hadoop-conf broadcast) and its tasks overlap instead of
+    * serializing (BatchANN.coarseSingleChunked). Row-set union over the
+    * returned frames is exactly [[prunedLiveCoded]]'s row set.
+    */
+  private[core] def prunedLiveCodedChunks(doc: CatalogDoc,
+                                          probes: Array[Int]): IndexedSeq[DataFrame] =
+    if (doc.codedBucketShift < 0) IndexedSeq(prunedLiveCoded(doc, probes))
+    else prunedCodedBranchPlans(doc, probes).map(p =>
+      withLiveDeletes(doc, org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, p)))
 
   /** The coded table as ONE DataFrame. With per-bucket compaction a
     * bucket's rows live under the index version that last REWROTE it

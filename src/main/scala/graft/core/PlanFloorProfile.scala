@@ -29,13 +29,22 @@ object PlanFloorProfile {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // experiment: force every literal-list predicate into the InSet
+    // hash-set codegen path (values live in `references`, not in the
+    // generated source) — if the floor is Janino recompiles from
+    // query-varying literals, these two settings should collapse it
+    if (sys.env.get("GRAFT_PF_INSET").contains("1")) {
+      spark.conf.set("spark.sql.optimizer.inSetConversionThreshold", "0")
+      spark.conf.set("spark.sql.optimizer.inSetSwitchThreshold", "0")
+    }
+
     val root = java.nio.file.Files.createTempDirectory("graft-pfloor").toString
     // chunk=42 turns nprobe≈335 at 150k rows into the same 8-subtree
     // union the 35M geometry plans
     val engine = new Engine(spark, root) {
       override protected def probePushChunk: Int = 42
     }
-    val d = 32
+    val d = 64
     val n = 150000
     val rnd = new Random(7)
     val centers = Array.fill(96, d)(rnd.nextGaussian().toFloat)
@@ -80,23 +89,75 @@ object PlanFloorProfile {
       val qp = model.pca.applyLocal(qn)
       val probes = model.nearestClusters(qp, doc.nProbe)
       val a1 = System.nanoTime()
-      val live = engine.prunedLiveCoded(doc, probes) // union CONSTRUCTION (analysis)
+      val chunks = engine.prunedLiveCodedChunks(doc, probes) // chunk plans (analysis)
       val a2 = System.nanoTime()
-      val cand = graft.operators.BatchANN.coarseCandidates(
-        spark, live, engine.modelBroadcast(doc), Array(0L -> qp),
-        Array(probes), 500)
+      val candRows = graft.operators.BatchANN.coarseSingleChunked(
+        spark, chunks, engine.modelBroadcast(doc), qp, probes, 500)
       val a3 = System.nanoTime()
-      val candRows = cand.select("id", "cluster_id").collect() // optimize+plan+run coarse
-      val a4 = System.nanoTime()
-      val fetched = engine.prunedLiveCoded(doc, candRows.map(_.getInt(1)).distinct)
+      val fetched = engine.prunedLiveCoded(doc, candRows.map(_._3).distinct)
         .select("id", "vector", "metadata")
         .filter(col("id").isInCollection(
-          candRows.map(r => java.lang.Long.valueOf(r.getLong(0))).toIndexedSeq))
-      val a5 = System.nanoTime()
+          candRows.map(r => java.lang.Long.valueOf(r._1)).toIndexedSeq))
+      val a4 = System.nanoTime()
       fetched.collect()
-      val a6 = System.nanoTime()
+      val a5 = System.nanoTime()
       IndexedSeq((a1 - a0) / 1e6, (a2 - a1) / 1e6, (a3 - a2) / 1e6,
-        (a4 - a3) / 1e6, (a5 - a4) / 1e6, (a6 - a5) / 1e6)
+        (a4 - a3) / 1e6, (a5 - a4) / 1e6, 0.0)
+    }
+
+    // split the coarse stage's pre-collect cost: analysis vs optimizer
+    // vs physical planning (each phase forced separately)
+    val phases = qs.toIndexedSeq.map { q =>
+      val qp = model.pca.applyLocal(q)
+      val probes = model.nearestClusters(qp, doc.nProbe)
+      val b0 = System.nanoTime()
+      val live = engine.prunedLiveCoded(doc, probes)
+      // the exact scan coarseCandidates plans internally (BatchANN:63)
+      val src = live.select(col("id").cast("long"),
+        col("cluster_id").cast("int"), col("code"))
+      val qe = src.queryExecution
+      qe.analyzed
+      val b1 = System.nanoTime()
+      qe.optimizedPlan
+      val b2 = System.nanoTime()
+      qe.sparkPlan
+      val b3 = System.nanoTime()
+      qe.executedPlan
+      val b4 = System.nanoTime()
+      val rdd = qe.toRdd
+      rdd.partitions // force RDD build: listFiles + FilePartitions
+      val b45 = System.nanoTime()
+      rdd.count()
+      val b5 = System.nanoTime()
+      qe.toRdd.count() // SAME plan again: pure job cost, no codegen/setup
+      val b6 = System.nanoTime()
+      IndexedSeq((b1 - b0) / 1e6, (b2 - b1) / 1e6, (b3 - b2) / 1e6,
+        (b45 - b4) / 1e6, (b5 - b45) / 1e6, (b6 - b5) / 1e6)
+    }
+
+    // sampling mode: loop the rddbuild-dominated phase so `jstack` can
+    // attribute the per-scan setup cost
+    if (sys.env.get("GRAFT_PF_LOOP").contains("1")) {
+      System.err.println("[pfloor] entering rddbuild sampling loop")
+      var i = 0
+      while (true) {
+        val q = qs(i % nQ); i += 1
+        val qp = model.pca.applyLocal(q)
+        val probes = model.nearestClusters(qp, doc.nProbe)
+        val live = engine.prunedLiveCoded(doc, probes)
+        val src = live.select(col("id").cast("long"),
+          col("cluster_id").cast("int"), col("code"))
+        src.queryExecution.toRdd.partitions
+      }
+    }
+
+    // same-query repeats: identical literals → identical codegen sources.
+    // If this is much faster than the fresh-query p50, the floor is
+    // literal-varying codegen; if equal, it is per-plan setup.
+    val sameQ = (0 until 6).map { _ =>
+      val t0 = System.nanoTime()
+      engine.queryCatalyst("pf", qs(0), 500, 50).collect()
+      (System.nanoTime() - t0) / 1e6
     }
 
     def col50(i: Int): Double = p50(inner.map(_(i)))
@@ -107,10 +168,16 @@ object PlanFloorProfile {
       f""""exec_ms_p50":${p50(splits.map(_._3))}%.0f,""" +
       f""""probe_select_ms":${col50(0)}%.1f,""" +
       f""""union_construct_ms":${col50(1)}%.1f,""" +
-      f""""coarse_df_ms":${col50(2)}%.1f,""" +
-      f""""coarse_job_ms":${col50(3)}%.1f,""" +
-      f""""fetch_construct_ms":${col50(4)}%.1f,""" +
-      f""""fetch_job_ms":${col50(5)}%.1f}""")
+      f""""coarse_single_ms":${col50(2)}%.1f,""" +
+      f""""fetch_construct_ms":${col50(3)}%.1f,""" +
+      f""""fetch_job_ms":${col50(4)}%.1f,""" +
+      f""""coarse_analyze_ms":${p50(phases.map(_(0)))}%.1f,""" +
+      f""""coarse_optimize_ms":${p50(phases.map(_(1)))}%.1f,""" +
+      f""""coarse_sparkplan_ms":${p50(phases.map(_(2)))}%.1f,""" +
+      f""""coarse_rddbuild_ms":${p50(phases.map(_(3)))}%.1f,""" +
+      f""""coarse_run_ms":${p50(phases.map(_(4)))}%.1f,""" +
+      f""""coarse_rerun_ms":${p50(phases.map(_(5)))}%.1f,""" +
+      f""""same_query_repeat_ms_p50":${p50(sameQ.drop(1))}%.1f}""")
     spark.stop()
   }
 }

@@ -71,52 +71,8 @@ object BatchANN {
     // (heap entries are primitive tuples).
     val partialRdd = src.queryExecution.toRdd.mapPartitions { it =>
       val model = bcModel.value
-      val (centroids, codebooks, subDim) =
-        (model.centroids, model.pq.codebooks, model.pq.subDim)
       val (qvecs, c2q) = bcQ.value
-      val m = codebooks.length
-      val p = if (qvecs.isEmpty) 0 else qvecs(0).length
-      // max-heap on (dist, id): head = worst kept under (dist asc, id asc);
-      // the cluster id tags along for the downstream pruned fetch
-      val heapOrd = Ordering.by[(Double, Long, Int), (Double, Long)](e => (e._1, e._2))
-      val heaps = Array.fill(qvecs.length)(
-        PriorityQueue.empty[(Double, Long, Int)](heapOrd))
-      val recon = new Array[Double](p)
-      it.foreach { r =>
-        val cid = r.getInt(1)
-        c2q.get(cid).foreach { probing =>
-          val id = r.getLong(0)
-          val code = r.getArray(2)
-          val cc = centroids(cid)
-          var j = 0
-          while (j < m) {
-            val cb = codebooks(j)(code.getInt(j))
-            val off = j * subDim
-            var t = 0
-            while (t < subDim) { recon(off + t) = cc(off + t).toDouble + cb(t); t += 1 }
-            j += 1
-          }
-          var k = 0
-          while (k < probing.length) {
-            val qi = probing(k)
-            val q = qvecs(qi)
-            val h = heaps(qi)
-            val full = h.size >= prelimK
-            val bound = if (full) h.head._1 else Double.MaxValue
-            var d = 0.0
-            var x = 0
-            while (x < p && d <= bound) {
-              val df = q(x) - recon(x); d += df * df; x += 1
-            }
-            if (!full) h.enqueue((d, id, cid))
-            else {
-              val (wd, wid, _) = h.head
-              if (d < wd || (d == wd && id < wid)) { h.dequeue(); h.enqueue((d, id, cid)) }
-            }
-            k += 1
-          }
-        }
-      }
+      val heaps = scanPartitionHeaps(it, model, qvecs, c2q, prelimK)
       heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
         h.iterator.map { case (d, id, cid) => Row(qIds(qi), id, d, cid) }
       }
@@ -130,6 +86,132 @@ object BatchANN {
     val w = Window.partitionBy("query_id").orderBy(col("adc_dist"), col("id"))
     partial.withColumn("rn", row_number().over(w)).filter(col("rn") <= prelimK)
       .select("query_id", "id", "adc_dist", "cluster_id")
+  }
+
+  /** The per-partition coarse kernel shared by [[coarseCandidates]] and
+    * [[coarseSingle]]: decode each probed row's PQ code once, score it
+    * for exactly the queries probing its cluster, keep per-query bounded
+    * heaps. Returns one heap per query of ≤ prelimK (adc_dist, id,
+    * cluster_id) entries — worst kept under (dist asc, id asc) on top.
+    */
+  private def scanPartitionHeaps(
+      it: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      model: IndexModel, qvecs: Array[Array[Float]],
+      c2q: Map[Int, Array[Int]],
+      prelimK: Int): Array[PriorityQueue[(Double, Long, Int)]] = {
+    val (centroids, codebooks, subDim) =
+      (model.centroids, model.pq.codebooks, model.pq.subDim)
+    val m = codebooks.length
+    val p = if (qvecs.isEmpty) 0 else qvecs(0).length
+    // max-heap on (dist, id): head = worst kept under (dist asc, id asc);
+    // the cluster id tags along for the downstream pruned fetch
+    val heapOrd = Ordering.by[(Double, Long, Int), (Double, Long)](e => (e._1, e._2))
+    val heaps = Array.fill(qvecs.length)(
+      PriorityQueue.empty[(Double, Long, Int)](heapOrd))
+    val recon = new Array[Double](p)
+    it.foreach { r =>
+      val cid = r.getInt(1)
+      c2q.get(cid).foreach { probing =>
+        val id = r.getLong(0)
+        val code = r.getArray(2)
+        val cc = centroids(cid)
+        var j = 0
+        while (j < m) {
+          val cb = codebooks(j)(code.getInt(j))
+          val off = j * subDim
+          var t = 0
+          while (t < subDim) { recon(off + t) = cc(off + t).toDouble + cb(t); t += 1 }
+          j += 1
+        }
+        var k = 0
+        while (k < probing.length) {
+          val qi = probing(k)
+          val q = qvecs(qi)
+          val h = heaps(qi)
+          val full = h.size >= prelimK
+          val bound = if (full) h.head._1 else Double.MaxValue
+          var d = 0.0
+          var x = 0
+          while (x < p && d <= bound) {
+            val df = q(x) - recon(x); d += df * df; x += 1
+          }
+          if (!full) h.enqueue((d, id, cid))
+          else {
+            val (wd, wid, _) = h.head
+            if (d < wd || (d == wd && id < wid)) {
+              h.dequeue(); h.enqueue((d, id, cid))
+            }
+          }
+          k += 1
+        }
+      }
+    }
+    heaps
+  }
+
+  /** Single-query coarse candidates over per-chunk scans, driver-merged:
+    * the q=1 face of [[coarseCandidates]] used by the composable Catalyst
+    * path. Same kernel, same global (adc_dist, id) order, same ≤ prelimK
+    * result — two structural differences, both latency-only:
+    *
+    *  - each probe CHUNK runs as its own CONCURRENT job from its own
+    *    thread, so the per-scan driver setup (Hadoop-conf broadcast:
+    *    serialize + deflate, ~11 ms per scan — the single largest
+    *    per-query driver cost at the 8-chunk 35M shape, PlanFloorProfile
+    *    r14) and the chunk tasks all overlap instead of serializing
+    *    behind one union plan;
+    *  - the cross-partition merge happens on the DRIVER over
+    *    partitions·prelimK tuples (tens of KBs) instead of a
+    *    window-over-shuffle stage.
+    *
+    * The kernel is per-partition either way, so chunk boundaries do not
+    * change any heap's content — the merged result is bit-identical to
+    * the union-scan + window form (gated by PreparedIndexSpec /
+    * TrainedPathSpec equalities).
+    *
+    * @param chunks the per-chunk pruned coded frames
+    *               (Engine.prunedLiveCodedChunks)
+    * @return ≤ prelimK (id, adc_dist, cluster_id) rows, smallest
+    *         (adc_dist, id) first
+    */
+  def coarseSingleChunked(spark: SparkSession, chunks: Seq[DataFrame],
+                          bcModel: Broadcast[IndexModel],
+                          qp: Array[Float], probes: Array[Int],
+                          prelimK: Int): Array[(Long, Double, Int)] = {
+    val probeSet = probes.toSet
+    val bcQ = spark.sparkContext.broadcast((qp, probeSet))
+    val partFn = (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+      val model = bcModel.value
+      val (q, ps) = bcQ.value
+      val c2q = ps.iterator.map(c => c -> Array(0)).toMap
+      scanPartitionHeaps(it, model, Array(q), c2q, prelimK)(0).toArray
+    }
+    def runChunk(df: DataFrame): Array[Array[(Double, Long, Int)]] = {
+      val src = df.select(col("id").cast("long"), col("cluster_id").cast("int"),
+        col("code"))
+      spark.sparkContext.runJob(src.queryExecution.toRdd, partFn)
+    }
+    val parts: Array[Array[(Double, Long, Int)]] =
+      if (chunks.lengthCompare(1) == 0) runChunk(chunks.head)
+      else {
+        val results = new Array[Array[Array[(Double, Long, Int)]]](chunks.length)
+        val errors = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        val threads = chunks.zipWithIndex.map { case (df, i) =>
+          val t = new Thread(() => {
+            try results(i) = runChunk(df)
+            catch { case e: Throwable => errors.compareAndSet(null, e) }
+          })
+          t.setDaemon(true); t.start(); t
+        }
+        threads.foreach(_.join())
+        if (errors.get() != null) throw errors.get()
+        results.flatten
+      }
+    bcQ.unpersist(blocking = false)
+    val merged = parts.flatten
+    java.util.Arrays.sort(merged,
+      Ordering.by[(Double, Long, Int), (Double, Long)](e => (e._1, e._2)))
+    merged.take(prelimK).map { case (d, id, cid) => (id, d, cid) }
   }
 
   /** Exact rerank of per-query candidate id sets against the full-precision
