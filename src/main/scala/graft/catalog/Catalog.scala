@@ -136,25 +136,39 @@ object Catalog {
   private def epochFile(dir: Path, epoch: Long): Path =
     new Path(dir, f"catalog.$epoch%020d.json")
 
-  /** (epoch, path) of every epoch file present, torn or not, plus the
+  /** (epoch, status) of every epoch file present, torn or not, plus the
     * legacy single file as epoch 0 — newest first.
     */
-  private def listEpochs(dir: Path, f: FileSystem): Seq[(Long, Path)] = {
+  private def listEpochs(dir: Path, f: FileSystem)
+      : Seq[(Long, org.apache.hadoop.fs.FileStatus)] = {
     val listed =
       try f.listStatus(dir).toSeq catch {
         case _: java.io.FileNotFoundException => Seq.empty
       }
     val epochs = listed.flatMap { st =>
       st.getPath.getName match {
-        case EpochFile(e) => Some(e.toLong -> st.getPath)
+        case EpochFile(e) => Some(e.toLong -> st)
         case _ => None
       }
     }
     val legacy = listed.collectFirst {
-      case st if st.getPath.getName == "catalog.json" => 0L -> st.getPath
+      case st if st.getPath.getName == "catalog.json" => 0L -> st
     }
     (epochs ++ legacy).sortBy(-_._1)
   }
+
+  /** Parsed-doc cache: one entry per catalog DIRECTORY, keyed by the
+    * winning epoch file's (name, length, mtime). A complete epoch file
+    * is immutable (a crashed writer's torn epoch number is never reused
+    * — [[save]]), so an unchanged identity can serve the parsed doc
+    * without re-reading: repeat loads cost ONE `listStatus`. The listing
+    * itself is never cached — it is what detects swaps; the serving
+    * paths call [[load]] once per query (PreparedIndex's post-job
+    * version re-check), which made the read+regex-parse a per-query
+    * concurrency tax at 16 serving threads.
+    */
+  private val docCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Long, Long, CatalogDoc)]()
 
   def exists(root: String, name: String)(implicit conf: Configuration): Boolean = {
     val dir = new Path(root, name)
@@ -204,14 +218,14 @@ object Catalog {
     // next save's sweep removes them once a newer complete epoch
     // exists). Best-effort: a failed read/delete just leaves an extra
     // epoch for the next sweep.
-    val newestComplete = known.find { case (e, p) =>
+    val newestComplete = known.find { case (e, st) =>
       e == 0L || (try {
-        """"complete"\s*:\s*true""".r.findFirstIn(readFile(f, p)).nonEmpty
+        """"complete"\s*:\s*true""".r.findFirstIn(readFile(f, st.getPath)).nonEmpty
       } catch { case _: java.io.IOException => false })
     }
     newestComplete.foreach { case (ce, _) =>
-      known.filter(_._1 < ce).foreach { case (_, p) =>
-        try f.delete(p, false) catch { case _: java.io.IOException => () }
+      known.filter(_._1 < ce).foreach { case (_, st) =>
+        try f.delete(st.getPath, false) catch { case _: java.io.IOException => () }
       }
     }
   }
@@ -221,19 +235,32 @@ object Catalog {
     val f = fs(dir, conf)
     var attempt = 0
     var raw: String = null
+    var winner: org.apache.hadoop.fs.FileStatus = null
     while (raw == null) {
       val cands = listEpochs(dir, f)
       require(cands.nonEmpty, s"no catalog for database '$name' under $root")
-      raw = cands.iterator.flatMap { case (epoch, p) =>
+      // parsed-doc cache probe on the NEWEST listed candidate: a hit
+      // means the newest file IS the complete winner last parsed
+      // (identity = name+len+mtime; complete epochs are immutable), so
+      // the doc serves with zero reads. Any new epoch, torn or not,
+      // misses and takes the full read path below.
+      val newest = cands.head._2
+      val cached = docCache.get(dir.toString)
+      if (cached != null && cached._1 == newest.getPath.getName &&
+          cached._2 == newest.getLen &&
+          cached._3 == newest.getModificationTime)
+        return cached._4
+      val found = cands.iterator.flatMap { case (epoch, st) =>
         // a candidate may be mid-write (visible-but-partial on filesystems
         // without atomic create visibility) or already swept — skip to the
         // previous complete epoch
         try {
-          val s = readFile(f, p)
+          val s = readFile(f, st.getPath)
           val complete = """"complete"\s*:\s*true""".r.findFirstIn(s).nonEmpty
-          if (complete || epoch == 0L) Some(s) else None
+          if (complete || epoch == 0L) Some((s, st)) else None
         } catch { case _: java.io.IOException => None }
       }.nextOption().orNull
+      if (found != null) { raw = found._1; winner = found._2 }
       if (raw == null) {
         // every listed candidate was torn or vanished: the listing went
         // stale across ≥2 saves (reader paused, writer swept) or the
@@ -245,7 +272,7 @@ object Catalog {
         attempt += 1
         if (attempt >= 6)
           sys.error(s"catalog for '$name': no complete epoch among " +
-            listEpochs(dir, f).map(_._2.getName).mkString(", "))
+            listEpochs(dir, f).map(_._2.getPath.getName).mkString(", "))
         Thread.sleep(10L * attempt)
       }
     }
@@ -261,7 +288,7 @@ object Catalog {
     def num(k: String): Long =
       s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(raw)
         .map(_.group(1).toLong).getOrElse(sys.error(s"catalog missing $k"))
-    CatalogDoc(str("name"), num("vectorDimension").toInt, num("maxId"),
+    val doc = CatalogDoc(str("name"), num("vectorDimension").toInt, num("maxId"),
       num("dataVersion").toInt, num("indexVersion").toInt, num("maxTrainedId"),
       num("numVectorsTrainedOn"), num("numTrainedVectorsRemoved"),
       num("numNewVectors"), num("numPendingDeletes"),
@@ -273,6 +300,12 @@ object Catalog {
       numOr("usedTwoLevel", -1L).toInt, numOr("createdAt", 0L),
       numOr("codedBucketShift", -1L).toInt,
       strOr("codedOwners", ""))
+    // cache under the winner's identity; the probe only ever hits when
+    // this same file is still the newest listed, so a torn newer epoch
+    // (winner != newest) simply never hits — correct, just uncached
+    docCache.put(dir.toString, (winner.getPath.getName, winner.getLen,
+      winner.getModificationTime, doc))
+    doc
   }
 
   private def readFile(f: FileSystem, p: Path): String = {
@@ -289,8 +322,13 @@ object Catalog {
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
-  def delete(root: String, name: String)(implicit conf: Configuration): Unit =
+  def delete(root: String, name: String)(implicit conf: Configuration): Unit = {
+    // drop the parsed-doc cache entry: a recreate restarts the epoch
+    // numbering, so a same-name file could otherwise collide with the
+    // cached identity inside one mtime granule
+    docCache.remove(new Path(root, name).toString)
     deletePath(new Path(root, name))
+  }
 
   /** Recursive delete (no-op if absent). */
   def deletePath(path: Path)(implicit conf: Configuration): Unit = {
