@@ -95,6 +95,19 @@ class Engine(val spark: SparkSession, val root: String) {
     scala.collection.concurrent.TrieMap.empty[String, Object]
   @volatile var autoRoutePrepared: Boolean = true
 
+  /** A3 — opt-in flat-index memory guard (reference
+    * input_validation.py:101-105 via training_utils.py:58-61): when set,
+    * an [[add]] to an UNTRAINED db is rejected — nothing committed — if
+    * the reference's flat-model estimate `(ids_ever_assigned + new)·d·4·3`
+    * bytes would exceed the cap. Off by default: the flat path here is a
+    * spilling parquet scan, not a resident Faiss index, so the reference's
+    * RAM ceiling is not a real constraint — the knob exists for callers
+    * that want reference-parity admission control. `ids_ever_assigned`
+    * (maxId+1) upper-bounds the reference's live count: the guard can
+    * only be MORE conservative after deletes, never admit more.
+    */
+  @volatile var flatAddMemoryGuardBytes: Option[Long] = None
+
   /** The warm handle serving `doc`'s exact version — build (or rebuild
     * after a swap) under a per-db lock so concurrent first queries share
     * one block build. The build lock is NOT [[dbLock]]: pinning blocks
@@ -561,6 +574,13 @@ class Engine(val spark: SparkSession, val root: String) {
       try {
         val added = prepared.count()
         require(added > 0, "add: empty input")
+        // A3 — the count is in hand and nothing is committed yet, so the
+        // guard rejects atomically (same contract as the A1 dim rejection)
+        if (!doc.isTrained) flatAddMemoryGuardBytes.foreach { cap =>
+          val est = (doc.maxId + 1 + added) * d.toLong * 4L * 3L
+          require(est <= cap,
+            s"add: flat index would use ~$est bytes > max memory usage $cap")
+        }
         val withIds = spark.createDataFrame(
           prepared.rdd.zipWithIndex().map { case (r, i) =>
             org.apache.spark.sql.Row(base + i, r.getSeq[Float](0), r.getString(1))

@@ -51,6 +51,31 @@ class ValidationSpec extends SparkSpec {
     assert(engine.count("vdb") == 1L) // failed add leaves the snapshot intact
   }
 
+  test("A3: flat-index memory guard rejects atomically when opted in " +
+      "(input_validation.py:101-105, training_utils.py:58-61)") {
+    engine.create("memdb", vectorDimension = 8)
+    // 10 rows × 8 dims × 4 × 3 = 960 bytes: cap 1000 admits the first 10
+    engine.flatAddMemoryGuardBytes = Some(1000L)
+    try {
+      engine.addLocal("memdb", Seq.fill(10)(Array.fill(8)(0.5f)),
+        Seq.fill(10)("{}"))
+      assert(engine.count("memdb") == 10L)
+      // one more row → 11·8·4·3 = 1056 > 1000: rejected, nothing committed
+      val e = intercept[IllegalArgumentException] {
+        engine.addLocal("memdb", Seq(Array.fill(8)(0.5f)), Seq("{}"))
+      }
+      assert(e.getMessage.contains("max memory usage"))
+      assert(engine.count("memdb") == 10L)
+      // raising the cap admits the same batch — the guard is the only gate
+      engine.flatAddMemoryGuardBytes = Some(2000L)
+      engine.addLocal("memdb", Seq(Array.fill(8)(0.5f)), Seq("{}"))
+      assert(engine.count("memdb") == 11L)
+    } finally {
+      engine.flatAddMemoryGuardBytes = None
+      engine.delete("memdb")
+    }
+  }
+
   test("remove: negative ids rejected (input_validation.py:121-126)") {
     val e = intercept[IllegalArgumentException](engine.remove("vdb", Seq(-1L)))
     assert(e.getMessage.toLowerCase.contains("negative"))
