@@ -67,6 +67,12 @@ class Engine(val spark: SparkSession, val root: String) {
   private val codedDfCache = scala.collection.concurrent.TrieMap
     .empty[(String, Int), DataFrame]
 
+  /** [[codedDfCache]]'s twin for the SERVING session (the internal
+    * per-query coarse scans) — same keys, invalidated together.
+    */
+  private val codedDfServingCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), DataFrame]
+
   /** M7 — LRU over loaded index artifacts, bounded by their actual driver
     * footprint (reference cache/cache.py:5-102; the M8 estimator backs the
     * info endpoint, MemoryModel.scala). Evicting a model also unpersists
@@ -77,6 +83,7 @@ class Engine(val spark: SparkSession, val root: String) {
     onEvict = (k, _) => {
       modelBcCache.remove(k).foreach(_.unpersist(false))
       codedDfCache.remove(k)
+      codedDfServingCache.remove(k)
       // a cold db releases its auto-routed serving blocks too (same
       // budget story as the model broadcast)
       autoPrepared.get(k._1).filter(_.pinned.indexVersion == k._2)
@@ -118,7 +125,7 @@ class Engine(val spark: SparkSession, val root: String) {
       prepareLocks.getOrElseUpdate(doc.name, new Object).synchronized {
         autoPrepared.get(doc.name).filter(!_.isStaleFor(doc)).getOrElse {
           autoPrepared.remove(doc.name).foreach(_.close())
-          val p = prepareServing(doc.name)
+          val p = buildPrepared(doc.name, -1, Engine.PreparedAddsRefreshIntervalMs)
           // close any handle the publish displaces: after a drop+recreate
           // the OLD lock object is gone (delete() removes prepareLocks),
           // so a stale builder still holding it can race this publish —
@@ -1250,6 +1257,33 @@ class Engine(val spark: SparkSession, val root: String) {
                        Engine.PreparedAddsRefreshIntervalMs): PreparedIndex = {
     val doc = load(name)
     require(doc.isTrained, s"'$name' has no trained index to prepare")
+    // default-shaped requests SHARE the engine's routing handle: one
+    // pinned block set serves the auto-routed queries and every explicit
+    // caller. Without this, query() + prepareServing() pinned TWO copies
+    // of the block set — at the 35M geometry the second build evicted
+    // the first's partitions and every sequential serve paid disk
+    // re-promotion (r14 eval: 2.07 s prepared p50 from a 35 ms path).
+    if (autoRoutePrepared && numParts <= 0 &&
+        addsRefreshIntervalMs == Engine.PreparedAddsRefreshIntervalMs) {
+      while (true) {
+        // tryRetain loses only to a concurrent swap's close of the just
+        // published handle; autoPreparedFor rebuilds fresh on re-entry
+        autoPreparedFor(load(name)).tryRetain() match {
+          case Some(h) => return h
+          case None => ()
+        }
+      }
+    }
+    buildPrepared(doc.name, numParts, addsRefreshIntervalMs)
+  }
+
+  /** The unshared build behind [[prepareServing]] (and the engine's own
+    * routing handle): pin the coded blocks and wire the refresh closures.
+    */
+  private def buildPrepared(name: String, numParts: Int,
+                            addsRefreshIntervalMs: Long): PreparedIndex = {
+    val doc = load(name)
+    require(doc.isTrained, s"'$name' has no trained index to prepare")
     val parts =
       if (numParts > 0) numParts else spark.sparkContext.defaultParallelism
     // the id fence pins the block set to EXACTLY the pinned doc: an add
@@ -1323,12 +1357,14 @@ class Engine(val spark: SparkSession, val root: String) {
     * analyzer passes ≈ 40 ms/query at the 8-chunk 35M shape
     * (PlanFloorProfile r14 attribution).
     */
-  private def prunedCodedBranchPlans(doc: CatalogDoc, probes: Array[Int])
+  private def prunedCodedBranchPlans(doc: CatalogDoc, probes: Array[Int],
+                                     serving: Boolean)
       : IndexedSeq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.{In => ExprIn, Literal => ExprLit}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan}
     val shift = doc.codedBucketShift
-    val basePlan = codedDf(doc).queryExecution.analyzed
+    val basePlan =
+      (if (serving) codedDfServing(doc) else codedDf(doc)).queryExecution.analyzed
     val bucketAttr = basePlan.output.find(_.name == "cluster_bucket").get
     val clusterAttr = basePlan.output.find(_.name == "cluster_id").get
     def branchPlan(chunk: Array[Int]): LogicalPlan =
@@ -1357,7 +1393,7 @@ class Engine(val spark: SparkSession, val root: String) {
         codedDf(doc).filter(
           col("cluster_id").isin(probes.toIndexedSeq.map(Integer.valueOf): _*))
       else {
-        val plans = prunedCodedBranchPlans(doc, probes)
+        val plans = prunedCodedBranchPlans(doc, probes, serving = false)
         org.apache.spark.sql.graftbridge.Bridge.ofRows(spark,
           if (plans.length == 1) plans.head else LUnion(plans))
       }
@@ -1374,8 +1410,9 @@ class Engine(val spark: SparkSession, val root: String) {
   private[core] def prunedLiveCodedChunks(doc: CatalogDoc,
                                           probes: Array[Int]): IndexedSeq[DataFrame] =
     if (doc.codedBucketShift < 0) IndexedSeq(prunedLiveCoded(doc, probes))
-    else prunedCodedBranchPlans(doc, probes).map(p =>
-      withLiveDeletes(doc, org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, p)))
+    else prunedCodedBranchPlans(doc, probes, serving = true).map(p =>
+      withLiveDeletes(doc,
+        org.apache.spark.sql.graftbridge.Bridge.ofRows(servingSession, p)))
 
   /** The coded table as ONE DataFrame. With per-bucket compaction a
     * bucket's rows live under the index version that last REWROTE it
@@ -1389,7 +1426,45 @@ class Engine(val spark: SparkSession, val root: String) {
     * on a version bump.
     */
   private def codedDf(doc: CatalogDoc): DataFrame =
-    codedDfCache.getOrElseUpdate((doc.name, doc.indexVersion), {
+    codedDfCache.getOrElseUpdate((doc.name, doc.indexVersion),
+      buildCodedDf(doc, spark))
+
+  /** [[codedDf]] read through the SERVING session: identical rows, but the
+    * scan plans under [[servingSession]]'s confs. Only the internal
+    * coarse path uses it — frames that reach callers stay on the main
+    * session.
+    */
+  private def codedDfServing(doc: CatalogDoc): DataFrame =
+    codedDfServingCache.getOrElseUpdate((doc.name, doc.indexVersion),
+      buildCodedDf(doc, servingSession))
+
+  /** Session for the INTERNAL serving scans — the per-query coarse chunk
+    * jobs. Shares the SparkContext (same executors, same scheduler); the
+    * one conf that matters is `files.minPartitionNum = 1`: the default
+    * (defaultParallelism) makes Spark split every scan to fill all cores
+    * via bytes-per-core, which turns the 8 CONCURRENT ~26 MB-file chunk
+    * scans of one query into ~300 one-file tasks — per-task file open +
+    * footer + page-index cost dominated the measured coarse stage
+    * (RootProfile r14: 319 ms of the 489 ms coarse was pure scan setup).
+    * With minPartitionNum=1 the packer fills 128 MB partitions (~4-5
+    * files per task), the 8 jobs still land ~60 tasks on 32 cores, and
+    * big analytic scans are unaffected (maxPartitionBytes still bounds a
+    * task). Analytics/train/fetch scans stay on the MAIN session.
+    */
+  private[core] lazy val servingSession: SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.files.minPartitionNum", "1")
+    // re-pin the engine's scan confs (newSession starts from globals,
+    // not from the parent session's runtime values)
+    s.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "512")
+    s.conf.set("spark.sql.optimizer.inSetConversionThreshold", "1")
+    s.conf.set("spark.sql.optimizer.inSetSwitchThreshold", "0")
+    s.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    s
+  }
+
+  private def buildCodedDf(doc: CatalogDoc, spark: SparkSession): DataFrame = {
       if (doc.codedOwners.isEmpty || doc.codedBucketShift < 0)
         spark.read.schema(codedReadSchema(doc.codedBucketShift))
           .parquet(s"${doc.indexPath(root)}/coded")
@@ -1423,7 +1498,7 @@ class Engine(val spark: SparkSession, val root: String) {
                 .option("basePath", base).parquet(dirs: _*)
         }.reduce(_ union _)
       }
-    })
+  }
 
   /** Coded-table layout sizing at train time — overridable so specs can
     * force a multi-bucket layout on a corpus small enough for `sbt test`
@@ -1828,6 +1903,7 @@ class Engine(val spark: SparkSession, val root: String) {
     }
     // same-version append: the cached frame's FileIndex is now stale
     codedDfCache.remove((doc.name, doc.indexVersion))
+    codedDfServingCache.remove((doc.name, doc.indexVersion))
   }
 
   /** Parquet files under a directory (recursive; 0 if absent). */
@@ -2123,6 +2199,8 @@ class Engine(val spark: SparkSession, val root: String) {
       .foreach { k =>
         modelBcCache.remove(k).foreach(_.unpersist(false))
         codedDfCache.remove(k)
+        codedDfServingCache.remove(k)
+      codedDfServingCache.remove(k)
       }
 
   private def normalizeLocal(v: Array[Float]): Array[Float] = {
@@ -2162,8 +2240,17 @@ object Engine {
     */
   val CodedFilesPerCluster: Int = 4
 
-  /** Target parquet-file size for the bucketed coded-table layout. */
-  val TargetCodedFileBytes: Long = 32L * 1024 * 1024
+  /** Target parquet-file size for the bucketed coded-table layout.
+    * 256 MB (canonical parquet sizing, 2 row groups at the default
+    * 128 MB block), raised from 32 MB after RootProfile r14 measured the
+    * serving floor at the 35M geometry: probed clusters spread uniformly
+    * over buckets, so EVERY coarse pass opens ~every bucket file, and at
+    * 26 MB files that was ~350 opens × (footer + page-index ≈ 3-5 ms) —
+    * more than half the composable-path latency. Bigger buckets cut the
+    * per-query open count ~8× while analytic scans keep task parallelism
+    * by splitting at row-group boundaries (maxPartitionBytes 128 MB).
+    */
+  val TargetCodedFileBytes: Long = 256L * 1024 * 1024
 
   /** Ceiling on coded-table buckets — bounds partition-dir count (and the
     * listing cost of every coded read) no matter the corpus size; past it

@@ -89,6 +89,28 @@ final class PreparedIndex private[core] (
   @volatile private var lastAddsRefreshMs = 0L
   private val refreshLock = new Object
   @volatile private var closed = false
+  // reference count: the engine's published routing handle and every
+  // explicit prepareServing caller SHARE one instance — one pinned block
+  // set, not one per caller (two copies of the 35M block set thrashed
+  // the block manager's storage pool in the r14 eval: building the
+  // second evicted the first's partitions and each sequential serve paid
+  // disk re-promotion). close() releases ONE reference — call it exactly
+  // once per acquisition (each prepareServing return, plus the engine's
+  // own publish) — and frees the blocks only at zero.
+  private val refs = new java.util.concurrent.atomic.AtomicInteger(1)
+
+  /** Acquire one more reference — None if the last holder already
+    * released (a concurrent swap closed the routing handle between
+    * publish and this acquisition; the caller re-enters the builder).
+    */
+  private[core] def tryRetain(): Option[PreparedIndex] = {
+    var cur = refs.get()
+    while (cur > 0) {
+      if (refs.compareAndSet(cur, cur + 1)) return Some(this)
+      cur = refs.get()
+    }
+    None
+  }
 
   private def model: IndexModel = bcModel.value
 
@@ -316,10 +338,11 @@ final class PreparedIndex private[core] (
         if (r.isNullAt(2)) null else r.getString(2), r.getDouble(3))
     }
 
-  /** Release the cached blocks (the model broadcast is engine-owned and
-    * stays — it serves the regular path too).
+  /** Release this acquisition's reference; the cached blocks free when
+    * the LAST holder releases (the model broadcast is engine-owned and
+    * stays — it serves the regular path too). Call once per acquisition.
     */
-  def close(): Unit = {
+  def close(): Unit = if (refs.decrementAndGet() == 0) {
     closed = true
     blocks.unpersist(blocking = false)
     deletedSnapshot._2.unpersist(blocking = false)

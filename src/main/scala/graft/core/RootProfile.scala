@@ -1,0 +1,149 @@
+package graft.core
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage attribution against a KEPT trained root (RootBuild) at the real
+  * geometry — the two r14 questions PlanFloorProfile's small proxy could
+  * not answer:
+  *
+  *  1. where do the ~900 ms of `queryCatalyst` p50 at 35M go, when the
+  *     same stages cost ~180 ms at the 150k proxy (per-stage split below
+  *     scales each candidate: probe select over the real nlist, chunk
+  *     plan construction over the real file count, the concurrent coarse
+  *     jobs over the real bytes, the fetch);
+  *  2. why did ScaleEval's EXPLICIT prepared handle read 2.07 s p50
+  *     sequential while its concurrent block served ~15 ms/query — the
+  *     dual-handle scenario (auto-routed handle + prepareServing handle,
+  *     two pinned block RDDs) is reproduced with RDD storage-info dumps
+  *     before/after each loop so eviction/thrash is visible directly.
+  *
+  * Args: <root> [db] [d] [nQ]. Prints human lines, not an artifact row.
+  */
+object RootProfile {
+  def main(args: Array[String]): Unit = {
+    val root = args(0)
+    val db = if (args.length > 1) args(1) else "scale"
+    val d = if (args.length > 2) args(2).toInt else 64
+    val nQ = if (args.length > 3) args(3).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val engine = new Engine(spark, root)
+    val doc = engine.load(db)
+    println(s"nlist=${doc.numClusters} nprobe=${doc.nProbe} " +
+      s"shift=${doc.codedBucketShift} maxId=${doc.maxId}")
+    val rnd = new Random(123)
+    val qs = Array.fill(nQ)(Array.fill(d)(rnd.nextGaussian().toFloat))
+    def p50(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+
+    def storage(tag: String): Unit = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      val mem = infos.map(_.memSize).sum / 1e9
+      val dsk = infos.map(_.diskSize).sum / 1e9
+      val parts = infos.map(i => s"${i.id}:${i.numCachedPartitions}/${i.numPartitions}" +
+        f"(${i.memSize / 1e9}%.1fg+${i.diskSize / 1e9}%.1fgD)").mkString(" ")
+      println(f"[storage $tag] mem $mem%.1f GB disk $dsk%.1f GB  $parts")
+    }
+
+    // ---- 1. catalyst inner-stage split at the real geometry ----------
+    engine.queryCatalyst(db, qs(0), 500, 50).collect() // warm
+    val model = engine.indexModel(doc)
+    val inner = qs.toIndexedSeq.map { q =>
+      val a0 = System.nanoTime()
+      val qp = model.pca.applyLocal(q)
+      val probes = model.nearestClusters(qp, doc.nProbe)
+      val a1 = System.nanoTime()
+      val chunks = engine.prunedLiveCodedChunks(doc, probes)
+      val a2 = System.nanoTime()
+      val candRows = graft.operators.BatchANN.coarseSingleChunked(
+        spark, chunks, engine.modelBroadcast(doc), qp, probes, 500)
+      val a3 = System.nanoTime()
+      val fetched = engine.prunedLiveCoded(doc, candRows.map(_._3).distinct)
+        .select("id", "vector", "metadata")
+        .filter(col("id").isInCollection(
+          candRows.map(r => java.lang.Long.valueOf(r._1)).toIndexedSeq))
+      val a4 = System.nanoTime()
+      fetched.collect()
+      val a5 = System.nanoTime()
+      IndexedSeq((a1 - a0) / 1e6, (a2 - a1) / 1e6, (a3 - a2) / 1e6,
+        (a4 - a3) / 1e6, (a5 - a4) / 1e6)
+    }
+    def col50(i: Int): Double = p50(inner.map(_(i)))
+    println(f"catalyst inner p50: probe_select ${col50(0)}%.0f  chunk_plans " +
+      f"${col50(1)}%.0f  coarse ${col50(2)}%.0f  fetch_construct ${col50(3)}%.0f  " +
+      f"fetch_collect ${col50(4)}%.0f ms")
+    val e2e = qs.toIndexedSeq.map { q =>
+      val t0 = System.nanoTime()
+      engine.queryCatalyst(db, q, 500, 50).collect()
+      (System.nanoTime() - t0) / 1e6
+    }
+    println(f"catalyst end-to-end p50: ${p50(e2e)}%.0f ms  " +
+      s"(all: ${e2e.map(_.toInt).mkString(",")})")
+
+    // ---- coarse dissection: scan+filter cost vs kernel cost ----------
+    // count() = decode + pushed filter only (no ADC kernel); the gap to
+    // the coarse stage above is kernel + heap-merge. Sequential per-chunk
+    // timing shows whether the 8 concurrent jobs actually overlap.
+    {
+      val q = qs(0)
+      val qp = model.pca.applyLocal(q)
+      val probes = model.nearestClusters(qp, doc.nProbe)
+      val chunks = engine.prunedLiveCodedChunks(doc, probes)
+      println(s"chunks=${chunks.length}")
+      // warm
+      chunks.foreach(_.select("id", "cluster_id", "code").count())
+      val t0 = System.nanoTime()
+      val rows = chunks.map(_.select("id", "cluster_id", "code").count())
+      val t1 = System.nanoTime()
+      println(f"sequential per-chunk count: total ${(t1 - t0) / 1e6}%.0f ms  " +
+        s"rows/chunk: ${rows.mkString(",")}")
+      // concurrent counts (same thread structure as coarseSingleChunked)
+      val t2 = System.nanoTime()
+      val threads = chunks.map { c =>
+        val t = new Thread(() => { c.select("id", "cluster_id", "code").count(); () })
+        t.setDaemon(true); t.start(); t
+      }
+      threads.foreach(_.join())
+      val t3 = System.nanoTime()
+      println(f"concurrent chunk counts: ${(t3 - t2) / 1e6}%.0f ms")
+      // the kernel-bearing coarse, repeated (warm):
+      val t4 = System.nanoTime()
+      graft.operators.BatchANN.coarseSingleChunked(
+        spark, chunks, engine.modelBroadcast(doc), qp, probes, 500)
+      val t5 = System.nanoTime()
+      println(f"coarseSingleChunked (warm, same chunk frames): ${(t5 - t4) / 1e6}%.0f ms")
+      // task-level parallelism of one chunk scan
+      val one = chunks.head.select("id", "cluster_id", "code")
+      println(s"chunk0 partitions: ${one.queryExecution.toRdd.getNumPartitions}")
+    }
+
+    // ---- 2. dual-handle prepared repro -------------------------------
+    engine.query(db, qs(0), 500, 50).collect() // builds the AUTO handle
+    storage("after auto handle")
+    val prep = engine.prepareServing(db)
+    storage("after explicit prepare")
+    def lat(tag: String, f: Array[Float] => Unit): Unit = {
+      val xs = qs.toIndexedSeq.map { q =>
+        val t0 = System.nanoTime(); f(q); (System.nanoTime() - t0) / 1e6
+      }
+      println(f"$tag p50 ${p50(xs)}%.0f ms  (all: ${xs.map(_.toInt).mkString(",")})")
+    }
+    lat("prep.query seq#1", q => prep.query(q, 500, 50))
+    storage("after prep seq#1")
+    lat("routed (auto) seq", q => engine.query(db, q, 500, 50))
+    storage("after routed seq")
+    lat("prep.query seq#2", q => prep.query(q, 500, 50))
+    println(s"kernel_canary=${graft.Canary.kernelCanaryRowsPerSec()}")
+    prep.close()
+    spark.stop()
+  }
+}

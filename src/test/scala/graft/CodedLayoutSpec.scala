@@ -70,12 +70,15 @@ class CodedLayoutSpec extends SparkSpec {
     assert(Engine.codedBucketCount(743, shift) == 1)
   }
 
-  test("sizing: the 35M x 64-d scale geometry lands near the 32 MB file target") {
+  test("sizing: the 35M x 64-d scale geometry lands near the 256 MB file target") {
     val shift = Engine.codedBucketShift(35000000L, 91008, 64, 32)
     val buckets = Engine.codedBucketCount(91008, shift)
-    // ~12.9 GB estimate / 32 MB target → a few hundred buckets, three
-    // orders of magnitude fewer dirs than nlist
-    assert(buckets >= 64 && buckets <= 1024, s"got $buckets buckets")
+    // ~12.9 GB estimate / 256 MB target → tens of buckets: few enough
+    // that a coarse pass (which touches ~every bucket — probed clusters
+    // spread uniformly) opens tens of files, not hundreds (the r14
+    // serving-floor finding), yet ~4 orders of magnitude fewer dirs than
+    // nlist and still row-group-splittable for analytic parallelism
+    assert(buckets >= 16 && buckets <= 128, s"got $buckets buckets")
   }
 
   test("sizing: huge rows-per-cluster keeps shift 0 (per-cluster dirs already right-sized)") {

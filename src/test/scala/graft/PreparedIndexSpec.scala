@@ -126,6 +126,33 @@ class PreparedIndexSpec extends SparkSpec {
     fresh.close()
   }
 
+  test("default-shaped prepareServing SHARES the routing handle: one block set, " +
+      "refcounted release") {
+    // warm the engine-owned handle, then acquire it explicitly — the
+    // same instance must come back (one pinned block set, not two: the
+    // r14 35M eval measured the dual-pin thrash at 2.07 s/query)
+    engine.query("pdb", queries(0), PrelimK, FinalK).collect()
+    val a = engine.prepareServing("pdb")
+    val b = engine.prepareServing("pdb")
+    assert(a eq b, "default-shaped prepares must share one instance")
+    // a caller's close releases ITS reference only: the other holder and
+    // the engine's routed path keep serving from the same blocks
+    a.close()
+    queries.take(2).foreach { q => assert(prepared(b, q) == regular(q)) }
+    b.close()
+    queries.take(2).foreach { q =>
+      val got = engine.query("pdb", q, PrelimK, FinalK).collect().toSeq.map { r =>
+        (r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3))
+      }
+      assert(got == regular(q))
+    }
+    // a non-default shape builds its own handle (different refresh
+    // contract ⇒ cannot share the engine's)
+    val own = engine.prepareServing("pdb", addsRefreshIntervalMs = 0L)
+    assert(!(own eq b))
+    own.close()
+  }
+
   test("auto-routed engine.query is exactly the Catalyst path, across a retrain") {
     queries.foreach { q =>
       val got = engine.query("pdb", q, PrelimK, FinalK).collect().toSeq.map { r =>
