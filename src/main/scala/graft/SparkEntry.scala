@@ -97,6 +97,7 @@ object SparkEntry {
     "streaming_ingest"   -> (Queries.streamingIngestIds _),
     "streaming_dedup_inc" -> (Queries.streamingDedupInc _),
     "engine_verbs"       -> (Queries.engineVerbs _),
+    "rest_api"           -> (Queries.restApi _),
     "retrain_decisions"  -> (Queries.retrainDecisions _),
     "sessionize"         -> (Queries.sessionize _),
     "asof_join"          -> (Queries.asofJoin _),
@@ -1327,6 +1328,41 @@ object SparkEntry {
         |UNION ALL SELECT 'cache_removed', 1.0
         |UNION ALL SELECT 'cache_reload_rows', 5.0""".stripMargin
         .replace("FACTOR_EXPR", nprobeFactorSql("nlist")),
+
+    // M1 — the REST transport matrix: every value is a route-behavior
+    // flag or closed-form from count(*) (the corpus rides in over HTTP).
+    "rest_api" ->
+      """WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM embeddings)
+        |SELECT 'health_ok' AS metric, 1.0 AS value FROM s
+        |UNION ALL SELECT 'create_ok', 1.0
+        |UNION ALL SELECT 'dup_create_rejected', 1.0
+        |UNION ALL SELECT 'bad_name_rejected', 1.0
+        |UNION ALL SELECT 'add_rows', c FROM s
+        |UNION ALL SELECT 'info_dim', 64.0
+        |UNION ALL SELECT 'info_trained', 0.0
+        |UNION ALL SELECT 'info_envelope_is_string', 1.0
+        |UNION ALL SELECT 'query_rows', 5.0
+        |UNION ALL SELECT 'query_top1_id', 0.0
+        |UNION ALL SELECT 'query_top1_sim_is_1', 1.0
+        |UNION ALL SELECT 'query_meta_roundtrip', 1.0
+        |UNION ALL SELECT 'query_matches_hits', 1.0
+        |UNION ALL SELECT 'query_missing_404', 1.0
+        |UNION ALL SELECT 'query_dim_400', 1.0
+        |UNION ALL SELECT 'remove_removed', 1.0
+        |UNION ALL SELECT 'remove_live', c - 2 FROM s
+        |UNION ALL SELECT 'remove_negative_400', 1.0
+        |UNION ALL SELECT 'train_status_initial', 1.0
+        |UNION ALL SELECT 'save_ok', 1.0
+        |UNION ALL SELECT 'reload_ok', 1.0
+        |UNION ALL SELECT 'view_cache_ok', 1.0
+        |UNION ALL SELECT 'mem_update_applied', 1.0
+        |UNION ALL SELECT 'remove_from_cache_ok', 1.0
+        |UNION ALL SELECT 'initial_queue_empty', 0.0
+        |UNION ALL SELECT 'sweep_queue_empty', 0.0
+        |UNION ALL SELECT 'spaces_name_ok', 1.0
+        |UNION ALL SELECT 'delete_ok', 1.0
+        |UNION ALL SELECT 'deleted_info_404', 1.0
+        |UNION ALL SELECT 'deleted_delete_404', 1.0""".stripMargin,
 
     // M3/M4 auto-(re)train trigger formulas over the churn grid: coverage
     // (trained−removed)/(trained+fresh), initial-train at n ≥ 25000,

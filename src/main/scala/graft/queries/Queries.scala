@@ -2031,6 +2031,154 @@ object Queries {
         .withColumn("value", round(col("value"), 6))
     }
 
+  /** M1 — the full REST transport exercised over real HTTP: every
+    * reference route (api/fastapi.py:67-470) is driven against a live
+    * [[graft.api.RestServer]] on an ephemeral port, and every metric is
+    * closed-form from the embeddings count so the DuckDB oracle replays
+    * the whole matrix. The corpus rides in over POST /db/{name}/add
+    * exactly as a reference client would send it (JSON (vector, metadata)
+    * tuples, batched), and the query assertions prove the HTTP layer is a
+    * faithful transport of the oracle-gated engine paths (knn_flat gates
+    * the math; this row gates the wire).
+    */
+  def restApi(s: SparkSession, dir: String): DataFrame =
+    sharedFrame(s, dir, "rest_api") {
+      import java.net.URI
+      import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+      import s.implicits._
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = java.nio.file.Files.createTempDirectory("graft-rest-q").toString
+      val eng = new graft.core.Engine(s, root)
+      val server = new graft.api.RestServer(eng, port = 0).start()
+      try {
+        val base = s"http://127.0.0.1:${server.boundPort}"
+        val client = HttpClient.newHttpClient()
+        def get(path: String): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+          val r = client.send(HttpRequest.newBuilder(URI.create(base + path))
+            .GET().build(), HttpResponse.BodyHandlers.ofString())
+          (r.statusCode(), mapper.readTree(r.body()))
+        }
+        def post(path: String, json: String = "")
+            : (Int, com.fasterxml.jackson.databind.JsonNode) = {
+          val r = client.send(HttpRequest.newBuilder(URI.create(base + path))
+            .POST(HttpRequest.BodyPublishers.ofString(json))
+            .header("Content-Type", "application/json").build(),
+            HttpResponse.BodyHandlers.ofString())
+          (r.statusCode(), mapper.readTree(r.body()))
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        def flag(b: Boolean): Double = if (b) 1.0 else 0.0
+
+        out += ("health_ok" -> flag(
+          get("/health")._2.get("status").asText() == "healthy"))
+        out += ("create_ok" -> flag(post("/db/create",
+          """{"name":"rq","vector_dimension":64}""")._1 == 200))
+        out += ("dup_create_rejected" -> flag {
+          val (c, b) = post("/db/create", """{"name":"rq"}""")
+          c == 400 && b.get("detail").asText().contains("already exists")
+        })
+        out += ("bad_name_rejected" -> flag(
+          post("/db/create", """{"name":"bad/name"}""")._1 == 400))
+
+        // the corpus over the wire, reference client shape: batched JSON
+        // (vector, metadata-dict) tuples. Float.toString round-trips the
+        // exact float, so the stored vectors are bit-identical to an
+        // in-process add of the same table.
+        val emb = t(s, dir, "embeddings").orderBy("vec_id")
+          .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+        val n = emb.length
+        emb.zipWithIndex.grouped(1000).foreach { batch =>
+          val rows = batch.map { case (v, i) =>
+            v.mkString("""[[""", ",", s"""], {"i": $i}]""")
+          }
+          val (c, _) = post("/db/rq/add",
+            rows.mkString("""{"add_data": [""", ",", "]}"))
+          require(c == 200, s"add batch failed: $c")
+        }
+        val infoInner = mapper.readTree(
+          get("/db/rq/info")._2.get("db_info").asText())
+        out += ("add_rows" -> infoInner.get("num_vectors").asLong().toDouble)
+        out += ("info_dim" -> infoInner.get("vector_dimension").asInt().toDouble)
+        out += ("info_trained" -> flag(infoInner.get("trained").asBoolean()))
+        out += ("info_envelope_is_string" -> flag(
+          get("/db/rq/info")._2.get("db_info").isTextual))
+
+        // query row 0's own vector: its unique NN is itself (sim 1), and
+        // the HTTP body must be bit-equal to the engine's queryHits
+        val q0 = emb(0)
+        val (cq, bq) = post("/db/rq/query",
+          q0.mkString("""{"query_vector": [""", ",",
+            """], "preliminary_top_k": 50, "final_top_k": 5}"""))
+        out += ("query_rows" -> bq.get("ids").size().toDouble)
+        out += ("query_top1_id" -> bq.get("ids").get(0).asLong().toDouble)
+        out += ("query_top1_sim_is_1" -> flag(
+          math.abs(bq.get("cosine_similarity").get(0).asDouble() - 1.0) < 1e-6))
+        out += ("query_meta_roundtrip" -> flag(
+          bq.get("metadata").get(0).get("i").asInt() == 0))
+        val hits = eng.queryHits("rq", q0, 50, 5)
+        out += ("query_matches_hits" -> flag(cq == 200 &&
+          hits.map(_.id).toSeq ==
+            (0 until bq.get("ids").size()).map(bq.get("ids").get(_).asLong()) &&
+          hits.map(_.cosineSimilarity).toSeq ==
+            (0 until bq.get("cosine_similarity").size())
+              .map(bq.get("cosine_similarity").get(_).asDouble())))
+        out += ("query_missing_404" -> flag {
+          val (c, b) = post("/db/nosuch/query", """{"query_vector":[1,0]}""")
+          c == 404 && b.get("detail").asText() == "Database not found"
+        })
+        out += ("query_dim_400" -> flag(
+          post("/db/rq/query", """{"query_vector":[1,0,0]}""")._1 == 400))
+
+        out += ("remove_removed" -> flag(
+          post("/db/rq/remove", """{"ids":[0,1]}""")._2
+            .get("message").asText() == "2 vectors removed successfully"))
+        out += ("remove_live" -> mapper.readTree(
+          get("/db/rq/info")._2.get("db_info").asText())
+          .get("num_vectors").asLong().toDouble)
+        out += ("remove_negative_400" -> flag(
+          post("/db/rq/remove", """{"ids":[-5]}""")._1 == 400))
+
+        out += ("train_status_initial" -> flag(
+          get("/db/rq/train")._2.get("status").asText() == "not started"))
+        out += ("save_ok" -> flag(post("/db/rq/save")._2
+          .get("message").asText() == "Database saved successfully"))
+        out += ("reload_ok" -> flag(post("/db/rq/reload")._2
+          .get("message").asText() == "Database reloaded successfully"))
+
+        out += ("view_cache_ok" -> flag {
+          val (c, b) = get("/db/view_cache")
+          c == 200 && b.get("cache_keys").isArray &&
+            b.get("max_memory_usage").asLong() > 0
+        })
+        out += ("mem_update_applied" -> flag {
+          post("/db/update_max_memory_usage",
+            """{"max_memory_usage": 123456789}""")
+          get("/db/view_cache")._2.get("max_memory_usage").asLong() == 123456789L
+        })
+        out += ("remove_from_cache_ok" -> flag(
+          post("/db/rq/remove_from_cache")._2
+            .get("message").asText() == "Database removed from cache"))
+
+        out += ("initial_queue_empty" -> get("/db/get_initial_training_queue")
+          ._2.get("initial_training_queue").size().toDouble)
+        // n − 2 live rows is far below the 25k initial cutoff: nothing due
+        out += ("sweep_queue_empty" -> get("/db/find_indexes_to_train")
+          ._2.get("training_queue").size().toDouble)
+
+        out += ("spaces_name_ok" -> flag(
+          post("/db/create", """{"name":"My DB-2","vector_dimension":4}""")._1 == 200 &&
+          get("/db/My%20DB-2/info")._1 == 200 &&
+          post("/db/My%20DB-2/delete")._1 == 200))
+
+        out += ("delete_ok" -> flag(post("/db/rq/delete")._2
+          .get("message").asText() == "Database deleted successfully"))
+        out += ("deleted_info_404" -> flag(get("/db/rq/info")._1 == 404))
+        out += ("deleted_delete_404" -> flag(post("/db/rq/delete")._1 == 404))
+
+        out.toSeq.toDF("metric", "value").localCheckpoint(eager = true)
+      } finally server.stop()
+    }
+
   /** M7/M8 — the LRU db cache itself oracle-gated: a scripted
     * fill → hit → evicting-insert → protect → shrink sequence over a
     * cache whose per-entry byte costs are the REAL memory-model
