@@ -189,11 +189,13 @@ object ScaleEval {
     val taskRunMs = new java.util.concurrent.atomic.AtomicLong(0)
     val taskCpuNs = new java.util.concurrent.atomic.AtomicLong(0)
     val taskCount = new java.util.concurrent.atomic.AtomicLong(0)
+    val taskInBytes = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (te.taskMetrics != null) {
           taskRunMs.addAndGet(te.taskMetrics.executorRunTime)
           taskCpuNs.addAndGet(te.taskMetrics.executorCpuTime)
+          taskInBytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
           taskCount.incrementAndGet()
         }
     })
@@ -204,6 +206,13 @@ object ScaleEval {
       org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
       (a, (taskRunMs.get() - r0).toDouble, (taskCpuNs.get() - c0n) / 1e6,
         (taskCount.get() - n0).toDouble)
+    }
+    def inputDelta[A](body: => A): (A, Double) = {
+      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
+      val b0 = taskInBytes.get()
+      val a = body
+      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
+      (a, (taskInBytes.get() - b0) / 1e6)
     }
     val (singles, sRunMs, sCpuMs, sTasks) = taskDelta {
       (0 until nSingle).map { qi =>
@@ -217,18 +226,28 @@ object ScaleEval {
     // probe selection + plan build + Catalyst planning, forced via
     // executedPlan) and cluster-side (job + collect) — attributes how
     // much of ITS p50 is planning vs scan/kernel work
-    val splits = (0 until nSingle).map { qi =>
-      val s0 = System.nanoTime()
-      val df = engine.queryCatalyst("scale", queries(qi), prelimK, finalK)
-      df.queryExecution.executedPlan
-      val s1 = System.nanoTime()
-      df.collect()
-      val s2 = System.nanoTime()
-      ((s1 - s0) / 1e6, (s2 - s1) / 1e6, (s2 - s0) / 1e6)
+    // r14: the coarse stage is EAGER inside queryCatalyst (concurrent
+    // chunk jobs, BatchANN.coarseSingleChunked), so the "plan" share now
+    // contains the coarse scan execution. Task accounting + input bytes
+    // attribute where a cold-cache p50 goes (driver vs task-time vs IO
+    // volume) — the r14 35M artifact needed exactly this split.
+    val ((splits, catRunMs, catCpuMs, catTasks), catInMb) = inputDelta {
+      taskDelta {
+        (0 until nSingle).map { qi =>
+          val s0 = System.nanoTime()
+          val df = engine.queryCatalyst("scale", queries(qi), prelimK, finalK)
+          df.queryExecution.executedPlan
+          val s1 = System.nanoTime()
+          df.collect()
+          val s2 = System.nanoTime()
+          ((s1 - s0) / 1e6, (s2 - s1) / 1e6, (s2 - s0) / 1e6)
+        }
+      }
     }
     val catalystP50 = splits.map(_._3).sorted.apply(nSingle / 2)
     val planP50 = splits.map(_._1).sorted.apply(nSingle / 2)
     val execP50 = splits.map(_._2).sorted.apply(nSingle / 2)
+    val catalystAll = splits.map(t => "%.0f".format(t._3)).mkString("[", ",", "]")
 
     // routed FILTERED single-query (VERDICT r12 ask #1): the metadata
     // predicate is compiled once and evaluated against the preliminary
@@ -371,6 +390,12 @@ object ScaleEval {
         s""""catalyst_query_ms_p50":${"%.0f".format(catalystP50)},""" +
         s""""query_plan_ms_p50":${"%.0f".format(planP50)},""" +
         s""""query_exec_ms_p50":${"%.0f".format(execP50)},""" +
+        s""""catalyst_ms_all":$catalystAll,""" +
+        s""""singles_ms_sorted":${singles.map("%.0f".format(_)).mkString("[", ",", "]")},""" +
+        s""""catalyst_task_occupancy_ms_per_query":${"%.0f".format(catRunMs / nSingle)},""" +
+        s""""catalyst_task_cpu_ms_per_query":${"%.0f".format(catCpuMs / nSingle)},""" +
+        s""""catalyst_tasks_per_query":${"%.0f".format(catTasks / nSingle)},""" +
+        s""""catalyst_input_mb_per_query":${"%.0f".format(catInMb / nSingle)},""" +
         s""""filtered_matches_catalyst":$filteredMatches,""" +
         s""""filtered_query_ms_p50":${"%.0f".format(filteredP50)},""" +
         s""""filtered_cluster_correlated_ms_p50":${"%.0f".format(filteredCorrelatedP50)},""" +
