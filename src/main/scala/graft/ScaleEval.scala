@@ -283,16 +283,17 @@ object ScaleEval {
         got == exp
       }
     }
-    def fLoop(p: Column): Double = {
-      val xs = (0 until nSingle).map { qi =>
+    def fLoop(p: Column): IndexedSeq[Double] = {
+      (0 until nSingle).map { qi =>
         val s0 = System.nanoTime()
         engine.queryHits("scale", queries(qi), prelimK, finalK, Some(p))
         (System.nanoTime() - s0) / 1e6
       }.sorted
-      xs(nSingle / 2)
     }
-    val filteredP50 = fLoop(predCol)
-    val filteredCorrelatedP50 = fLoop(predCorr)
+    val filteredAll = fLoop(predCol)
+    val filteredCorrelatedAll = fLoop(predCorr)
+    val filteredP50 = filteredAll(nSingle / 2)
+    val filteredCorrelatedP50 = filteredCorrelatedAll(nSingle / 2)
     val fCat = (0 until nSingle).map { qi =>
       val s0 = System.nanoTime()
       engine.queryCatalyst("scale", queries(qi), prelimK, finalK,
@@ -398,7 +399,9 @@ object ScaleEval {
         s""""catalyst_input_mb_per_query":${"%.0f".format(catInMb / nSingle)},""" +
         s""""filtered_matches_catalyst":$filteredMatches,""" +
         s""""filtered_query_ms_p50":${"%.0f".format(filteredP50)},""" +
+        s""""filtered_ms_sorted":${filteredAll.map("%.0f".format(_)).mkString("[", ",", "]")},""" +
         s""""filtered_cluster_correlated_ms_p50":${"%.0f".format(filteredCorrelatedP50)},""" +
+        s""""filtered_correlated_ms_sorted":${filteredCorrelatedAll.map("%.0f".format(_)).mkString("[", ",", "]")},""" +
         s""""filtered_catalyst_ms_p50":${"%.0f".format(filteredCatalystP50)},""" +
         preparedJson +
         s""""concurrent_threads":$nThreads,"concurrent_queries":$nConc,""" +
