@@ -27,16 +27,24 @@ def last_json(path):
     return best
 
 mapping = {
-    "scale_run_35m": "scale_35m.log",
-    "published_eval_648q": "published_eval_648q.log",
-    "stream_near_dup_10m_rocksdb": "stream_rocksdb_10m.log",
-    "scale_run_5m_768_opq": "scale_5m_768_opq.log",
-    "scale_run_10m_768_opq": "scale_10m_768_opq.log",
+    # wave-2 quiet re-run preferred (attribution fields + clean-host A/B);
+    # wave-1 kept as the _firstrun twin for the add/train host-contention
+    # comparison
+    "scale_run_35m": ["scale_35m_quiet.log", "scale_35m.log"],
+    "scale_run_35m_firstrun": ["scale_35m.log"],
+    "published_eval_648q": ["published_eval_648q.log"],
+    "stream_near_dup_10m_rocksdb": ["stream_rocksdb_10m.log"],
+    "scale_run_5m_768_opq": ["scale_5m_768_opq.log"],
+    "scale_run_7m_768_opq": ["scale_7m_768_opq.log"],
 }
-for key, log in mapping.items():
-    row = last_json(os.path.join(R, log))
+for key, logs in mapping.items():
+    row = None
+    for log in logs:
+        row = last_json(os.path.join(R, log))
+        if row is not None:
+            break
     if row is None:
-        print(f"MISSING: {log} has no JSON line", file=sys.stderr)
+        print(f"MISSING: {logs} has no JSON line", file=sys.stderr)
     else:
         rows[key] = row
 
@@ -53,7 +61,15 @@ rows["provenance"] = {
              "concurrency ceiling, and both named filtered-predicate "
              "shapes at every geometry."),
     "runner": "evalruns_r14/graft_run.sh (plain java, frozen classes)",
-    "sequence": "evalruns_r14/run_evals.sh",
+    "sequence": "evalruns_r14/run_evals.sh + run_evals2.sh",
+    "scale_10m_768_note": (
+        "the verdict-suggested 10M x 768 OPQ point ENOSPC'd writing the "
+        "coded table (evalruns_r14/scale_10m_768_opq.log:49): the "
+        "covering layout needs data (~31 GB at 10M) + the assign+encode "
+        "shuffle + the coded table on disk simultaneously (~8 GB per M "
+        "rows at d=768), so the ~80 GB scratch budget caps the point at "
+        "~9M; re-sized to 7M with 25% headroom. The r13 estimate "
+        "counted only the final coded bytes."),
 }
 
 with open(OUT, "w") as f:
