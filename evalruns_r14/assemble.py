@@ -62,14 +62,26 @@ rows["provenance"] = {
              "shapes at every geometry."),
     "runner": "evalruns_r14/graft_run.sh (plain java, frozen classes)",
     "sequence": "evalruns_r14/run_evals.sh + run_evals2.sh",
-    "scale_10m_768_note": (
+    "scale_768d_ceiling_note": (
         "the verdict-suggested 10M x 768 OPQ point ENOSPC'd writing the "
-        "coded table (evalruns_r14/scale_10m_768_opq.log:49): the "
-        "covering layout needs data (~31 GB at 10M) + the assign+encode "
-        "shuffle + the coded table on disk simultaneously (~8 GB per M "
-        "rows at d=768), so the ~80 GB scratch budget caps the point at "
-        "~9M; re-sized to 7M with 25% headroom. The r13 estimate "
-        "counted only the final coded bytes."),
+        "coded table (evalruns_r14/scale_10m_768_opq.log:49), and the "
+        "re-sized 7M attempt ENOSPC'd in the assign+encode shuffle spill "
+        "(scale_7m_768_opq.log:53): the covering layout needs the data "
+        "table + the shuffle spill + the coded table on disk "
+        "simultaneously (~11 GB per M rows at d=768 at peak), so the "
+        "~80 GB scratch quota caps the measurable 768-d point on this "
+        "box at the existing 5M (r13's estimate counted only the final "
+        "coded bytes). Raising the ceiling needs either 2x scratch or "
+        "the packed-code layout proposed for r15 (PLANS.md), which cuts "
+        "both the shuffle and the coded bytes."),
+    "add_sec_note": (
+        "wave-1 35M add_sec 299 / quiet re-run 154 vs r13's 42.6 is NOT "
+        "a code regression: graft.AddProfile A/B at identical config "
+        "(16M x 64, 40g heap) measures HEAD at 16.7 s vs r13 classes at "
+        "38.9 s. add_sec is heap-geometry sensitive (35M: 51.6 s at 40g "
+        "vs 92.1 s at 100g fresh heap) and includes the corpus's first "
+        "materialization (JIT-cold) inside ScaleEval - a one-time ingest "
+        "cost, not a serving number."),
 }
 
 with open(OUT, "w") as f:

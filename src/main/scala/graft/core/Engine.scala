@@ -2200,7 +2200,6 @@ class Engine(val spark: SparkSession, val root: String) {
         modelBcCache.remove(k).foreach(_.unpersist(false))
         codedDfCache.remove(k)
         codedDfServingCache.remove(k)
-      codedDfServingCache.remove(k)
       }
 
   private def normalizeLocal(v: Array[Float]): Array[Float] = {
