@@ -1291,7 +1291,8 @@ class Engine(val spark: SparkSession, val root: String) {
     // (the scan sees the appended files) and in the side buffer (id >
     // pinned.maxId) — served twice
     val blocks = graft.operators.PreparedANN.buildBlocks(
-        codedDf(doc).filter(col("id") <= doc.maxId), parts)
+        codedDf(doc).filter(col("id") <= doc.maxId), parts,
+        codeM = indexModel(doc).pq.m)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     blocks.count() // materialize the cache at prepare time, not first query
     val collectDeleted = (d: CatalogDoc) =>
@@ -1304,12 +1305,15 @@ class Engine(val spark: SparkSession, val root: String) {
     // pre-prepare file at the footer. None past the row cap — the handle
     // degrades to fallback and tells the caller to re-prepare.
     val collectAppended = (d: CatalogDoc, sinceId: Long) => {
-      val rows = codedDf(d).filter(col("id") > sinceId)
+      val delta = codedDf(d).filter(col("id") > sinceId)
         .select("cluster_id", "id", "code", "vector", "metadata")
-        .limit(Engine.MaxPreparedSideRows + 1).collect()
+      val packedM =
+        if (graft.operators.BatchANN.isPackedCode(delta)) indexModel(d).pq.m
+        else -1
+      val rows = delta.limit(Engine.MaxPreparedSideRows + 1).collect()
       if (rows.length > Engine.MaxPreparedSideRows) None
       else Some(graft.operators.PreparedANN.foldBlocks(
-        rows.iterator.map(r => (r.getInt(0), r))))
+        rows.iterator.map(r => (r.getInt(0), r)), packedM))
     }
     new PreparedIndex(this, spark, doc, blocks, modelBroadcast(doc),
       collectDeleted, collectAppended, addsRefreshIntervalMs)

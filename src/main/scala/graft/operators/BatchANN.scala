@@ -62,6 +62,7 @@ object BatchANN {
 
     val src = coded.select(col("id").cast("long"), col("cluster_id").cast("int"),
       col("code"))
+    val packed = isPackedCode(coded)
 
     // InternalRow scan (queryExecution.toRdd), not the boxing Row API:
     // this kernel touches every probed row, and `getSeq[Int]` boxed each
@@ -72,7 +73,7 @@ object BatchANN {
     val partialRdd = src.queryExecution.toRdd.mapPartitions { it =>
       val model = bcModel.value
       val (qvecs, c2q) = bcQ.value
-      val heaps = scanPartitionHeaps(it, model, qvecs, c2q, prelimK)
+      val heaps = scanPartitionHeaps(it, model, qvecs, c2q, prelimK, packed)
       heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
         h.iterator.map { case (d, id, cid) => Row(qIds(qi), id, d, cid) }
       }
@@ -88,17 +89,28 @@ object BatchANN {
       .select("query_id", "id", "adc_dist", "cluster_id")
   }
 
+  /** True when the frame carries the r15 PACKED code layout (one BIGINT
+    * holding up to 8 code bytes, lowest subquantizer in the lowest byte)
+    * instead of the `array<int>` form. The layout is self-describing by
+    * column type, so readers serve BOTH without a catalog flag.
+    */
+  def isPackedCode(coded: DataFrame): Boolean =
+    coded.schema("code").dataType == LongType
+
   /** The per-partition coarse kernel shared by [[coarseCandidates]] and
     * [[coarseSingle]]: decode each probed row's PQ code once, score it
     * for exactly the queries probing its cluster, keep per-query bounded
     * heaps. Returns one heap per query of ≤ prelimK (adc_dist, id,
     * cluster_id) entries — worst kept under (dist asc, id asc) on top.
+    * `packedCode` selects the code read (see [[isPackedCode]]); the
+    * scored values are identical either way.
     */
   private def scanPartitionHeaps(
       it: Iterator[org.apache.spark.sql.catalyst.InternalRow],
       model: IndexModel, qvecs: Array[Array[Float]],
       c2q: Map[Int, Array[Int]],
-      prelimK: Int): Array[PriorityQueue[(Double, Long, Int)]] = {
+      prelimK: Int,
+      packedCode: Boolean): Array[PriorityQueue[(Double, Long, Int)]] = {
     val (centroids, codebooks, subDim) =
       (model.centroids, model.pq.codebooks, model.pq.subDim)
     val m = codebooks.length
@@ -109,15 +121,24 @@ object BatchANN {
     val heaps = Array.fill(qvecs.length)(
       PriorityQueue.empty[(Double, Long, Int)](heapOrd))
     val recon = new Array[Double](p)
+    val codeBuf = new Array[Int](m)
     it.foreach { r =>
       val cid = r.getInt(1)
       c2q.get(cid).foreach { probing =>
         val id = r.getLong(0)
-        val code = r.getArray(2)
+        if (packedCode) {
+          val word = r.getLong(2)
+          var j = 0
+          while (j < m) { codeBuf(j) = ((word >>> (8 * j)) & 0xFF).toInt; j += 1 }
+        } else {
+          val code = r.getArray(2)
+          var j = 0
+          while (j < m) { codeBuf(j) = code.getInt(j); j += 1 }
+        }
         val cc = centroids(cid)
         var j = 0
         while (j < m) {
-          val cb = codebooks(j)(code.getInt(j))
+          val cb = codebooks(j)(codeBuf(j))
           val off = j * subDim
           var t = 0
           while (t < subDim) { recon(off + t) = cc(off + t).toDouble + cb(t); t += 1 }
@@ -180,16 +201,17 @@ object BatchANN {
                           prelimK: Int): Array[(Long, Double, Int)] = {
     val probeSet = probes.toSet
     val bcQ = spark.sparkContext.broadcast((qp, probeSet))
-    val partFn = (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
-      val model = bcModel.value
-      val (q, ps) = bcQ.value
-      val c2q = ps.iterator.map(c => c -> Array(0)).toMap
-      scanPartitionHeaps(it, model, Array(q), c2q, prelimK)(0).toArray
-    }
+    def partFn(packed: Boolean) =
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+        val model = bcModel.value
+        val (q, ps) = bcQ.value
+        val c2q = ps.iterator.map(c => c -> Array(0)).toMap
+        scanPartitionHeaps(it, model, Array(q), c2q, prelimK, packed)(0).toArray
+      }
     def runChunk(df: DataFrame): Array[Array[(Double, Long, Int)]] = {
       val src = df.select(col("id").cast("long"), col("cluster_id").cast("int"),
         col("code"))
-      spark.sparkContext.runJob(src.queryExecution.toRdd, partFn)
+      spark.sparkContext.runJob(src.queryExecution.toRdd, partFn(isPackedCode(df)))
     }
     val parts: Array[Array[(Double, Long, Int)]] =
       if (chunks.lengthCompare(1) == 0) runChunk(chunks.head)

@@ -63,8 +63,14 @@ object PreparedANN {
   /** Fold `(cluster_id, covering row)` pairs into per-cluster primitive
     * blocks — shared by the distributed prepare-time build and the
     * driver-local side-buffer build for post-prepare appends.
+    *
+    * `packedM` > 0 means the `code` column is the r15 PACKED layout (one
+    * BIGINT, `packedM` code bytes, lowest subquantizer in the lowest
+    * byte); the resulting blocks are byte-identical to the array-layout
+    * fold of the same codes (PackedCodeSpec).
     */
-  def foldBlocks(it: Iterator[(Int, org.apache.spark.sql.Row)]): Map[Int, ClusterBlock] = {
+  def foldBlocks(it: Iterator[(Int, org.apache.spark.sql.Row)],
+                 packedM: Int = -1): Map[Int, ClusterBlock] = {
     val ids = mutable.Map.empty[Int, mutable.ArrayBuilder.ofLong]
     val codes = mutable.Map.empty[Int, mutable.ArrayBuilder.ofByte]
     val vecs = mutable.Map.empty[Int, mutable.ArrayBuilder.ofFloat]
@@ -72,7 +78,11 @@ object PreparedANN {
     it.foreach { case (cid, r) =>
       ids.getOrElseUpdate(cid, new mutable.ArrayBuilder.ofLong) += r.getLong(1)
       val cb = codes.getOrElseUpdate(cid, new mutable.ArrayBuilder.ofByte)
-      r.getSeq[Int](2).foreach(c => cb += c.toByte)
+      if (packedM > 0) {
+        val word = r.getLong(2)
+        var j = 0
+        while (j < packedM) { cb += ((word >>> (8 * j)) & 0xFF).toByte; j += 1 }
+      } else r.getSeq[Int](2).foreach(c => cb += c.toByte)
       val vb = vecs.getOrElseUpdate(cid, new mutable.ArrayBuilder.ofFloat)
       r.getSeq[Float](3).foreach(vb += _)
       metas.getOrElseUpdate(cid, mutable.ArrayBuffer.empty[String]) +=
@@ -97,12 +107,18 @@ object PreparedANN {
     * is scanned per query — so the SQL hash exchange's different
     * cluster→partition mapping is semantically identical.
     */
-  def buildBlocks(coded: DataFrame, numParts: Int): RDD[Map[Int, ClusterBlock]] = {
+  def buildBlocks(coded: DataFrame, numParts: Int,
+                  codeM: Int = -1): RDD[Map[Int, ClusterBlock]] = {
+    val packedM =
+      if (BatchANN.isPackedCode(coded)) {
+        require(codeM > 0, "packed code layout needs the model's m")
+        codeM
+      } else -1
     coded.select("cluster_id", "id", "code", "vector", "metadata")
       .repartition(numParts, col("cluster_id"))
       .rdd
       .mapPartitions(it =>
-        Iterator.single(foldBlocks(it.map(r => (r.getInt(0), r)))))
+        Iterator.single(foldBlocks(it.map(r => (r.getInt(0), r)), packedM)))
   }
 
   /** Serve one query against one partition's blocks: ADC top-`prelimK`

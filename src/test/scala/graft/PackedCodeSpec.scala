@@ -1,0 +1,138 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Engine.IndexModel
+import graft.index.{PcaModel, PqModel}
+import graft.operators.{BatchANN, PreparedANN}
+
+/** The r15 packed-code read path (one BIGINT holding up to 8 PQ code
+  * bytes, lowest subquantizer in the lowest byte) must be
+  * bit-indistinguishable from today's `array<int>` layout everywhere
+  * codes are consumed: the coarse ADC kernels (batch + single-chunked
+  * faces) and the prepared-block fold. Writers don't emit the packed
+  * layout yet — readers are self-describing on the column type
+  * (BatchANN.isPackedCode), so this spec packs the same codes by hand
+  * and asserts equality of every consumer. PLANS.md "Round-15
+  * candidate: packed PQ code column" holds the design + the measured
+  * 2.2× decode win (CodeLayoutProfile).
+  */
+class PackedCodeSpec extends SparkSpec {
+
+  private val m = 8
+  private val subDim = 2
+  private val p = m * subDim // 16
+  private val nClusters = 6
+  private val nRows = 240
+
+  private val rnd = new Random(7)
+  private val centroids = Array.fill(nClusters, p)(rnd.nextFloat())
+  private val codebooks = Array.fill(m, 256, subDim)(rnd.nextFloat() - 0.5f)
+  private val identityPca = PcaModel(
+    Array.fill(p)(0.0), Array.tabulate(p, p)((i, j) => if (i == j) 1.0 else 0.0))
+  private val model = IndexModel(identityPca, centroids, PqModel(m, subDim, codebooks))
+
+  private val rows = (0 until nRows).map { i =>
+    val cid = i % nClusters
+    val code = Array.fill(m)(rnd.nextInt(256))
+    val vec = Array.fill(p)(rnd.nextFloat())
+    (i.toLong, cid, code, vec, s"""{"i":$i}""")
+  }
+
+  private def packWord(code: Array[Int]): Long =
+    code.zipWithIndex.foldLeft(0L) { case (acc, (c, j)) => acc | (c.toLong << (8 * j)) }
+
+  private lazy val dfArr = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cluster_id", IntegerType, nullable = false),
+      StructField("code", ArrayType(IntegerType, containsNull = false), nullable = false),
+      StructField("vector", ArrayType(FloatType, containsNull = false), nullable = false),
+      StructField("metadata", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, cid, code, vec, meta) =>
+        Row(id, cid, code.toSeq, vec.toSeq, meta)
+      }, 4), schema)
+  }
+
+  private lazy val dfPacked = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cluster_id", IntegerType, nullable = false),
+      StructField("code", LongType, nullable = false),
+      StructField("vector", ArrayType(FloatType, containsNull = false), nullable = false),
+      StructField("metadata", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, cid, code, vec, meta) =>
+        Row(id, cid, packWord(code), vec.toSeq, meta)
+      }, 4), schema)
+  }
+
+  test("layout detection is self-describing on the column type") {
+    assert(!BatchANN.isPackedCode(dfArr))
+    assert(BatchANN.isPackedCode(dfPacked))
+  }
+
+  test("coarseCandidates: packed scores bit-equal to array layout") {
+    val bc = spark.sparkContext.broadcast(model)
+    try {
+      val queries = Array.tabulate(3)(qi =>
+        qi.toLong -> Array.fill(p)(new Random(100 + qi).nextFloat()))
+      val probes = Array(
+        Array(0, 1, 2), Array(2, 3, 4, 5), Array(0, 5))
+      def run(df: org.apache.spark.sql.DataFrame) =
+        BatchANN.coarseCandidates(spark, df, bc, queries, probes, prelimK = 17)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .sortBy(t => (t._1, t._3, t._2))
+      val a = run(dfArr).toSeq
+      val b = run(dfPacked).toSeq
+      assert(a.nonEmpty && a == b)
+    } finally bc.destroy()
+  }
+
+  test("coarseSingleChunked: packed chunks merge bit-equal to array chunks") {
+    val bc = spark.sparkContext.broadcast(model)
+    try {
+      val q = Array.fill(p)(new Random(55).nextFloat())
+      val probes = Array(1, 3, 4)
+      def run(df: org.apache.spark.sql.DataFrame) = {
+        // two chunks splitting the probe list — exercises the per-chunk
+        // layout detection inside runChunk
+        val chunks = IndexedSeq(
+          df.filter(col("cluster_id") === 1),
+          df.filter(col("cluster_id").isin(3, 4)))
+        BatchANN.coarseSingleChunked(spark, chunks, bc, q, probes, prelimK = 23).toSeq
+      }
+      val a = run(dfArr)
+      val b = run(dfPacked)
+      assert(a.nonEmpty && a == b)
+    } finally bc.destroy()
+  }
+
+  test("buildBlocks/foldBlocks: packed blocks byte-identical to array blocks") {
+    def blocks(df: org.apache.spark.sql.DataFrame, codeM: Int) =
+      PreparedANN.buildBlocks(df, numParts = 3, codeM = codeM)
+        .collect().flatten.toMap
+    val a = blocks(dfArr, -1)
+    val b = blocks(dfPacked, m)
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    a.keySet.foreach { cid =>
+      val (x, y) = (a(cid), b(cid))
+      assert(x.ids.toSeq == y.ids.toSeq)
+      assert(x.codes.toSeq == y.codes.toSeq)
+      assert(x.vecs.toSeq == y.vecs.toSeq)
+      assert(x.meta.toSeq == y.meta.toSeq)
+    }
+  }
+
+  test("buildBlocks rejects a packed frame without the model's m") {
+    intercept[IllegalArgumentException] {
+      PreparedANN.buildBlocks(dfPacked, numParts = 2).collect()
+    }
+  }
+}
