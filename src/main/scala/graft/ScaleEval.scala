@@ -81,6 +81,11 @@ object ScaleEval {
 
     val root = java.nio.file.Files.createTempDirectory("graft-scale").toString
     val engine = new Engine(spark, root)
+    // GRAFT_SCALE_PACKED=true → train writes the r15 packed code column
+    // (requires m ≤ 8); readers are dual-mode so the rest of the harness
+    // is unchanged
+    engine.packedCodesOnTrain =
+      sys.env.getOrElse("GRAFT_SCALE_PACKED", "false").toBoolean
     engine.create("scale", vectorDimension = d)
 
     // distributed generation: 64 gen partitions so the per-partition working

@@ -102,6 +102,16 @@ class Engine(val spark: SparkSession, val root: String) {
     scala.collection.concurrent.TrieMap.empty[String, Object]
   @volatile var autoRoutePrepared: Boolean = true
 
+  /** r15 layout knob, off by default: when true, the NEXT train writes
+    * the coded table with the PACKED code column (one BIGINT carrying up
+    * to 8 code bytes) instead of `array<int>` — 2.2× the scan-decode
+    * throughput at identical disk bytes (CodeLayoutProfile; PLANS.md).
+    * Per-TABLE, recorded in the catalog (`codedPacked`) so appends,
+    * compaction, and every reader follow the table's own layout
+    * regardless of the knob's current value. Requires m ≤ 8.
+    */
+  @volatile var packedCodesOnTrain: Boolean = false
+
   /** A3 — opt-in flat-index memory guard (reference
     * input_validation.py:101-105 via training_utils.py:58-61): when set,
     * an [[add]] to an UNTRAINED db is rejected — nothing committed — if
@@ -1470,7 +1480,7 @@ class Engine(val spark: SparkSession, val root: String) {
 
   private def buildCodedDf(doc: CatalogDoc, spark: SparkSession): DataFrame = {
       if (doc.codedOwners.isEmpty || doc.codedBucketShift < 0)
-        spark.read.schema(codedReadSchema(doc.codedBucketShift))
+        spark.read.schema(codedReadSchema(doc.codedBucketShift, doc.codedPacked == 1))
           .parquet(s"${doc.indexPath(root)}/coded")
       else {
         val buckets = Engine.codedBucketCount(math.max(1, doc.numClusters),
@@ -1496,9 +1506,9 @@ class Engine(val spark: SparkSession, val root: String) {
             if (dirs.isEmpty)
               spark.createDataFrame(
                 spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                codedReadSchema(doc.codedBucketShift))
+                codedReadSchema(doc.codedBucketShift, doc.codedPacked == 1))
             else
-              spark.read.schema(codedReadSchema(doc.codedBucketShift))
+              spark.read.schema(codedReadSchema(doc.codedBucketShift, doc.codedPacked == 1))
                 .option("basePath", base).parquet(dirs: _*)
         }.reduce(_ union _)
       }
@@ -1516,10 +1526,18 @@ class Engine(val spark: SparkSession, val root: String) {
     * joins the declared schema (legacy layout reconstructs `cluster_id`
     * from its hive dirs instead).
     */
-  private def codedReadSchema(shift: Int): StructType =
-    if (shift < 0) codedSchema
-    else StructType(codedSchema.fields :+
+  private def codedReadSchema(shift: Int, packed: Boolean): StructType = {
+    // explicit schema (inference dies on a legitimately-empty index), so
+    // the layout must come from the catalog, not the files
+    val base =
+      if (!packed) codedSchema
+      else StructType(codedSchema.fields.map(f =>
+        if (f.name == "code") StructField("code", LongType, nullable = false)
+        else f))
+    if (shift < 0) base
+    else StructType(base.fields :+
       StructField("cluster_bucket", IntegerType, nullable = false))
+  }
 
   // ----------------------------------------------------------------- train
 
@@ -1740,7 +1758,9 @@ class Engine(val spark: SparkSession, val root: String) {
     val indexDir = s"$root/$name/index/v$newVersion"
     val bucketShift = chooseCodedBucketShift(n, nlist, d,
       p.compressedVectorBytes)
-    writeCoded(pinnedFull, model, bucketShift, nlist, s"$indexDir/coded")
+    val packNewTable = packedCodesOnTrain && p.compressedVectorBytes <= 8
+    writeCoded(pinnedFull, model, bucketShift, nlist, s"$indexDir/coded",
+      packNewTable)
     IndexStore.saveModel(spark, indexDir, model)
 
     // T19 — atomic swap. Counters are RECOMPUTED from the then-live rows
@@ -1780,6 +1800,7 @@ class Engine(val spark: SparkSession, val root: String) {
         usedTwoLevel = if (twoLevel) 1 else 0,
         codedBucketShift = bucketShift,
         codedOwners = "",
+        codedPacked = if (packNewTable) 1 else 0,
         indexVersion = newVersion,
         maxTrainedId = snapshotMaxId,
         numVectorsTrainedOn = n,
@@ -1833,8 +1854,9 @@ class Engine(val spark: SparkSession, val root: String) {
     * Carries the covering columns (vector, metadata).
     */
   private def writeCoded(rows: DataFrame, model: IndexModel, shift: Int,
-                         nlist: Int, path: String): Unit =
-    writeCodedRows(assignEncode(rows, model), shift, nlist, path, "overwrite")
+                         nlist: Int, path: String, packed: Boolean): Unit =
+    writeCodedRows(assignEncode(rows, model, packed), shift, nlist, path,
+      "overwrite")
 
   /** The one coded-table writer: IVF inverted lists as parquet layout.
     *
@@ -1885,7 +1907,8 @@ class Engine(val spark: SparkSession, val root: String) {
     */
   private def appendToCodedTable(doc: CatalogDoc, model: IndexModel,
                                  rows: DataFrame): Unit = {
-    val encoded = assignEncode(rows, model)
+    // appends must match the TABLE's layout, not the train-time knob
+    val encoded = assignEncode(rows, model, doc.codedPacked == 1)
     val nlist = math.max(1, doc.numClusters)
     if (doc.codedOwners.isEmpty || doc.codedBucketShift < 0)
       writeCodedRows(encoded, doc.codedBucketShift, nlist,
@@ -1980,17 +2003,29 @@ class Engine(val spark: SparkSession, val root: String) {
     * the fused assign+encode kernel run in one scan; vector/metadata pass
     * through untouched.
     */
-  private def assignEncode(rows: DataFrame, model: IndexModel): DataFrame = {
+  private def assignEncode(rows: DataFrame, model: IndexModel,
+                           packed: Boolean): DataFrame = {
     val withP =
       if (model.pca.isIdentity)
         rows.withColumn("pvec", col("vector").cast("array<double>"))
       else
         rows.withColumn("pvec", Coder.pcaApplyCol(spark, model.pca, col("vector")))
+    // packed layout (codedPacked = 1): fold the m 0..255 entries into one
+    // BIGINT, lowest subquantizer in the lowest byte — a pure column
+    // expression, so the encode stage stays in whole-stage codegen
+    val codeCol =
+      if (!packed) col("code")
+      else {
+        require(model.pq.m <= 8, "packed code layout holds at most 8 bytes")
+        (0 until model.pq.m).map(j =>
+            shiftleft(element_at(col("code"), j + 1).cast("long"), 8 * j))
+          .reduce((a, b) => a.bitwiseOR(b))
+      }
     Coder.assignEncodeBatched(
         withP.select(col("id"), col("vector"), col("metadata"), col("pvec")),
         "pvec", model.centroids, model.pq)
       .select(col("id"), col("vector"), col("metadata"),
-        col("code"), col("cluster_id"))
+        codeCol.as("code"), col("cluster_id"))
   }
 
   /** Drop unreferenced snapshot/index/deletes versions (everything below

@@ -135,4 +135,64 @@ class PackedCodeSpec extends SparkSpec {
       PreparedANN.buildBlocks(dfPacked, numParts = 2).collect()
     }
   }
+
+  test("end-to-end: packed train serves bit-equal to array train " +
+       "(query/queryHits/queryCatalyst, append, remove)") {
+    import graft.core.Engine
+    import graft.index.IndexParams
+
+    val corpusRnd = new Random(42)
+    val vecs = Seq.fill(1200)(Array.fill(16)(corpusRnd.nextFloat()))
+    val metas = vecs.indices.map(i => s"""{"i":$i}""")
+    def build(packed: Boolean): Engine = {
+      val eng = new Engine(spark, tmpDir(s"graft-packed-$packed"))
+      eng.packedCodesOnTrain = packed
+      eng.create("db", vectorDimension = 16)
+      eng.addLocal("db", vecs, metas)
+      eng.train("db", params = Some(IndexParams(16, 16, 8)),
+        kmeansIters = 3, minTrainRows = 1, seed = 7L)
+      eng
+    }
+    val engA = build(packed = false) // array layout
+    val engP = build(packed = true) // packed layout
+
+    val docA = engA.load("db")
+    val docP = engP.load("db")
+    assert(docA.codedPacked == 0 && docP.codedPacked == 1)
+    // the packed table really carries a BIGINT code column on disk
+    assert(spark.read.parquet(s"${docP.indexPath(engP.root)}/coded")
+      .schema("code").dataType == LongType)
+
+    def hits(eng: Engine, q: Array[Float]) =
+      eng.queryHits("db", q, preliminaryTopK = 60, finalTopK = 9)
+        .map(h => (h.rank, h.id, h.metadata, h.cosineSimilarity)).toSeq
+    def catalyst(eng: Engine, q: Array[Float]) =
+      eng.queryCatalyst("db", q, 60, 9).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
+
+    val queries = Array.tabulate(5)(qi =>
+      Array.fill(16)(new Random(900 + qi).nextFloat()))
+    queries.foreach { q =>
+      val a = hits(engA, q)
+      assert(a.nonEmpty && a == hits(engP, q))
+      assert(catalyst(engA, q) == catalyst(engP, q))
+      assert(a.map(h => (h._1, h._2, h._4)) ==
+        catalyst(engA, q).map(r => (r._1, r._2, r._4)))
+    }
+
+    // A6 append follows each TABLE's layout (knob deliberately flipped
+    // the other way first, to prove the catalog flag governs)
+    engA.packedCodesOnTrain = true
+    engP.packedCodesOnTrain = false
+    val extra = Seq.fill(40)(Array.fill(16)(corpusRnd.nextFloat()))
+    engA.addLocal("db", extra, extra.indices.map(i => s"""{"x":$i}"""))
+    engP.addLocal("db", extra, extra.indices.map(i => s"""{"x":$i}"""))
+    // and removes stay layout-agnostic
+    engA.remove("db", Seq(3L, 1203L))
+    engP.remove("db", Seq(3L, 1203L))
+    queries.foreach { q =>
+      val a = hits(engA, q)
+      assert(a.nonEmpty && a == hits(engP, q))
+    }
+  }
 }
