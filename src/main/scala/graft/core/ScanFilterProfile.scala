@@ -28,13 +28,22 @@ object ScanFilterProfile {
     spark.sparkContext.setLogLevel("WARN")
 
     val root = java.nio.file.Files.createTempDirectory("graft-sfp").toString
-    spark.range(0L, n, 1L, 32).select(
+    // GRAFT_SFP_PAGE512=true writes the CODED TABLE's actual page
+    // geometry (64 KB / 512-row pages, writeCodedRows) — the engine pays
+    // page-header + decode-restart overhead per 512 rows for its page-
+    // pruning precision, and this knob measures exactly that overhead
+    val page512 = sys.env.getOrElse("GRAFT_SFP_PAGE512", "false").toBoolean
+    val writer = spark.range(0L, n, 1L, 32).select(
       col("id"),
       expr(s"transform(sequence(0, ${m - 1}), " +
         "j -> cast(pmod(hash(id, j), 256) as int))").as("code"),
       pmod(hash(col("id")), lit(nlist)).cast("int").as("cluster_id"))
       .sortWithinPartitions("cluster_id")
-      .write.mode("overwrite").parquet(root)
+      .write.mode("overwrite")
+    (if (page512)
+       writer.option("parquet.page.size", (64 * 1024).toString)
+         .option("parquet.page.row.count.limit", "512")
+     else writer).parquet(root)
 
     // a 500-value probe list, ~nprobe/nlist selectivity of the 35M shape
     val probes = (0 until 500).map(i => (i * 179) % nlist).distinct.sorted
