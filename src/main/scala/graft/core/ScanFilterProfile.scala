@@ -26,6 +26,12 @@ object ScanFilterProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_SFP_MINPART mirrors the serving session's packed splits
+    // (files.minPartitionNum=1 → ~maxPartitionBytes slices spanning
+    // several files) — tests whether parquet page pruning still engages
+    // inside a packed multi-file split
+    sys.env.get("GRAFT_SFP_MINPART").foreach(v =>
+      spark.conf.set("spark.sql.files.minPartitionNum", v))
 
     val root = java.nio.file.Files.createTempDirectory("graft-sfp").toString
     // GRAFT_SFP_PAGE512=true writes the CODED TABLE's actual page
