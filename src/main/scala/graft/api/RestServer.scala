@@ -222,17 +222,32 @@ final class RestServer(engine: Engine, port: Int = 8000) {
   private def startTrain(ex: HttpExchange, name: String): Unit = {
     if (!engine.exists(name)) notFound()
     // optional body: the reference declares TrainDBInput (fastapi.py:56-61)
-    // with explicit pca/opq/pq/two-level overrides; absent → heuristics
+    // with explicit pca/opq/pq/two-level overrides; absent → heuristics.
+    // omit_opq is honored INDEPENDENTLY of the dimension fields: a body
+    // carrying only omit_opq layers it over the db's heuristic dims
+    // (defaultIndexParams). When dimension overrides are present but
+    // omit_opq is absent, the default is TrainDBInput's declared False
+    // (fastapi.py:61) — an explicit-params caller gets the declared
+    // schema's semantics, while the body-less path keeps the reference's
+    // effective server default (training_params.py omit_opq=True) via
+    // params=None → heuristics.
     val in = try body(ex) catch { case NonFatal(_) => mapper.createObjectNode() }
+    val hasDims = in.hasNonNull("pca_dimension") ||
+      in.hasNonNull("opq_dimension") || in.hasNonNull("compressed_vector_bytes")
     val params =
-      if (in.hasNonNull("pca_dimension") || in.hasNonNull("opq_dimension") ||
-          in.hasNonNull("compressed_vector_bytes"))
+      if (hasDims)
         Some(IndexParams(
           in.path("pca_dimension").asInt(-1),
           in.path("opq_dimension").asInt(-1),
           in.path("compressed_vector_bytes").asInt(-1),
-          omitOpq = in.path("omit_opq").asBoolean(true)))
-      else None
+          omitOpq = in.path("omit_opq").asBoolean(false)))
+      else if (in.hasNonNull("omit_opq")) {
+        val dim = engine.load(name).vectorDimension
+        if (dim > 0)
+          Some(Heuristics.defaultIndexParams(dim)
+            .copy(omitOpq = in.get("omit_opq").asBoolean()))
+        else None // train will reject the empty db regardless
+      } else None
     val twoLevel = if (in.hasNonNull("use_two_level_clustering"))
       Some(in.get("use_two_level_clustering").asBoolean()) else None
     try
@@ -309,15 +324,23 @@ final class RestServer(engine: Engine, port: Int = 8000) {
 
   /** M3 — queue an initial train when the add crossed the threshold
     * (reference check_needs_initial_training via fastapi.py:173-186).
+    * The count comes from the catalog doc's counters — an O(1) parsed-doc
+    * read, matching the reference's in-memory `num_vectors` attribute
+    * (fastapi.py:173) — NOT a Spark count job on the add request path.
     */
   private def maybeQueueInitial(name: String): Unit = {
     val doc = engine.load(name)
+    val live = doc.numVectorsTrainedOn - doc.numTrainedVectorsRemoved +
+      doc.numNewVectors
     val due = Heuristics.needsInitialTraining(
-      engine.count(name), !doc.isTrained,
+      live, !doc.isTrained,
       engine.trainingStatus(name) == "in progress")
-    if (due && !initialQueue.contains(name)) {
-      initialQueue.add(name)
-      drainInitial()
+    if (due) synchronized { // contains-then-add made atomic (the reference's
+      // initial_training_queue_lock, fastapi.py:178-183)
+      if (!initialQueue.contains(name)) {
+        initialQueue.add(name)
+        drainInitial()
+      }
     }
   }
 
@@ -335,7 +358,13 @@ final class RestServer(engine: Engine, port: Int = 8000) {
             initialQueue.remove(n)
             n = initialQueue.peek()
           }
-        } finally initialDraining = false
+        } finally RestServer.this.synchronized {
+          // clear the flag and re-check UNDER THE SAME LOCK enqueuers take:
+          // a name added between the final peek()==null and this point
+          // would otherwise see draining=true and never be drained
+          initialDraining = false
+          if (!initialQueue.isEmpty) drainInitial()
+        }
       }
     })
   }
@@ -346,7 +375,10 @@ final class RestServer(engine: Engine, port: Int = 8000) {
     */
   private def findToTrain(ex: HttpExchange): Unit = {
     val queued = trainingQueue.toArray(Array.empty[String]).toSeq
-    if (queued.nonEmpty) { // a sweep is already draining — report it
+    if (queued.nonEmpty) { // a sweep is already draining — report it, and
+      // kick the drainer in case it exited between its final peek and an
+      // enqueue (drainSweep is a no-op while one is genuinely running)
+      drainSweep()
       reply(ex, 200, obj("training_queue" -> arr(queued)))
       return
     }
@@ -380,7 +412,10 @@ final class RestServer(engine: Engine, port: Int = 8000) {
             trainingQueue.remove(n)
             n = trainingQueue.peek()
           }
-        } finally sweepDraining = false
+        } finally RestServer.this.synchronized {
+          sweepDraining = false // same lost-wakeup guard as drainInitial
+          if (!trainingQueue.isEmpty) drainSweep()
+        }
       }
     })
   }

@@ -11,7 +11,11 @@ import org.apache.spark.sql.functions._
   *
   *   a) `array<int>` of m — the current coded-table layout
   *   b) one BIGINT packing 8 code bytes (m = 8, the 35M geometry)
-  *   c) `binary` of m bytes
+  *
+  * (A third `binary`-of-m-bytes variant existed in r14 but was built via
+  * chr()/concat_ws — code bytes >= 128 became 2-byte UTF-8 sequences, so
+  * its numbers were not byte-exact comparable; dropped rather than fixed,
+  * since the arr-vs-packed comparison is the decision-carrying one.)
   *
   * Each scan runs the same work shape as the ADC loop's input side: read
   * every element of every code, fold into a long, aggregate — so decode +
@@ -49,10 +53,6 @@ object CodeLayoutProfile {
         "(acc, j) -> acc + (shiftleft(cast(pmod(hash(id, j), 256) as bigint), 8 * j)))")
         .as("code"),
       col("cluster_id")).write.mode("overwrite").parquet(s"$root/packed")
-    base.select(col("id"),
-      expr(s"cast(concat_ws('', transform(sequence(0, ${m - 1}), " +
-        "j -> chr(pmod(hash(id, j), 256)))) as binary)").as("code_str"),
-      col("cluster_id")).write.mode("overwrite").parquet(s"$root/bin")
 
     def sizeMb(dir: String): Long = {
       var b = 0L
@@ -82,18 +82,9 @@ object CodeLayoutProfile {
           s"(shiftright(code, ${8 * j}) & 255)").mkString(" + ")).as("s"))
         .agg(sum("s")).collect()
     }
-    val binMs = p50 {
-      spark.read.parquet(s"$root/bin")
-        .select(expr((0 until m).map(j =>
-          s"cast(substring(code_str, ${j + 1}, 1) as binary)").map(b =>
-          s"ascii(cast($b as string))").mkString(" + ")).as("s"))
-        .agg(sum("s")).collect()
-    }
-
     println(s"""{"n":$n,"m":$m,"reps":$reps,""" +
       s""""arr_ms_p50":${"%.0f".format(arrMs)},"arr_mb":${sizeMb("arr")},""" +
       s""""packed_ms_p50":${"%.0f".format(packedMs)},"packed_mb":${sizeMb("packed")},""" +
-      s""""bin_ms_p50":${"%.0f".format(binMs)},"bin_mb":${sizeMb("bin")},""" +
       s""""kernel_canary_rows_per_sec":${graft.Canary.kernelCanaryRowsPerSec()}}""")
     org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(root), true)
