@@ -78,6 +78,26 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // Per-row budget (VERDICT r14 #8): with 96 rows summing to ~55 s at
+    // sf0.1, a regression hiding inside ONE heavy row moves the total by
+    // noise-level percent — gate each row instead. The known-heaviest
+    // legitimate rows (train_subsample 5.3 s: trains twice for
+    // bit-determinism; streaming rows ≤3.7 s: micro-batch fixed overhead)
+    // sit well under the 8 s default. Enforcement is ON for full runs at
+    // the driver's bench SF and skipped for diagnosis runs (BENCH_ONLY /
+    // REPEAT) and non-default SFs, whose budgets differ by construction.
+    val rowBudgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROW_BUDGET_S", "8.0").toDouble
+    val enforceBudget = sys.env.get("SPARK_GRAFT_BENCH_ENFORCE_BUDGET")
+      .map(_.toBoolean)
+      .getOrElse(only.isEmpty && repeat == 1 && sfDir.endsWith("sf0.1"))
+    val overBudget = results.collect {
+      case (name, sec) if sec > rowBudgetS => name -> sec
+    }.toSeq.sortBy(-_._2)
+    overBudget.foreach { case (name, sec) =>
+      System.err.println(f"[bench] OVER BUDGET $name: $sec%.2f s > $rowBudgetS%.1f s")
+    }
+    val overBudgetJson = overBudget.map { case (n, s) => s"""["$n",${"%.2f".format(s)}]""" }
+      .mkString("[", ",", "]")
     val loadAfter = loadAvg1()
     // Heap telemetry: a run whose used-after is near max was GC-bound —
     // its per-query times measure collector pauses, not operators (the
@@ -85,7 +105,7 @@ object Bench {
     val rt = Runtime.getRuntime
     val heapUsedMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
     val heapMaxMb = rt.maxMemory / (1024 * 1024)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,"cpu_canary_ms":$canaryMs,"kernel_canary_rows_per_sec":$kernelCanary,"canary_waited_s":$canaryWaitedS,"heap_used_mb":$heapUsedMb,"heap_max_mb":$heapMaxMb}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","row_budget_s":$rowBudgetS,"over_budget":$overBudgetJson,"load_before":$loadBefore,"load_after":$loadAfter,"cpu_canary_ms":$canaryMs,"kernel_canary_rows_per_sec":$kernelCanary,"canary_waited_s":$canaryWaitedS,"heap_used_mb":$heapUsedMb,"heap_max_mb":$heapMaxMb}"""
     // Full line first (complete stdout captures keep it); the LAST line
     // is a compact summary guaranteed to fit a 2000-char tail capture —
     // an 89-query map cannot (≥2.2k chars at any precision), which is
@@ -109,5 +129,6 @@ object Bench {
       System.err.println(s"[bench] artifact write failed ($outPath): $e") }
     spark.stop()
     if (failed > 0) sys.exit(1)
+    if (enforceBudget && overBudget.nonEmpty) sys.exit(2)
   }
 }

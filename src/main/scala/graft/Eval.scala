@@ -115,6 +115,40 @@ object Eval {
       (System.nanoTime() - t) / 1e6
     }.sorted
 
+    // HTTP path at the same config — the reference's own transport gate is
+    // 65 ms per query through FastAPI (test_fastapi.py:194); ours rides
+    // RestServer → queryHits over real sockets. Bit-equality of the id
+    // stream vs the in-process hits is asserted on the first 8 queries.
+    val restServer = new graft.api.RestServer(engine, port = 0).start()
+    val httpClient = java.net.http.HttpClient.newHttpClient()
+    val httpMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def httpQuery(q: Array[Float]): com.fasterxml.jackson.databind.JsonNode = {
+      val body = s"""{"query_vector": ${q.mkString("[", ",", "]")},
+                     "preliminary_top_k": $prelimK, "final_top_k": $finalK}"""
+      val r = httpClient.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:${restServer.boundPort}/db/eval/query"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .header("Content-Type", "application/json").build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(r.statusCode() == 200, s"http query failed: ${r.body().take(200)}")
+      httpMapper.readTree(r.body())
+    }
+    httpQuery(queries(0)) // warm (connection + JIT)
+    var httpMatches = true
+    queries.take(math.min(nQ, 8)).foreach { q =>
+      val node = httpQuery(q).get("ids")
+      val httpIds = (0 until node.size()).map(node.get(_).asLong())
+      val hitIds = engine.queryHits("eval", q, prelimK, finalK).map(_.id).toSeq
+      httpMatches &&= httpIds == hitIds
+    }
+    val httpLat = queries.map { q =>
+      val t = System.nanoTime()
+      httpQuery(q)
+      (System.nanoTime() - t) / 1e6
+    }.sorted
+    restServer.stop()
+
     // batched form: all queries in one pipeline
     import spark.implicits._
     val qdf = queries.zipWithIndex.map { case (q, i) => (i.toLong, q.toSeq) }
@@ -176,6 +210,10 @@ object Eval {
         s""""hits_query_ms_p50":${"%.1f".format(hitsLat(nQ / 2))},""" +
         s""""hits_query_ms_p95":${"%.1f".format(hitsLat((nQ * 95) / 100))},""" +
         s""""hits_query_ms_p99":${"%.1f".format(hitsLat((nQ * 99) / 100))},""" +
+        s""""http_matches_hits":$httpMatches,""" +
+        s""""http_query_ms_p50":${"%.1f".format(httpLat(nQ / 2))},""" +
+        s""""http_query_ms_p95":${"%.1f".format(httpLat((nQ * 95) / 100))},""" +
+        s""""http_query_ms_p99":${"%.1f".format(httpLat((nQ * 99) / 100))},""" +
         s""""batch_total_sec":${"%.2f".format(batchSec)},""" +
         s""""batch_per_query_ms":${"%.0f".format(batchSec * 1000 / nQ)},""" +
         s""""batch_rows":$batchRows,""" +

@@ -57,7 +57,8 @@ import graft.index.{Heuristics, IndexParams}
   *     unlike the reference, whose instance lock serializes every verb
   *     (mindb.py:52-53).
   */
-final class RestServer(engine: Engine, port: Int = 8000) {
+final class RestServer(engine: Engine, port: Int = 8000,
+                       trainSeam: RestServer.TrainSeam = RestServer.TrainSeam.none) {
   import RestServer.HttpError
 
   private val mapper = new ObjectMapper()
@@ -252,7 +253,9 @@ final class RestServer(engine: Engine, port: Int = 8000) {
       Some(in.get("use_two_level_clustering").asBoolean()) else None
     try
       engine.trainAsync(name, params = params, useTwoLevelClustering = twoLevel,
-        maxMemoryUsage = dbMaxMemory.getOrElse(name, Engine.DefaultMaxMemoryUsage))
+        maxMemoryUsage = dbMaxMemory.getOrElse(name, Engine.DefaultMaxMemoryUsage),
+        kmeansIters = trainSeam.kmeansIters,
+        onSnapshot = () => trainSeam.onSnapshot())
     catch {
       case _: Engine.AlreadyTrainingException =>
         fail(400, "This database is in the process of training already")
@@ -353,7 +356,9 @@ final class RestServer(engine: Engine, port: Int = 8000) {
           var n = initialQueue.peek()
           while (n != null) {
             try engine.train(n,
-              maxMemoryUsage = dbMaxMemory.getOrElse(n, Engine.DefaultMaxMemoryUsage))
+              maxMemoryUsage = dbMaxMemory.getOrElse(n, Engine.DefaultMaxMemoryUsage),
+              kmeansIters = trainSeam.kmeansIters,
+              onSnapshot = () => trainSeam.onSnapshot())
             catch { case NonFatal(_) => () } // fastapi.py:140-144 swallows
             initialQueue.remove(n)
             n = initialQueue.peek()
@@ -407,7 +412,9 @@ final class RestServer(engine: Engine, port: Int = 8000) {
           var n = trainingQueue.peek()
           while (n != null) {
             try engine.train(n,
-              maxMemoryUsage = dbMaxMemory.getOrElse(n, Engine.DefaultMaxMemoryUsage))
+              maxMemoryUsage = dbMaxMemory.getOrElse(n, Engine.DefaultMaxMemoryUsage),
+              kmeansIters = trainSeam.kmeansIters,
+              onSnapshot = () => trainSeam.onSnapshot())
             catch { case NonFatal(_) => () }
             trainingQueue.remove(n)
             n = trainingQueue.peek()
@@ -464,4 +471,18 @@ object RestServer {
     */
   private final class HttpError(val code: Int, msg: String)
     extends RuntimeException(msg)
+
+  /** Test seam for every server-initiated train (POST /train and the
+    * M3/M4 queue drainers) — the HTTP counterpart of the `onSnapshot`
+    * hook [[graft.core.Engine.train]] already exposes, so the reference's
+    * threading tests (test_fastapi_threading.py:57-174: concurrent add /
+    * remove while a train runs) can pin a train inside its snapshot
+    * window deterministically OVER REAL SOCKETS. Production servers use
+    * [[TrainSeam.none]] (a no-op hook, full kmeans iters).
+    */
+  final class TrainSeam(@volatile var onSnapshot: () => Unit,
+                        val kmeansIters: Int)
+  object TrainSeam {
+    val none = new TrainSeam(() => (), 25)
+  }
 }
