@@ -6,6 +6,7 @@
 # live measurement JVM. Usage: graft_run.sh <mainClass> <heap>
 MAIN=$1
 MEM=${2:-16g}
+shift 2 2>/dev/null || shift $#
 CLASSES=${GRAFT_CLASSES:-/tmp/graft_r15_frozen}
 exec java \
   --add-modules=jdk.incubator.vector \
@@ -26,4 +27,4 @@ exec java \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx$MEM \
   -cp "$CLASSES:/opt/spark/jars/*" \
-  "$MAIN"
+  "$MAIN" "$@"

@@ -273,7 +273,12 @@ class Engine(val spark: SparkSession, val root: String) {
               try { closure(0L, null); closure(1L, "{}"); true }
               catch { case scala.util.control.NonFatal(_) => false }
             init()
-            if (!servable) (None, true) else (Some(closure), !nondet)
+            if (!servable) (None, true)
+            // nondeterministic closures are marked driver-only: their
+            // initialized eval state must never serialize into a task
+            // closure (the pushed under-fill round ships its predicate)
+            else if (nondet) (Some(new Engine.DriverOnlyPredicate(closure)), false)
+            else (Some(closure), true)
           }
       }
     } catch {
@@ -784,11 +789,12 @@ class Engine(val spark: SparkSession, val root: String) {
     * `get_json_object(col("metadata"), "$.lang") === "en"`. On the flat
     * path it pushes into the scan (exact filtered kNN); on the trained
     * path it post-filters the preliminary candidates with an UNDER-FILL
-    * GUARD: if the filtered candidate set is smaller than `finalTopK`, the
-    * preliminary stage retries once with a selectivity-estimated widening,
-    * and if even that under-fills, the query falls back to the exact flat
-    * scan — a selective predicate never silently returns fewer rows than
-    * the data could supply.
+    * GUARD: if the filtered candidate set is smaller than `finalTopK`,
+    * ONE pushed round re-runs the preliminary stage with the predicate
+    * gating the ADC cut (top-prelimK MATCHING candidates), and if even
+    * that under-fills, the query falls back to the exact flat scan — a
+    * selective predicate never silently returns fewer rows than the
+    * data could supply.
     *
     * VISIBILITY (routed trained path): results are bit-identical to the
     * Catalyst plan over the catalog state the call observed, but that
@@ -921,13 +927,23 @@ class Engine(val spark: SparkSession, val root: String) {
         val qp = model.pca.applyLocal(qn)
         val probes = model.nearestClusters(qp, doc.nProbe)
         lazy val live = prunedLiveCoded(doc, probes) // only the empty-candidate branch needs the union form
-        def probedCandidates(prelim: Int): DataFrame = {
+        def probedCandidates(prelim: Int,
+                             pushPred: Boolean = false): DataFrame = {
           // q=1 coarse: same kernel and (adc_dist, id) order as the batch
           // form, merged on the driver — one CONCURRENT job per probe
           // chunk, no window shuffle (BatchANN.coarseSingleChunked; the
-          // r14 planning-floor work)
+          // r14 planning-floor work). `pushPred` is the under-fill
+          // round's decisive form: the predicate filters the COVERING
+          // chunk scans BEFORE the ADC cut (a Catalyst filter, pushed to
+          // parquet where possible), so the survivors are the
+          // top-`prelim` MATCHING rows by (adc, id) — identical to the
+          // prepared path's kernel-gated pushed round.
+          val chunks0 = prunedLiveCodedChunks(doc, probes)
+          val chunks =
+            if (pushPred) predicate.fold(chunks0)(p => chunks0.map(_.filter(p)))
+            else chunks0
           val candRows = graft.operators.BatchANN.coarseSingleChunked(
-            spark, prunedLiveCodedChunks(doc, probes), modelBroadcast(doc),
+            spark, chunks, modelBroadcast(doc),
             qp, probes, prelim)
           // Q4 — candidate fetch reads ∝ CANDIDATES, not ∝ probes: the
           // surviving ids land on the driver (≤ prelim rows — the same
@@ -943,38 +959,39 @@ class Engine(val spark: SparkSession, val root: String) {
             if (candRows.isEmpty)
               live.select("id", "vector", "metadata").filter(lit(false))
             else
-              prunedLiveCoded(doc, candRows.map(_._3).distinct)
+              prunedLiveCodedForCandidates(doc,
+                candRows.map(r => (r._1, r._3)).toIndexedSeq)
                 .select("id", "vector", "metadata")
-                .filter(col("id").isInCollection(
-                  candRows.map(r => java.lang.Long.valueOf(r._1)).toIndexedSeq))
           predicate.fold(fetched)(fetched.filter)
         }
         predicate match {
           case None => probedCandidates(preliminaryTopK)
           case Some(_) =>
-            // Under-fill guard. localCheckpoint materializes the (tiny,
-            // ≤ prelim rows) candidate set so counting it and reranking it
-            // share one coarse pass; discarded frames are GC-cleaned.
+            // Under-fill guard (r15 semantics — one decisive pushed
+            // round, see PreparedIndex.queryFilteredWith for the full
+            // rationale). localCheckpoint materializes the (tiny,
+            // ≤ prelim rows) candidate set so counting it and reranking
+            // it share one coarse pass; discarded frames are GC-cleaned.
             val first = probedCandidates(preliminaryTopK).localCheckpoint(true)
-            val got = first.count()
-            if (got >= finalTopK) first
+            if (first.count() >= finalTopK) first
             else {
-              // estimated selectivity from the first round, ×2 safety,
-              // bounded: past the cap the exact scan is the better plan
-              val sel = math.max(got, 1L).toDouble / preliminaryTopK
-              val widened = math.max(preliminaryTopK * 2L,
-                  math.ceil(finalTopK / sel * 2.0).toLong)
-                .min(Engine.MaxWidenedPreliminaryK).toInt
-              // A retry that asks for at least as many candidates as ids
-              // ever assigned (live rows ≤ maxId+1) can't beat the exact
-              // flat scan: it reads the probed partitions for a probed-only
-              // answer where flat reads the table once for the exact one.
-              // Skip the doomed round and serve flat directly.
-              if (widened >= doc.maxId + 1)
+              // a NONDETERMINISTIC predicate has no stable matching set
+              // to push against (and the pushed form would evaluate it
+              // twice per surviving row: once at the coarse gate, once
+              // on the fetched frame) — the exact flat scan, one
+              // evaluation per row, is the only coherent continuation.
+              if (predicate.exists(predicateNondeterministic(table, _)))
                 predicate.fold(table)(table.filter)
               else {
-                val retry = probedCandidates(widened).localCheckpoint(true)
-                if (retry.count() >= finalTopK) retry
+                // the predicate filters the covering chunk scans BEFORE
+                // the ADC cut: top-prelimK MATCHING rows by (adc, id) —
+                // what the old selectivity-estimated widening converged
+                // to, in one round. Fewer than finalTopK survivors means
+                // the probed clusters genuinely can't fill the ask — the
+                // exact flat scan is then semantically required.
+                val pushed = probedCandidates(preliminaryTopK, pushPred = true)
+                  .localCheckpoint(true)
+                if (pushed.count() >= finalTopK) pushed
                 else predicate.fold(table)(table.filter) // exact flat fallback
               }
             }
@@ -1121,7 +1138,8 @@ class Engine(val spark: SparkSession, val root: String) {
     val fetchScan =
       if (candRows.isEmpty)
         live.select("cluster_id", "id", "vector", "metadata").filter(lit(false))
-      else prunedLiveCoded(doc, candRows.map(_.getInt(2)).distinct)
+      else prunedLiveCodedForCandidates(doc,
+          candRows.map(r => (r.getLong(1), r.getInt(2))).toIndexedSeq)
         .select("cluster_id", "id", "vector", "metadata")
     predicate match {
       case None =>
@@ -1130,16 +1148,15 @@ class Engine(val spark: SparkSession, val root: String) {
       case Some(pred) =>
         // Filtered batch = the batch face of the single filtered query:
         // the predicate filters the hydrated candidate rows (pushed into
-        // the pruned fetch scan as a Catalyst filter), and a query whose
-        // filtered preliminary set can't fill finalTopK — EXACTLY the
-        // condition under which the single path widens — re-runs at ITS
-        // widened k (the single path's arithmetic, per query), grouped
-        // by widened k so every group is ONE coarse+rerank job, never a
-        // per-query loop: under a cluster-correlated predicate (the
-        // adversarial shape) half the batch under-fills AT ONCE, and a
-        // sequential re-route would silently lose the batch path's
-        // one-job throughput property. Queries whose widened round still
-        // can't fill (or whose widened ask covers every id) take the
+        // the pruned fetch scan as a Catalyst filter), and the queries
+        // whose filtered preliminary set can't fill finalTopK — EXACTLY
+        // the condition under which the single path re-runs — take ONE
+        // shared PUSHED round (predicate before the ADC cut, per-query
+        // top-prelimK matching candidates), never a per-query loop:
+        // under a cluster-correlated predicate (the adversarial shape)
+        // half the batch under-fills AT ONCE, and a sequential re-route
+        // would silently lose the batch path's one-job throughput
+        // property. Queries whose pushed round still can't fill take the
         // terminal exact scan TOGETHER via [[queryBatchFlat]] — the
         // batch face of the single path's flat fallback (same kernel
         // ordering, gated bit-identical by PreparedIndexSpec). Eager by
@@ -1155,30 +1172,27 @@ class Engine(val spark: SparkSession, val root: String) {
         val rerouted: Array[org.apache.spark.sql.Row] =
           if (under.isEmpty) Array.empty
           else {
-            // the single path's exact widening arithmetic, per query
-            val widenedOf: Map[Long, Int] = under.map { case (qid, _) =>
-              val sel = math.max(fill(qid), 1L).toDouble / preliminaryTopK
-              qid -> math.max(preliminaryTopK * 2L,
-                  math.ceil(finalTopK / sel * 2.0).toLong)
-                .min(Engine.MaxWidenedPreliminaryK).toInt
-            }.toMap
-            val (flatNow, retry) = under.partition { case (qid, _) =>
-              widenedOf(qid) >= doc.maxId + 1
-            }
+            // r15 under-fill semantics (the single path's, batched): ONE
+            // pushed round for ALL under-filled queries together — the
+            // predicate filters the covering coded scan BEFORE the ADC
+            // cut, so each query gets its top-prelimK MATCHING rows by
+            // (adc, id). Nondeterministic predicates skip straight to
+            // the exact flat scan (no stable matching set to push
+            // against — same rule as the single path).
+            val nondet = predicateNondeterministic(live, pred)
             log.info(s"filtered batch under-fill: ${under.length} of " +
-              s"${qs.length} queries re-route (${retry.length} widened " +
-              s"across ${widenedOf.values.toSet.size} k-groups, " +
-              s"${flatNow.length} straight to the exact scan)")
-            val retryRows = retry.groupBy { case (qid, _) => widenedOf(qid) }
-              .toSeq.sortBy(_._1).iterator.flatMap { case (wk, group) =>
-                filteredBatchRound(doc, model, group, wk, finalTopK, pred)
-              }.toArray
+              s"${qs.length} queries re-route " +
+              (if (nondet) "(nondeterministic predicate - straight to the exact scan)"
+               else "(one pushed round)"))
+            val retryRows: Array[org.apache.spark.sql.Row] =
+              if (nondet) Array.empty
+              else filteredBatchRound(doc, model, under, preliminaryTopK,
+                finalTopK, pred, pushed = true)
             val retryFilled = retryRows.groupBy(_.getLong(0))
             val retryKept = retryRows.filter(r =>
               retryFilled(r.getLong(0)).length >= finalTopK)
-            val flatQids = (flatNow.iterator.map(_._1) ++
-              retry.iterator.map(_._1).filter(q =>
-                retryFilled.getOrElse(q, Array.empty).length < finalTopK))
+            val flatQids = under.iterator.map(_._1).filter(q =>
+                retryFilled.getOrElse(q, Array.empty).length < finalTopK)
               .toArray
             val flatRows: Array[org.apache.spark.sql.Row] =
               if (flatQids.isEmpty) Array.empty
@@ -1208,29 +1222,43 @@ class Engine(val spark: SparkSession, val root: String) {
     }
   }
 
-  /** One widened coarse+rerank round for a group of under-filled
-    * filtered batch queries — the batch twin of the single filtered
-    * path's `probedCandidates(widened)` retry: identical per-query
-    * candidate arithmetic (same coarse kernel, same probes, same
-    * widened k), one job for the whole group.
+  /** Whether `pred` is nondeterministic when analyzed against `frame`'s
+    * schema — detected on the ANALYZED tree, because the unresolved
+    * Column hides `expr("rand() < 0.5")` behind an UnresolvedFunction
+    * node (the same rule [[compileMetaPredicate]] applies for
+    * cacheability). The under-fill guards route nondeterministic
+    * predicates straight to the exact flat scan: they have no stable
+    * matching set for a pushed round to converge on.
+    */
+  private def predicateNondeterministic(frame: DataFrame, pred: Column): Boolean =
+    frame.filter(pred).queryExecution.analyzed.exists(plan =>
+      plan.expressions.exists(_.exists(!_.deterministic)))
+
+  /** One coarse+rerank round for a group of under-filled filtered batch
+    * queries — the batch twin of the single filtered path's under-fill
+    * retry: identical per-query candidate arithmetic (same coarse
+    * kernel, same probes), one job for the whole group. `pushed` = the
+    * r15 decisive form: the predicate filters the covering coded scan
+    * BEFORE the ADC cut, yielding each query's top-`prelim` MATCHING
+    * candidates by (adc, id).
     */
   private def filteredBatchRound(doc: CatalogDoc, model: Engine.IndexModel,
       qsSub: Array[(Long, Array[Float])], prelim: Int, finalTopK: Int,
-      pred: Column): Array[org.apache.spark.sql.Row] = {
-    // widened k can be much larger than the entry prelimK the outer
-    // chunking sized for — re-apply the driver-candidate bound at the
-    // widened geometry (per-query results are independent, so the split
-    // is invisible to correctness)
+      pred: Column, pushed: Boolean = false): Array[org.apache.spark.sql.Row] = {
+    // re-apply the driver-candidate bound at this round's geometry
+    // (per-query results are independent, so the split is invisible to
+    // correctness)
     if (qsSub.length.toLong * prelim > Engine.MaxDriverBatchCandidates &&
         qsSub.length > 1) {
       val perChunk = math.max(1,
         (Engine.MaxDriverBatchCandidates / prelim).toInt)
       return qsSub.grouped(perChunk).flatMap(g =>
-        filteredBatchRound(doc, model, g, prelim, finalTopK, pred)).toArray
+        filteredBatchRound(doc, model, g, prelim, finalTopK, pred, pushed)).toArray
     }
     val qsP = qsSub.map { case (qid, qn) => qid -> model.pca.applyLocal(qn) }
     val probes = qsP.map { case (_, qp) => model.nearestClusters(qp, doc.nProbe) }
-    val live = prunedLiveCoded(doc, probes.flatten.distinct)
+    val live0 = prunedLiveCoded(doc, probes.flatten.distinct)
+    val live = if (pushed) live0.filter(pred) else live0
     val candRows = graft.operators.BatchANN.coarseCandidates(
       spark, live, modelBroadcast(doc), qsP, probes, prelim)
       .select("query_id", "id", "cluster_id").collect()
@@ -1241,7 +1269,8 @@ class Engine(val spark: SparkSession, val root: String) {
         StructField("query_id", LongType, nullable = false),
         StructField("id", LongType, nullable = false),
         StructField("cluster_id", IntegerType, nullable = false))))
-    val fetchScan = prunedLiveCoded(doc, candRows.map(_.getInt(2)).distinct)
+    val fetchScan = prunedLiveCodedForCandidates(doc,
+        candRows.map(r => (r.getLong(1), r.getInt(2))).toIndexedSeq)
       .select("cluster_id", "id", "vector", "metadata")
     graft.operators.BatchANN.rerank(spark, fetchScan.filter(pred), candidates,
       qsSub, finalTopK).collect()
@@ -1391,6 +1420,12 @@ class Engine(val spark: SparkSession, val root: String) {
     val sorted = probes.sorted
     if (sorted.length <= maxChunkedProbePush(doc.numClusters))
       sorted.grouped(probePushChunk).map(branchPlan).toIndexedSeq
+      // (r15 negative result, ChunkCpuProfile ccp5: splitting each chunk
+      // into a UNION of per-bucket branch Filters — so each file's
+      // reader serializes only its own ~79-term In-chain instead of the
+      // chunk's 445 — did NOT move the concurrent scan (167→177 ms) and
+      // ADDED ~70 ms of per-query union planning. The coarse wall is
+      // latency-bound on job/task scheduling, not chain-size-bound.)
     else IndexedSeq(branchPlan(sorted)) // row-level only; bucket pruning still applies
   }
 
@@ -1412,6 +1447,53 @@ class Engine(val spark: SparkSession, val root: String) {
           if (plans.length == 1) plans.head else LUnion(plans))
       }
     withLiveDeletes(doc, pruned)
+  }
+
+  /** The candidate-fetch scan: the covering rows of EXACTLY the given
+    * (id, cluster_id) survivors, as per-bucket branch Filters whose
+    * pushed chains each carry only THAT bucket's candidate ids and
+    * clusters (~candidates/buckets terms instead of one global
+    * 500-term id-chain serialized into every file's reader — the same
+    * per-file or-chain cost the r15 coarse fix removes). Row set is
+    * identical to `prunedLiveCoded(clusters).filter(id ∈ ids)`.
+    *
+    * The branches are built over the SERVING relation (packed splits —
+    * one task per bucket file instead of minPartitionNum=parallelism
+    * shredding every tiny branch into 32 splits) but the returned frame
+    * lives on the MAIN session: only the scan's split planning reads the
+    * relation's session, so user-composed downstream plans are
+    * unaffected. Branch count is capped by grouping buckets (a 45-branch
+    * union measured ~100 ms of per-query analysis at the 35M geometry —
+    * the planning cost scales with branch count, the reader cost with
+    * per-file chain terms; ~12 branches balances both).
+    */
+  private[core] def prunedLiveCodedForCandidates(
+      doc: CatalogDoc, cands: Seq[(Long, Int)]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{In => ExprIn, Literal => ExprLit}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Union => LUnion}
+    val shift = doc.codedBucketShift
+    if (shift < 0 || cands.isEmpty)
+      return prunedLiveCoded(doc, cands.map(_._2).distinct.toArray) // live already
+        .filter(col("id").isInCollection(
+          cands.map(c => java.lang.Long.valueOf(c._1)).distinct))
+    val basePlan = codedDfServing(doc).queryExecution.analyzed
+    val bucketAttr = basePlan.output.find(_.name == "cluster_bucket").get
+    val clusterAttr = basePlan.output.find(_.name == "cluster_id").get
+    val idAttr = basePlan.output.find(_.name == "id").get
+    val perBucket = cands.groupBy(_._2 >>> shift).toSeq.sortBy(_._1)
+    val groupsOf = math.max(1, math.ceil(perBucket.length / 12.0).toInt)
+    val branches = perBucket.grouped(groupsOf).map { group =>
+      val bc = group.flatMap(_._2)
+      LFilter(
+        ExprIn(idAttr, bc.map(_._1).distinct.sorted.map(v => ExprLit(v))),
+        LFilter(
+          ExprIn(clusterAttr, bc.map(_._2).distinct.sorted.map(v => ExprLit(v))),
+          LFilter(ExprIn(bucketAttr,
+            group.map(g => ExprLit(g._1)).toIndexedSeq), basePlan)))
+    }.toIndexedSeq
+    val plan = if (branches.length == 1) branches.head else LUnion(branches)
+    withLiveDeletes(doc,
+      org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, plan))
   }
 
   /** [[prunedLiveCoded]] split into its chunk scans, one DataFrame per
@@ -1475,6 +1557,19 @@ class Engine(val spark: SparkSession, val root: String) {
     s.conf.set("spark.sql.optimizer.inSetSwitchThreshold", "0")
     s.conf.set("spark.sql.shuffle.partitions",
       spark.conf.get("spark.sql.shuffle.partitions"))
+    // measurement overrides for the serving-scan shape (ChunkCpuProfile's
+    // A/B harness; production leaves all three unset): the r15 stack
+    // attribution put ~99.6% of the coarse scan's task CPU in per-file
+    // pushed-filter plumbing (FilterPredicate.toString + gzip/Java
+    // serialization into a cloned Hadoop conf, O(or-chain terms) each),
+    // so these gate which predicate shape and task packing the chunk
+    // scans plan under while the fix is being measured.
+    sys.env.get("GRAFT_SERVING_IN_THRESHOLD").foreach(v =>
+      s.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", v))
+    sys.env.get("GRAFT_SERVING_MAXPART").foreach(v =>
+      s.conf.set("spark.sql.files.maxPartitionBytes", v))
+    sys.env.get("GRAFT_SERVING_PUSHDOWN").foreach(v =>
+      s.conf.set("spark.sql.parquet.filterPushdown", v))
     s
   }
 
@@ -1760,7 +1855,10 @@ class Engine(val spark: SparkSession, val root: String) {
       p.compressedVectorBytes)
     val packNewTable = packedCodesOnTrain && p.compressedVectorBytes <= 8
     writeCoded(pinnedFull, model, bucketShift, nlist, s"$indexDir/coded",
-      packNewTable)
+      packNewTable,
+      // covering-row estimate: id+overheads ~16 B, 4-byte floats, ~96 B
+      // code+metadata — drives the low-scratch grouped write at scale
+      estBytes = n * (16L + 4L * d + 96L))
     IndexStore.saveModel(spark, indexDir, model)
 
     // T19 — atomic swap. Counters are RECOMPUTED from the then-live rows
@@ -1848,15 +1946,55 @@ class Engine(val spark: SparkSession, val root: String) {
     else
       rows.select(col("id"), Coder.pcaApplyCol(spark, pca, col("vector")).as("pvec"))
 
-  /** T18 — one full pass: fused project+assign+residual+PQ-encode
-    * (broadcast kernel, plan size O(1) in nlist/m), written in the
-    * bucketed IVF layout (`shift` from [[Engine.codedBucketShift]]).
-    * Carries the covering columns (vector, metadata).
+  /** T18 — fused project+assign+residual+PQ-encode (broadcast kernel,
+    * plan size O(1) in nlist/m), written in the bucketed IVF layout
+    * (`shift` from [[Engine.codedBucketShift]]). Carries the covering
+    * columns (vector, metadata).
+    *
+    * DISK ENVELOPE (r15): the bucket repartition shuffles the full
+    * covering rows — at 768-d that is ~3.2 KB/row of incompressible
+    * float bytes ON TOP of the input table and the final parquet, which
+    * is what ENOSPC'd the r14 10M×768 run (~11 GB scratch per M rows,
+    * EVAL_r14). When `estBytes` exceeds [[Engine.CodedShuffleGroupBytes]]
+    * the write splits into BUCKET GROUPS: each group's job re-runs the
+    * (deterministic) assign+encode projection and shuffles only its own
+    * buckets' rows, so peak shuffle scratch is ~1/groups of the table.
+    * Costs `groups` extra scans + assign passes of the input (~10-20% of
+    * train at the 768-d geometry) only when the one-shot form would
+    * threaten the disk quota; layout, file count, and per-bucket row
+    * order are identical to the one-shot write (each bucket is written
+    * by exactly one group, same bucket partition count, same
+    * sortWithinPartitions).
     */
   private def writeCoded(rows: DataFrame, model: IndexModel, shift: Int,
-                         nlist: Int, path: String, packed: Boolean): Unit =
-    writeCodedRows(assignEncode(rows, model, packed), shift, nlist, path,
-      "overwrite")
+                         nlist: Int, path: String, packed: Boolean,
+                         estBytes: Long = -1L): Unit = {
+    val groups =
+      if (shift < 0 || estBytes <= 0) 1
+      else math.min(Engine.codedBucketCount(nlist, shift).toLong,
+        (estBytes + Engine.CodedShuffleGroupBytes - 1) /
+          Engine.CodedShuffleGroupBytes).toInt
+    if (groups <= 1)
+      writeCodedRows(assignEncode(rows, model, packed), shift, nlist, path,
+        "overwrite")
+    else {
+      val buckets = Engine.codedBucketCount(nlist, shift)
+      log.info(s"coded write in $groups bucket groups " +
+        s"(~${estBytes / (1 << 30)} GiB covering bytes, $buckets buckets)")
+      (0 until groups).foreach { g =>
+        val encoded = assignEncode(rows, model, packed)
+        val inGroup = encoded.filter(
+          (expr(s"cluster_id div ${1L << shift}") % groups).cast("int") === g)
+        writeCodedRows(inGroup, shift, nlist, path,
+          if (g == 0) "overwrite" else "append")
+        // the previous group's exchange files linger until its
+        // ShuffleDependency is GC'd (ContextCleaner) — nudge collection
+        // so the NEXT group's shuffle doesn't stack on top of this one's
+        // (the whole point of grouping is bounding peak scratch)
+        System.gc()
+      }
+    }
+  }
 
   /** The one coded-table writer: IVF inverted lists as parquet layout.
     *
@@ -2327,11 +2465,33 @@ object Engine {
   def codedBucketCount(nlist: Int, shift: Int): Int =
     math.max(1, ((nlist.toLong + (1L << shift) - 1) >> shift).toInt)
 
-  /** Ceiling for the under-fill guard's widened preliminary stage; past
-    * this the exact flat scan is the better plan (bounded per-partition
-    * heap memory in the coarse kernel).
+  /** (The pre-r15 `MaxWidenedPreliminaryK` widening ceiling is gone with
+    * the geometric widening loop itself — the pushed under-fill round is
+    * bounded by `preliminaryTopK` per partition by construction.)
+    *
+    * A compiled metadata predicate that must stay on the driver: it
+    * wraps NONDETERMINISTIC expression state that must not serialize
+    * into a task closure (a deserialized copy is uninitialized, and
+    * re-initializing would replay its sequence). The filtered
+    * under-fill guard serves these via the exact flat scan — where
+    * Spark owns per-row evaluation — instead of the pushed round.
     */
-  val MaxWidenedPreliminaryK: Int = 100000
+  private[core] final class DriverOnlyPredicate(f: (Long, String) => Boolean)
+    extends ((Long, String) => Boolean) {
+    def apply(id: Long, meta: String): Boolean = f(id, meta)
+  }
+
+  /** Peak shuffle bytes one coded-write bucket group may carry (the
+    * train-time disk envelope, [[writeCoded]]): the bucket repartition of
+    * a covering table beyond this splits into ⌈bytes/this⌉ groups so
+    * shuffle scratch never stacks the whole table on top of the input
+    * parquet and the output parquet. 6 GiB ≈ the slack the r14 80 GB
+    * scratch box had left after data+coded at the 10M×768 geometry.
+    * Env-overridable for eval boxes with different quotas.
+    */
+  val CodedShuffleGroupBytes: Long =
+    sys.env.get("GRAFT_CODED_SHUFFLE_GROUP_BYTES").map(_.toLong)
+      .getOrElse(6L << 30)
 
   /** Driver-side candidate-row ceiling for one trained query batch
     * (q·prelimK). ~2M rows ≈ a few hundred MB of Rows — past it the

@@ -176,14 +176,28 @@ final class PreparedIndex private[core] (
   /** The filtered twin of [[queryWith]]: Q1-Q9 with the metadata
     * predicate evaluated against the preliminary candidates INSIDE the
     * fused serving path — the same point the Catalyst plan filters the
-    * hydrated candidate frame — with the identical under-fill guard
-    * (selectivity-estimated widening, then the exact flat scan). `evalP`
-    * is the predicate compiled once against the (id, metadata) schema
-    * ([[Engine.compileMetaPredicate]]); `predCol` is the original Column
-    * for the fallback paths. Returns exactly what
+    * hydrated candidate frame — with the identical under-fill guard.
+    *
+    * Under-fill semantics (r15 — replaced the geometric requery
+    * widening): when the post-filtered first round can't fill
+    * `finalTopK`, ONE decisive PUSHED round runs — the predicate gates
+    * heap entry inside the kernel, so it returns the top-`prelimK`
+    * MATCHING candidates by (adc, id) over the probed clusters, the
+    * limit object every widened-k retry was converging to. If even that
+    * under-fills, the probed clusters provably hold fewer than
+    * `finalTopK` matches in their top-`prelimK` cut and the exact flat
+    * scan is semantically required. Under a cluster-correlated predicate
+    * (the adversarial shape: matches concentrated in the query's own
+    * probe neighborhood) the pushed round fills where the old widening
+    * burned a doomed retry and then a 35M-row flat scan (EVAL_r14:
+    * p50 363 ms, max 929 ms).
+    *
+    * `evalP` is the predicate compiled once against the (id, metadata)
+    * schema ([[Engine.compileMetaPredicate]]); `predCol` is the original
+    * Column for the fallback paths. Returns exactly what
     * `Engine.queryCatalyst(name, q, prelimK, finalK, Some(predCol))`
     * returns for the same observed catalog state (PreparedIndexSpec
-    * asserts bit-equality on all three branches: filled, widened,
+    * asserts bit-equality on all three branches: filled, pushed,
     * flat-fallback).
     */
   private[core] def queryFilteredWith(cur: CatalogDoc, q: Array[Float],
@@ -199,27 +213,21 @@ final class PreparedIndex private[core] (
         val qn = normalize(q)
         val qp = model.pca.applyLocal(qn)
         val probes = model.nearestClusters(qp, cur.nProbe)
-        def round(k: Int): Array[Cand] =
-          probePrelim(probes, qp, qn, k, bcDeleted, side)
-            .filter(c => evalP(c.id, c.meta))
-        // Under-fill guard — the exact arithmetic of the Catalyst path
-        // (Engine.queryCatalyst): estimated selectivity from the first
-        // round, ×2 safety, bounded; past the cap (or when the widened
-        // ask covers every id ever assigned) the exact flat scan is the
-        // better plan.
-        val first = round(preliminaryTopK)
+        val first = probePrelim(probes, qp, qn, preliminaryTopK, bcDeleted, side)
+          .filter(c => evalP(c.id, c.meta))
         val chosen: Option[Array[Cand]] =
           if (first.length >= finalTopK) Some(first)
+          else if (evalP.isInstanceOf[Engine.DriverOnlyPredicate])
+            // a nondeterministic predicate can't ship in a task closure
+            // (its eval state must not replay) and has no stable "the
+            // matching rows" set to push against — the exact flat scan,
+            // where Spark owns the per-row evaluation, is the only
+            // coherent continuation
+            None
           else {
-            val sel = math.max(first.length, 1L).toDouble / preliminaryTopK
-            val widened = math.max(preliminaryTopK * 2L,
-                math.ceil(finalTopK / sel * 2.0).toLong)
-              .min(Engine.MaxWidenedPreliminaryK).toInt
-            if (widened >= cur.maxId + 1) None
-            else {
-              val retry = round(widened)
-              if (retry.length >= finalTopK) Some(retry) else None
-            }
+            val pushed = probePrelim(probes, qp, qn, preliminaryTopK,
+              bcDeleted, side, pred = evalP)
+            if (pushed.length >= finalTopK) Some(pushed) else None
           }
         // post-job re-check (same contract as the unfiltered path): a
         // swap landing during ANY serving job reroutes through the plan
@@ -297,26 +305,35 @@ final class PreparedIndex private[core] (
     * scan) returning the per-partition ADC/rerank candidates, NOT yet
     * globally merged.
     */
+  /** `pred` (nullable): the pushed predicate of the filtered under-fill
+    * round — ships in the job closure (deterministic compiled predicates
+    * and plain lambdas only; [[Engine.DriverOnlyPredicate]]s never reach
+    * here) and gates heap entry inside [[PreparedANN.servePartition]].
+    */
   private def probePrelim(probes: Array[Int], qp: Array[Float],
                           qn: Array[Float], prelimK: Int,
                           bcDeleted: Broadcast[Array[Long]],
-                          side: Map[Int, ClusterBlock]): Array[Cand] = {
+                          side: Map[Int, ClusterBlock],
+                          pred: (Long, String) => Boolean = null): Array[Cand] = {
     val bc = bcModel // avoid capturing `this` in the job closure
     val bcDel = bcDeleted
-    val parts: Array[Array[Cand]] = spark.sparkContext.runJob(
+    val p = pred
+    val batches: Array[PreparedANN.CandBatch] = spark.sparkContext.runJob(
       blocks,
       (it: Iterator[Map[Int, ClusterBlock]]) =>
         if (it.hasNext)
-          PreparedANN.servePartition(it.next(), bc.value, probes, qp, qn,
-            prelimK, bcDel.value)
-        else Array.empty[Cand])
+          PreparedANN.servePartitionBatch(it.next(), bc.value, probes, qp, qn,
+            prelimK, bcDel.value, p)
+        else new PreparedANN.CandBatch(Array.empty, Array.empty, Array.empty,
+          Array.empty))
+    val parts = batches.map(_.toCands)
     // the appended-rows side scan: same kernel, driver-local, merged as
     // one more part — arithmetic identical to the rows having been in a
     // pinned block all along
     val all =
       if (side.isEmpty) parts
       else parts :+ PreparedANN.servePartition(side, model, probes, qp, qn,
-        prelimK, bcDeleted.value)
+        prelimK, bcDeleted.value, pred)
     PreparedANN.mergePrelim(all, prelimK)
   }
 

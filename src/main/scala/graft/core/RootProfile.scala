@@ -67,10 +67,9 @@ object RootProfile {
       val candRows = graft.operators.BatchANN.coarseSingleChunked(
         spark, chunks, engine.modelBroadcast(doc), qp, probes, 500)
       val a3 = System.nanoTime()
-      val fetched = engine.prunedLiveCoded(doc, candRows.map(_._3).distinct)
+      val fetched = engine.prunedLiveCodedForCandidates(doc,
+          candRows.map(r => (r._1, r._3)).toIndexedSeq)
         .select("id", "vector", "metadata")
-        .filter(col("id").isInCollection(
-          candRows.map(r => java.lang.Long.valueOf(r._1)).toIndexedSeq))
       val a4 = System.nanoTime()
       fetched.collect()
       val a5 = System.nanoTime()
@@ -142,6 +141,25 @@ object RootProfile {
     lat("routed (auto) seq", q => engine.query(db, q, 500, 50))
     storage("after routed seq")
     lat("prep.query seq#2", q => prep.query(q, 500, 50))
+    // concurrent qps at the eval block's shape (16 threads, shared handle)
+    // — the r15 A/B point for the columnar task-result wire format
+    locally {
+      val conc = 16
+      val totalQ = 128
+      val qpool = Array.fill(totalQ)(Array.fill(d)(rnd.nextGaussian().toFloat))
+      prep.query(qpool(0), 500, 50) // warm
+      val idx = new java.util.concurrent.atomic.AtomicInteger(0)
+      val c0 = System.nanoTime()
+      val cthreads = (0 until conc).map { _ =>
+        val t = new Thread(() => {
+          var i = idx.getAndIncrement()
+          while (i < totalQ) { prep.query(qpool(i), 500, 50); i = idx.getAndIncrement() }
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      cthreads.foreach(_.join())
+      println(f"concurrent_qps_16t=${totalQ / ((System.nanoTime() - c0) / 1e9)}%.1f")
+    }
     println(s"kernel_canary=${graft.Canary.kernelCanaryRowsPerSec()}")
     prep.close()
     spark.stop()

@@ -126,10 +126,20 @@ object PreparedANN {
     * cosine over just those survivors (dotFF math). `deleted` is the
     * sorted pending-delete id set — rows in it never enter the heap,
     * matching the regular path's anti-join-before-ADC.
+    *
+    * `pred` (nullable) is the PUSHED metadata predicate of the filtered
+    * under-fill round: when set, only rows it accepts enter the heap, so
+    * the partition's survivors are its top-`prelimK` MATCHING rows by
+    * (adc, id) — the limit object the pre-r15 geometric widening loop
+    * approximated round by round. It is evaluated LAZILY, only on rows
+    * whose ADC distance would actually enter the heap (the heap bound
+    * short-circuits the scan first), so a json-path predicate costs
+    * ~prelimK·ln(n/prelimK) evaluations per partition, not n.
     */
   def servePartition(blocks: Map[Int, ClusterBlock], model: IndexModel,
                      probes: Array[Int], qp: Array[Float], qn: Array[Float],
-                     prelimK: Int, deleted: Array[Long]): Array[Cand] = {
+                     prelimK: Int, deleted: Array[Long],
+                     pred: (Long, String) => Boolean = null): Array[Cand] = {
     val centroids = model.centroids
     val codebooks = model.pq.codebooks
     val subDim = model.pq.subDim
@@ -171,10 +181,13 @@ object PreparedANN {
             while (x < p && dist <= bound) {
               val df = qp(x) - recon(x); dist += df * df; x += 1
             }
-            if (!full) heap.enqueue((dist, id, cid, row))
-            else {
+            if (!full) {
+              if (pred == null || pred(id, blk.meta(row)))
+                heap.enqueue((dist, id, cid, row))
+            } else {
               val (wd, wid, _, _) = heap.head
-              if (dist < wd || (dist == wd && id < wid)) {
+              if ((dist < wd || (dist == wd && id < wid)) &&
+                  (pred == null || pred(id, blk.meta(row)))) {
                 heap.dequeue(); heap.enqueue((dist, id, cid, row))
               }
             }
@@ -194,6 +207,34 @@ object PreparedANN {
       while (i < d) { s += blk.vecs(vo + i).toDouble * qn(i).toDouble; i += 1 }
       Cand(dist, id, s, blk.meta(row))
     }.toArray
+  }
+
+  /** Columnar wire form of one partition's survivors: task results ride
+    * the (Java) closure serializer, and an `Array[Cand]` of ~500 case
+    * objects per task costs object-graph serialization on the executor
+    * AND deserialization on the driver's result-getter — per-query
+    * driver-side work that caps concurrent qps (EVAL_r14: 52.8 measured
+    * vs ~102 implied by task-CPU at 35M). Four primitive/string arrays
+    * serialize as flat blocks instead.
+    */
+  final class CandBatch(val dists: Array[Double], val ids: Array[Long],
+                        val sims: Array[Double], val metas: Array[String])
+    extends Serializable {
+    def toCands: Array[Cand] =
+      Array.tabulate(ids.length)(i => Cand(dists(i), ids(i), sims(i), metas(i)))
+  }
+
+  /** [[servePartition]] with the columnar wire format — the form the
+    * serving job ships back to the driver.
+    */
+  def servePartitionBatch(blocks: Map[Int, ClusterBlock], model: IndexModel,
+                          probes: Array[Int], qp: Array[Float], qn: Array[Float],
+                          prelimK: Int, deleted: Array[Long],
+                          pred: (Long, String) => Boolean = null): CandBatch = {
+    val cands = servePartition(blocks, model, probes, qp, qn, prelimK,
+      deleted, pred)
+    new CandBatch(cands.map(_.adcDist), cands.map(_.id), cands.map(_.sim),
+      cands.map(_.meta))
   }
 
   /** Driver-side preliminary merge: global top-`prelimK` by (adc, id) —

@@ -154,9 +154,15 @@ class CodedLayoutSpec extends SparkSpec {
     val plan = bucketed.queryBatchTrained("db", qdf, 50, 10)
       .queryExecution.executedPlan.toString
     // data-filter push: page-level pruning inside a bucket's
-    // cluster_id-sorted file hangs off exactly this
-    assert(plan.contains("PushedFilters") && plan.contains("In(cluster_id"),
-      s"probe In-filter not pushed to parquet:\n${plan.take(3000)}")
+    // cluster_id-sorted file hangs off exactly this. The r15 per-bucket
+    // candidate fetch may collapse a single-cluster branch's In to
+    // EqualTo — either form is the pushed probe filter.
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("In(cluster_id") || plan.contains("EqualTo(cluster_id")),
+      s"probe filter not pushed to parquet:\n${plan.take(3000)}")
+    // the candidate ids push too (the fetch reads ∝ candidates)
+    assert(plan.contains("In(id"),
+      s"candidate id-filter not pushed to parquet:\n${plan.take(3000)}")
     // partition-filter push: bucket-dir pruning
     assert(plan.contains("cluster_bucket"),
       "bucket partition filter missing from the pruned scan")
