@@ -959,9 +959,10 @@ class Engine(val spark: SparkSession, val root: String) {
             if (candRows.isEmpty)
               live.select("id", "vector", "metadata").filter(lit(false))
             else
-              prunedLiveCodedForCandidates(doc,
-                candRows.map(r => (r._1, r._3)).toIndexedSeq)
+              prunedLiveCoded(doc, candRows.map(_._3).distinct)
                 .select("id", "vector", "metadata")
+                .filter(col("id").isInCollection(
+                  candRows.map(r => java.lang.Long.valueOf(r._1)).toIndexedSeq))
           predicate.fold(fetched)(fetched.filter)
         }
         predicate match {
@@ -1138,8 +1139,7 @@ class Engine(val spark: SparkSession, val root: String) {
     val fetchScan =
       if (candRows.isEmpty)
         live.select("cluster_id", "id", "vector", "metadata").filter(lit(false))
-      else prunedLiveCodedForCandidates(doc,
-          candRows.map(r => (r.getLong(1), r.getInt(2))).toIndexedSeq)
+      else prunedLiveCoded(doc, candRows.map(_.getInt(2)).distinct)
         .select("cluster_id", "id", "vector", "metadata")
     predicate match {
       case None =>
@@ -1269,8 +1269,7 @@ class Engine(val spark: SparkSession, val root: String) {
         StructField("query_id", LongType, nullable = false),
         StructField("id", LongType, nullable = false),
         StructField("cluster_id", IntegerType, nullable = false))))
-    val fetchScan = prunedLiveCodedForCandidates(doc,
-        candRows.map(r => (r.getLong(1), r.getInt(2))).toIndexedSeq)
+    val fetchScan = prunedLiveCoded(doc, candRows.map(_.getInt(2)).distinct)
       .select("cluster_id", "id", "vector", "metadata")
     graft.operators.BatchANN.rerank(spark, fetchScan.filter(pred), candidates,
       qsSub, finalTopK).collect()
@@ -1449,52 +1448,13 @@ class Engine(val spark: SparkSession, val root: String) {
     withLiveDeletes(doc, pruned)
   }
 
-  /** The candidate-fetch scan: the covering rows of EXACTLY the given
-    * (id, cluster_id) survivors, as per-bucket branch Filters whose
-    * pushed chains each carry only THAT bucket's candidate ids and
-    * clusters (~candidates/buckets terms instead of one global
-    * 500-term id-chain serialized into every file's reader — the same
-    * per-file or-chain cost the r15 coarse fix removes). Row set is
-    * identical to `prunedLiveCoded(clusters).filter(id ∈ ids)`.
-    *
-    * The branches are built over the SERVING relation (packed splits —
-    * one task per bucket file instead of minPartitionNum=parallelism
-    * shredding every tiny branch into 32 splits) but the returned frame
-    * lives on the MAIN session: only the scan's split planning reads the
-    * relation's session, so user-composed downstream plans are
-    * unaffected. Branch count is capped by grouping buckets (a 45-branch
-    * union measured ~100 ms of per-query analysis at the 35M geometry —
-    * the planning cost scales with branch count, the reader cost with
-    * per-file chain terms; ~12 branches balances both).
-    */
-  private[core] def prunedLiveCodedForCandidates(
-      doc: CatalogDoc, cands: Seq[(Long, Int)]): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{In => ExprIn, Literal => ExprLit}
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Union => LUnion}
-    val shift = doc.codedBucketShift
-    if (shift < 0 || cands.isEmpty)
-      return prunedLiveCoded(doc, cands.map(_._2).distinct.toArray) // live already
-        .filter(col("id").isInCollection(
-          cands.map(c => java.lang.Long.valueOf(c._1)).distinct))
-    val basePlan = codedDfServing(doc).queryExecution.analyzed
-    val bucketAttr = basePlan.output.find(_.name == "cluster_bucket").get
-    val clusterAttr = basePlan.output.find(_.name == "cluster_id").get
-    val idAttr = basePlan.output.find(_.name == "id").get
-    val perBucket = cands.groupBy(_._2 >>> shift).toSeq.sortBy(_._1)
-    val groupsOf = math.max(1, math.ceil(perBucket.length / 12.0).toInt)
-    val branches = perBucket.grouped(groupsOf).map { group =>
-      val bc = group.flatMap(_._2)
-      LFilter(
-        ExprIn(idAttr, bc.map(_._1).distinct.sorted.map(v => ExprLit(v))),
-        LFilter(
-          ExprIn(clusterAttr, bc.map(_._2).distinct.sorted.map(v => ExprLit(v))),
-          LFilter(ExprIn(bucketAttr,
-            group.map(g => ExprLit(g._1)).toIndexedSeq), basePlan)))
-    }.toIndexedSeq
-    val plan = if (branches.length == 1) branches.head else LUnion(branches)
-    withLiveDeletes(doc,
-      org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, plan))
-  }
+  // (r15 negative result, RootProfile rootprofile2-4: a per-bucket
+  // branch-union candidate fetch — each file's pushed chain carrying
+  // only its own candidate ids — measured fetch_collect 116 → 319 ms at
+  // 35M even with branches grouped to ≤12 and split-planned on the
+  // serving relation; the branch-union's per-query planning and
+  // per-branch scan setup outweigh the shorter chains. The single
+  // pruned scan + one pushed id-chain below is the measured optimum.)
 
   /** [[prunedLiveCoded]] split into its chunk scans, one DataFrame per
     * chunk — for the q=1 coarse path, which runs the chunks as
@@ -1550,6 +1510,11 @@ class Engine(val spark: SparkSession, val root: String) {
   private[core] lazy val servingSession: SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.files.minPartitionNum", "1")
+    // 512 MB split packing for the per-query coarse scans: at the 35M
+    // geometry it cut the concurrent chunk scan 154→138 ms and the fresh
+    // coarse 271→241 ms (ChunkCpuProfile ccp6 A/B) — fewer per-task
+    // reader inits, still ≥2 tasks per bucket file for parallelism
+    s.conf.set("spark.sql.files.maxPartitionBytes", "512m")
     // re-pin the engine's scan confs (newSession starts from globals,
     // not from the parent session's runtime values)
     s.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "512")

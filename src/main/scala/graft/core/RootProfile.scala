@@ -67,9 +67,10 @@ object RootProfile {
       val candRows = graft.operators.BatchANN.coarseSingleChunked(
         spark, chunks, engine.modelBroadcast(doc), qp, probes, 500)
       val a3 = System.nanoTime()
-      val fetched = engine.prunedLiveCodedForCandidates(doc,
-          candRows.map(r => (r._1, r._3)).toIndexedSeq)
+      val fetched = engine.prunedLiveCoded(doc, candRows.map(_._3).distinct)
         .select("id", "vector", "metadata")
+        .filter(col("id").isInCollection(
+          candRows.map(r => java.lang.Long.valueOf(r._1)).toIndexedSeq))
       val a4 = System.nanoTime()
       fetched.collect()
       val a5 = System.nanoTime()

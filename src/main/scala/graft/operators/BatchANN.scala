@@ -201,22 +201,34 @@ object BatchANN {
                           prelimK: Int): Array[(Long, Double, Int)] = {
     val probeSet = probes.toSet
     val bcQ = spark.sparkContext.broadcast((qp, probeSet))
+    // task results ride the Java closure serializer: ship three flat
+    // primitive arrays per task, not ~500 boxed tuples (the same wire
+    // trim as PreparedANN.CandBatch — r15 driver-merge work reduction)
     def partFn(packed: Boolean) =
       (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
         val model = bcModel.value
         val (q, ps) = bcQ.value
         val c2q = ps.iterator.map(c => c -> Array(0)).toMap
-        scanPartitionHeaps(it, model, Array(q), c2q, prelimK, packed)(0).toArray
+        val heap = scanPartitionHeaps(it, model, Array(q), c2q, prelimK, packed)(0)
+        val n = heap.size
+        val ds = new Array[Double](n); val ids = new Array[Long](n)
+        val cs = new Array[Int](n)
+        var i = 0
+        while (heap.nonEmpty) {
+          val (dd, id, cid) = heap.dequeue()
+          ds(i) = dd; ids(i) = id; cs(i) = cid; i += 1
+        }
+        (ds, ids, cs)
       }
-    def runChunk(df: DataFrame): Array[Array[(Double, Long, Int)]] = {
+    def runChunk(df: DataFrame): Array[(Array[Double], Array[Long], Array[Int])] = {
       val src = df.select(col("id").cast("long"), col("cluster_id").cast("int"),
         col("code"))
       spark.sparkContext.runJob(src.queryExecution.toRdd, partFn(isPackedCode(df)))
     }
-    val parts: Array[Array[(Double, Long, Int)]] =
+    val parts: Array[(Array[Double], Array[Long], Array[Int])] =
       if (chunks.lengthCompare(1) == 0) runChunk(chunks.head)
       else {
-        val results = new Array[Array[Array[(Double, Long, Int)]]](chunks.length)
+        val results = new Array[Array[(Array[Double], Array[Long], Array[Int])]](chunks.length)
         val errors = new java.util.concurrent.atomic.AtomicReference[Throwable]()
         val threads = chunks.zipWithIndex.map { case (df, i) =>
           val t = new Thread(() => {
@@ -230,7 +242,9 @@ object BatchANN {
         results.flatten
       }
     bcQ.unpersist(blocking = false)
-    val merged = parts.flatten
+    val merged = parts.iterator.flatMap { case (ds, ids, cs) =>
+      Iterator.tabulate(ds.length)(i => (ds(i), ids(i), cs(i)))
+    }.toArray
     java.util.Arrays.sort(merged,
       Ordering.by[(Double, Long, Int), (Double, Long)](e => (e._1, e._2)))
     merged.take(prelimK).map { case (d, id, cid) => (id, d, cid) }
