@@ -97,15 +97,19 @@ object PreparedANN {
   /** Pin the covering coded table into `numParts` cached partitions of
     * cluster-keyed blocks. One shuffle, executed once at prepare time.
     *
-    * The shuffle runs in the SQL layer (`repartition` on cluster_id =
-    * Tungsten UnsafeRow + lz4), NOT as an RDD `partitionBy` of
-    * `(Int, Row)` pairs: the RDD form Java-serializes every row — 3-6×
-    * the bytes — which is what turned the prepare shuffle at 100M×32d /
-    * 35M×128d into an ENOSPC (evalruns_r12/scale_{100m,35m_opq} round-12
-    * logs; the train ahead of it fit comfortably). Serving only needs
-    * each cluster's rows co-located in SOME partition — every partition
-    * is scanned per query — so the SQL hash exchange's different
-    * cluster→partition mapping is semantically identical.
+    * NO SHUFFLE (r15): the build previously repartitioned on cluster_id
+    * — a full exchange of the covering rows, whose spill is the table's
+    * size (~31 GB at 10M×768: it survived the grouped-write train only
+    * to ENOSPC the first routed query's auto-prepare,
+    * evalruns_r15/scale_10m_768_opq.log). But cluster co-location was
+    * never REQUIRED: every partition is scanned per query and the
+    * preliminary merge is global by (adc, id), so a cluster whose rows
+    * land as PARTIAL blocks in several partitions serves identically —
+    * each partial enters its partition's heap, the driver merge unions
+    * them. `coalesce` (narrow, zero exchange) merges the scan's file
+    * splits down to `numParts` for the serving task shape; when the
+    * scan has fewer splits than `numParts` the partition count stays at
+    * the scan's (small tables — fast either way).
     */
   def buildBlocks(coded: DataFrame, numParts: Int,
                   codeM: Int = -1): RDD[Map[Int, ClusterBlock]] = {
@@ -115,7 +119,7 @@ object PreparedANN {
         codeM
       } else -1
     coded.select("cluster_id", "id", "code", "vector", "metadata")
-      .repartition(numParts, col("cluster_id"))
+      .coalesce(numParts)
       .rdd
       .mapPartitions(it =>
         Iterator.single(foldBlocks(it.map(r => (r.getInt(0), r)), packedM)))
