@@ -29,8 +29,9 @@ def last_json(path):
 mapping = {
     "scale_run_35m": ["scale_35m.log"],
     "scale_run_35m_packed": ["scale_35m_packed.log"],
-    "scale_run_10m_768_opq": ["scale_10m_768_opq.log"],
-    "published_eval_648q": ["published_eval_648q.log"],
+    "scale_run_10m_768_opq": ["scale_10m_768_opq_rerun.log"],
+    "published_eval_648q": ["published_eval_648q_nodelay.log", "published_eval_648q.log"],
+    "published_eval_648q_pre_nodelay": ["published_eval_648q.log"],
 }
 for key, logs in mapping.items():
     row = None
@@ -58,7 +59,24 @@ rows["provenance"] = {
              "filtered_cluster_correlated_ms_p50 / "
              "filtered_correlated_ms_sorted against r14's 363/929)."),
     "runner": "evalruns_r15/graft_run.sh (plain java, frozen classes)",
-    "sequence": "evalruns_r15/run_evals.sh",
+    "sequence": "evalruns_r15/run_evals.sh + after_10m.sh",
+    "scale_10m_768_note": (
+        "the wave's FIRST 10M x 768 attempt proved the grouped coded "
+        "write holds the TRAIN inside the envelope (blockmgr steady at "
+        "~6 GB through the write) and then ENOSPC'd in the NEXT disk "
+        "cliff - PreparedANN.buildBlocks' covering-table repartition "
+        "during the first routed query's auto-prepare "
+        "(scale_10m_768_opq.log:358). That exchange was never needed "
+        "(cluster co-location is not required; every partition is "
+        "scanned per query) and is now a zero-shuffle coalesce; the "
+        "scale_run_10m_768_opq row is the rerun with both fixes - disk "
+        "peaked at 78% of the box."),
+    "http_nodelay_note": (
+        "published_eval_648q is the TCP_NODELAY rerun when the "
+        "_nodelay log exists; the _pre_nodelay twin keeps the first "
+        "measurement (http p50 64.3 ms), whose ~46 ms delta over the "
+        "in-process path was Nagle's delayed-ACK timer in the JDK "
+        "HttpServer."),
     "kept_root_profiling": (
         "the catalyst-path attribution behind this round's changes was "
         "measured against a KEPT 35M root (graft.RootBuild + "
