@@ -77,6 +77,16 @@ rows["provenance"] = {
         "measurement (http p50 64.3 ms), whose ~46 ms delta over the "
         "in-process path was Nagle's delayed-ACK timer in the JDK "
         "HttpServer."),
+    "scale_35m_contamination_note": (
+        "INADMISSIBLE FIELDS in scale_run_35m: gt_seconds (43.2 s) and "
+        "batch_ms_per_query (2,415 ms) crossed a host-contention window "
+        "(a concurrent build saturated the box mid-run; the canary gate "
+        "brackets the SERVING blocks, which stayed healthy, but the gt/"
+        "batch phase is not canary-bracketed). Treat those two numbers "
+        "as unmeasured for this row; all routed/prepared/catalyst/"
+        "filtered latencies and recall in the same row are "
+        "canary-gated and admissible. PLANS.md flags the same window "
+        "in prose."),
     "kept_root_profiling": (
         "the catalyst-path attribution behind this round's changes was "
         "measured against a KEPT 35M root (graft.RootBuild + "

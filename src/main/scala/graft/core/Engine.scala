@@ -1141,6 +1141,16 @@ class Engine(val spark: SparkSession, val root: String) {
         live.select("cluster_id", "id", "vector", "metadata").filter(lit(false))
       else prunedLiveCoded(doc, candRows.map(_.getInt(2)).distinct)
         .select("cluster_id", "id", "vector", "metadata")
+        // the candidate id-chain pushes too (the single-path form,
+        // Q4): page-level pruning inside the candidate-holding
+        // clusters' cluster_id-sorted files — the fetch decodes
+        // ~q·prelim rows, never whole clusters (~500k rows at the
+        // 100M geometry). The broadcast join alone is semantically
+        // identical but decodes every row of every candidate-holding
+        // cluster first.
+        .filter(col("id").isInCollection(
+          candRows.map(r => java.lang.Long.valueOf(r.getLong(1)))
+            .distinct.toIndexedSeq))
     predicate match {
       case None =>
         graft.operators.BatchANN.rerank(spark, fetchScan, candidates, qs,
@@ -1271,6 +1281,11 @@ class Engine(val spark: SparkSession, val root: String) {
         StructField("cluster_id", IntegerType, nullable = false))))
     val fetchScan = prunedLiveCoded(doc, candRows.map(_.getInt(2)).distinct)
       .select("cluster_id", "id", "vector", "metadata")
+      // pushed candidate id-chain — same form and rationale as the
+      // unfiltered batch fetch above: reads ∝ candidates, not clusters
+      .filter(col("id").isInCollection(
+        candRows.map(r => java.lang.Long.valueOf(r.getLong(1)))
+          .distinct.toIndexedSeq))
     graft.operators.BatchANN.rerank(spark, fetchScan.filter(pred), candidates,
       qsSub, finalTopK).collect()
   }
