@@ -1430,7 +1430,13 @@ class Engine(val spark: SparkSession, val root: String) {
         LFilter(
           ExprIn(bucketAttr,
             chunk.map(_ >>> shift).distinct.toIndexedSeq.map(v => ExprLit(v))),
-          basePlan))
+          // serving scans: the probe predicate reaches the parquet
+          // reader pre-serialized via read options (the serving session
+          // has Spark-side pushdown off) — see Engine.injectedIntInOptions
+          if (serving)
+            Engine.withReadOptions(basePlan,
+              Engine.injectedIntInOptions("cluster_id", chunk))
+          else basePlan))
     val sorted = probes.sorted
     if (sorted.length <= maxChunkedProbePush(doc.numClusters))
       sorted.grouped(probePushChunk).map(branchPlan).toIndexedSeq
@@ -1535,6 +1541,16 @@ class Engine(val spark: SparkSession, val root: String) {
     s.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "512")
     s.conf.set("spark.sql.optimizer.inSetConversionThreshold", "1")
     s.conf.set("spark.sql.optimizer.inSetSwitchThreshold", "0")
+    // Spark-side parquet pushdown OFF for the serving scans: the probe
+    // predicate rides pre-serialized in the relation's read options
+    // (Engine.injectedIntInOptions — built once per chunk per query on
+    // the driver as parquet's native In), and Spark's own per-file
+    // setFilterPredicate — the r15-attributed O(terms²) toString +
+    // serialize per reader init, ~99.6% of coarse task CPU — would
+    // rebuild and OVERWRITE it. Row-level exactness is unaffected (the
+    // logical In Filter stays in the plan); reader-level row-group +
+    // page + dictionary pruning still runs off the injected predicate.
+    s.conf.set("spark.sql.parquet.filterPushdown", "false")
     s.conf.set("spark.sql.shuffle.partitions",
       spark.conf.get("spark.sql.shuffle.partitions"))
     // measurement overrides for the serving-scan shape (ChunkCpuProfile's
@@ -2369,6 +2385,77 @@ class Engine(val spark: SparkSession, val root: String) {
 }
 
 object Engine {
+
+  /** Pre-serialized parquet `FilterPredicate` carried as READ OPTIONS on
+    * a scan relation — the structural fix for the r15 attribution
+    * (ChunkCpuProfile, PLANS.md): ~99.6% of the serving coarse scan's
+    * task CPU was per-file pushed-filter PLUMBING, because Spark's own
+    * pushdown rebuilds the predicate at every reader init — parquet
+    * `setFilterPredicate` string-concats the left-nested 445-term
+    * or-chain (O(terms²) chars; Spark 4.1 has no parquet-native In) and
+    * gzip+Java-serializes the tree into a cloned Hadoop conf, per FILE
+    * per TASK. Here the predicate is built ONCE on the driver as
+    * parquet's native `Operators.In` (linear toString, Set-backed eval),
+    * serialized ONCE, and shipped inside the relation's options map —
+    * `newHadoopConfWithOptions` folds options into the scan's broadcast
+    * Hadoop conf, and the reader picks it up via
+    * `ParquetInputFormat.getFilter` (`ParquetReadOptions.Builder` reads
+    * `parquet.private.read.filter.predicate` unconditionally — verified
+    * against the bundled parquet 1.16 bytecode), applying the SAME
+    * row-group-stats + page-index + dictionary pruning the per-file
+    * rebuild did. Callers must disable Spark-side parquet pushdown on
+    * the session running the scan (it would rebuild and overwrite the
+    * injected value) and keep the logical Filter in the plan for
+    * exactness — reader pruning passes a page-granular SUPERSET.
+    * InjectedPredicateSpec gates the mechanism end-to-end.
+    *
+    * Predicate SHAPE: a BALANCED or-tree of `eq` terms, NOT parquet's
+    * native `Operators.In` — measured on the coded page geometry
+    * (InjectedPredicateSpec's fixture), 1.16's column-index evaluation
+    * of In kept every page from row 0 through the LAST matching page
+    * (97,280 of 100k rows for 4 values) where the same values as an
+    * or-chain of eq kept exactly the 4 matching pages (2,048 rows).
+    * Balanced keeps the tree O(log terms) deep (serializer/visitor
+    * stack) and any accidental toString O(terms·log terms). The
+    * serialization bypasses `setFilterPredicate` (whose side write of
+    * `predicate.toString` is the O(terms²) burn) and calls
+    * `SerializationUtil.writeObjectToConfAsBase64` directly, with a
+    * short constant human-readable twin.
+    */
+  private[graft] def injectedIntInOptions(column: String,
+                                          values: Array[Int]): Map[String, String] = {
+    import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+    val c = FilterApi.intColumn(column)
+    def tree(lo: Int, hi: Int): FilterPredicate = // [lo, hi)
+      if (hi - lo == 1) FilterApi.eq(c, Integer.valueOf(values(lo)))
+      else {
+        val mid = (lo + hi) >>> 1
+        FilterApi.or(tree(lo, mid), tree(mid, hi))
+      }
+    val scratch = new org.apache.hadoop.conf.Configuration(false)
+    val key = org.apache.parquet.hadoop.ParquetInputFormat.FILTER_PREDICATE
+    org.apache.parquet.hadoop.util.SerializationUtil.writeObjectToConfAsBase64(
+      key, tree(0, values.length), scratch)
+    Map(key -> scratch.get(key),
+      (key + ".human.readable") -> s"or-of-eq($column, ${values.length} values)")
+  }
+
+  /** `plan` with `opts` folded into every parquet relation's read
+    * options (same FileIndex — no re-listing, no re-analysis; output
+    * attributes preserved by `copy`).
+    */
+  private[graft] def withReadOptions(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      opts: Map[String, String])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    plan.transform {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        val fs = lr.relation.asInstanceOf[HadoopFsRelation]
+        lr.copy(relation =
+          fs.copy(options = fs.options ++ opts)(fs.sparkSession))
+    }
+  }
 
   /** Reference default `max_memory_usage` = 4 GiB (mindb.py:42). Drives the
     * T7 strategy chooser only — Spark spills instead of enforcing it.
