@@ -490,10 +490,31 @@ object RestServer {
     val none = new TrainSeam(() => (), 25)
   }
 
-  /** TCP_NODELAY for `com.sun.net.httpserver` — a JVM-global property the
-    * server reads at startup. Set once, before the first HttpServer is
-    * created in this process.
+  /** TCP_NODELAY for `com.sun.net.httpserver` — a JVM-global property
+    * the JDK reads ONCE, in `ServerConfig`'s static initializer, i.e.
+    * at the first touch of any `HttpServer` class in the process
+    * (ADVICE r15). Consequences, both accepted and warned about here:
+    * (a) if some other code created an HttpServer before the first
+    * RestServer, this set is silently ineffective — we detect that case
+    * (the JDK class already initialized without the property) and warn
+    * with the launch-flag remedy (`-Dsun.net.httpserver.nodelay=true`);
+    * (b) conversely it force-enables nodelay for unrelated
+    * com.sun.net.httpserver servers created later in this JVM — a
+    * latency-over-batching default we consider safe. Without nodelay,
+    * Nagle + delayed-ACK adds ~40 ms to every response (the r15 HTTP
+    * p50 was 64.3 ms vs 20.0 after — EVAL_r15).
     */
   private def enableNoDelay(): Unit =
-    System.setProperty("sun.net.httpserver.nodelay", "true")
+    if (System.getProperty("sun.net.httpserver.nodelay") == null) {
+      System.setProperty("sun.net.httpserver.nodelay", "true")
+      // no JDK API observes whether ServerConfig's static init already
+      // ran (Class.forName(initialize=false) can't tell), so we can't
+      // DETECT the too-late case — only name it once, with the remedy
+      org.slf4j.LoggerFactory.getLogger(classOf[RestServer]).info(
+        "sun.net.httpserver.nodelay set at RestServer init; the JDK " +
+          "reads it once at the first HttpServer class load - if an " +
+          "HttpServer was created earlier in this JVM this set is " +
+          "ineffective and responses pay Nagle's ~40 ms. Launch with " +
+          "-Dsun.net.httpserver.nodelay=true to be immune.")
+    }
 }

@@ -164,10 +164,15 @@ final class PreparedIndex private[core] (
         // VERDICT r11 ask #8: a train/compact swap landing between the
         // entry catalog load and the serving job would have served one
         // query from the superseded pinned blocks — re-check and reroute
-        // through fallback instead (the post-load is ~a small-file read;
-        // the reference holds a lock over the same window,
-        // mindb.py:395-417)
-        if (versionMoved(engine.load(pinned.name)))
+        // through fallback instead (the reference holds a lock over the
+        // same window, mindb.py:395-417). The re-check reads through the
+        // engine's TTL'd serving-doc cache (r16): same-driver swaps
+        // invalidate it inside the write, so they are still caught
+        // exactly; only a cross-driver swap can be seen ≤TTL late — see
+        // Engine.loadRecheck. The fresh per-query listStatus this
+        // replaces was the measured residual of the 16-thread serving
+        // concurrency gap.
+        if (versionMoved(engine.loadRecheck(pinned.name)))
           fallback(q, preliminaryTopK, finalTopK)
         else rank(merged)
     }
@@ -231,8 +236,9 @@ final class PreparedIndex private[core] (
           }
         // post-job re-check (same contract as the unfiltered path): a
         // swap landing during ANY serving job reroutes through the plan
-        // path instead of serving the superseded blocks
-        if (versionMoved(engine.load(pinned.name)))
+        // path instead of serving the superseded blocks; reads through
+        // the TTL'd cache — see the unfiltered path's note
+        if (versionMoved(engine.loadRecheck(pinned.name)))
           fallbackFiltered(q, preliminaryTopK, finalTopK, predCol)
         else chosen match {
           case Some(cands) => rank(PreparedANN.rerankCut(cands, finalTopK))

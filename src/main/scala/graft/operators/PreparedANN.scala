@@ -107,9 +107,18 @@ object PreparedANN {
     * land as PARTIAL blocks in several partitions serves identically —
     * each partial enters its partition's heap, the driver merge unions
     * them. `coalesce` (narrow, zero exchange) merges the scan's file
-    * splits down to `numParts` for the serving task shape; when the
-    * scan has fewer splits than `numParts` the partition count stays at
-    * the scan's (small tables — fast either way).
+    * splits down to `numParts` for the serving task shape.
+    *
+    * SMALL tables (fewer scan splits than `numParts`): coalesce cannot
+    * RAISE a partition count, so the pinned block set would drop to the
+    * split count and cut per-query serve parallelism (~a 500 MB table
+    * on 32 cores would pin ~4 serve tasks — ADVICE r15). Those take a
+    * round-robin `repartition(numParts)` instead — rows, not
+    * cluster-keyed (co-location still not required) — whose exchange is
+    * bounded by the small table's size, the regime where shuffle
+    * scratch is harmless; the zero-shuffle path is kept exactly where
+    * the exchange was the ENOSPC risk (tables already wider than
+    * `numParts` splits).
     */
   def buildBlocks(coded: DataFrame, numParts: Int,
                   codeM: Int = -1): RDD[Map[Int, ClusterBlock]] = {
@@ -118,9 +127,11 @@ object PreparedANN {
         require(codeM > 0, "packed code layout needs the model's m")
         codeM
       } else -1
-    coded.select("cluster_id", "id", "code", "vector", "metadata")
-      .coalesce(numParts)
-      .rdd
+    val src = coded.select("cluster_id", "id", "code", "vector", "metadata")
+    val shaped =
+      if (src.rdd.getNumPartitions >= numParts) src.coalesce(numParts)
+      else src.repartition(numParts)
+    shaped.rdd
       .mapPartitions(it =>
         Iterator.single(foldBlocks(it.map(r => (r.getInt(0), r)), packedM)))
   }
@@ -135,10 +146,15 @@ object PreparedANN {
     * under-fill round: when set, only rows it accepts enter the heap, so
     * the partition's survivors are its top-`prelimK` MATCHING rows by
     * (adc, id) — the limit object the pre-r15 geometric widening loop
-    * approximated round by round. It is evaluated LAZILY, only on rows
-    * whose ADC distance would actually enter the heap (the heap bound
-    * short-circuits the scan first), so a json-path predicate costs
-    * ~prelimK·ln(n/prelimK) evaluations per partition, not n.
+    * approximated round by round. It is gated BEHIND the heap bound:
+    * once the heap is full, only rows whose ADC distance would actually
+    * enter pay an evaluation (~prelimK·ln(n/prelimK) for that phase).
+    * While the heap is still FILLING, though, every scanned non-deleted
+    * row is evaluated — under a selective predicate that fill phase
+    * dominates at ~prelimK/selectivity evaluations (ADVICE r15: the
+    * earlier comment overstated the bound as if it held from row one),
+    * so a costly predicate on a rare-match filter costs more than the
+    * full-heap arithmetic alone suggests.
     */
   def servePartition(blocks: Map[Int, ClusterBlock], model: IndexModel,
                      probes: Array[Int], qp: Array[Float], qn: Array[Float],

@@ -140,6 +140,50 @@ class CodedLayoutSpec extends SparkSpec {
     e
   }
 
+  /** Engine whose grouped coded write is forced to one group PER BUCKET
+    * (threshold 1 byte → groups = bucket count): the maximal split of
+    * the low-scratch train-time write (ADVICE r15 — the grouped path
+    * had no layout gate).
+    */
+  private lazy val grouped: Engine = {
+    val e = new Engine(spark, tmpDir("graft-coded-grouped")) {
+      override protected def chooseCodedBucketShift(n: Long, nlist: Int,
+                                                    d: Int, m: Int): Int = 2
+      override protected def codedShuffleGroupBytes: Long = 1L
+    }
+    e.create("db", vectorDimension = D)
+    e.addLocal("db", corpusV, corpusM)
+    e.train("db", params = Some(IndexParams(D, D, 4, omitOpq = true)),
+      kmeansIters = 6, seed = Seed, minTrainRows = 1)
+    e
+  }
+
+  test("grouped coded write (groups > 1) lays down the one-shot write's exact layout") {
+    val dirsB = hiveDirs(bucketed, "db", "cluster_bucket=").sorted
+    val dirsG = hiveDirs(grouped, "db", "cluster_bucket=").sorted
+    assert(dirsG.nonEmpty && dirsG.size > 1,
+      "fixture must spread over multiple buckets for the groups to bite")
+    assert(dirsG == dirsB, "bucket dir set differs from the one-shot write")
+    assert(parquetFiles(grouped, "db") == parquetFiles(bucketed, "db"),
+      "file count differs from the one-shot write")
+    // per-bucket row ORDER identical (each bucket written by exactly one
+    // group, same bucket partition count, same sortWithinPartitions)
+    def bucketRows(e: Engine, dirName: String): Seq[(Int, Long)] = {
+      val p = java.nio.file.Paths.get(
+        e.load("db").indexPath(e.root), "coded", dirName)
+      spark.read.parquet(p.toString).select("cluster_id", "id").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    }
+    dirsB.foreach { dn =>
+      assert(bucketRows(grouped, dn) == bucketRows(bucketed, dn),
+        s"row order diverged in $dn")
+    }
+    // and the result surface is bit-identical
+    mkQueries(4).foreach { q =>
+      assert(results(grouped, "db", q) == results(bucketed, "db", q))
+    }
+  }
+
   test("chunked probe-push union is bit-identical to the legacy scan") {
     assert(chunked.load("db").nProbe > 4,
       "fixture must span multiple probe chunks for this test to bite")

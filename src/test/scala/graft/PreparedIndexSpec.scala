@@ -312,11 +312,13 @@ class PreparedIndexSpec extends SparkSpec {
     } finally engine.autoRoutePrepared = true
   }
 
-  // ---- predicate-capable routed serving (round 13) --------------------
+  // ---- predicate-capable routed serving (round 13; r15 replaced the
+  // geometric widening retry with ONE pushed round) ---------------------
   // Every branch of the routed filtered path must be bit-identical to
-  // queryCatalyst with the same predicate: filled first round, widened
-  // retry, terminal flat fallback, and the unresolvable-predicate
-  // Catalyst reroute.
+  // queryCatalyst with the same predicate: filled first round, pushed
+  // under-fill round (predicate gates heap entry, top-prelimK MATCHING
+  // rows by (adc, id)), terminal flat fallback, and the
+  // unresolvable-predicate Catalyst reroute.
 
   private def regularP(q: Array[Float], pred: org.apache.spark.sql.Column)
       : Seq[(Int, Long, String, Double)] =
@@ -330,8 +332,8 @@ class PreparedIndexSpec extends SparkSpec {
 
   test("filtered routed query: filled first round equals the Catalyst predicate path") {
     import org.apache.spark.sql.functions.{col, get_json_object}
-    // ~half the corpus survives → the preliminary stage fills without
-    // widening; metadata eval exercises the compiled json path
+    // ~half the corpus survives → the preliminary stage fills without a
+    // second round; metadata eval exercises the compiled json path
     val pred = get_json_object(col("metadata"), "$.doc") % 2 === 0
     queries.take(4).foreach { q =>
       val exp = regularP(q, pred)
@@ -341,23 +343,26 @@ class PreparedIndexSpec extends SparkSpec {
     }
   }
 
-  test("filtered routed query: under-fill widening equals the Catalyst retry") {
+  test("filtered routed query: pushed under-fill round equals the Catalyst one") {
     import org.apache.spark.sql.functions.{col, get_json_object}
     // ~3% selectivity: the 200-candidate first round holds < FinalK
-    // survivors, the widened retry fills — both engines must compute the
-    // SAME widened K (same selectivity arithmetic) and the same rows
+    // survivors, the ONE pushed round fills — both paths must return the
+    // top-prelimK MATCHING rows by (adc, id) over the probed clusters,
+    // i.e. identical rows (the prepared kernel gates heap entry with the
+    // compiled predicate; Catalyst filters the covering chunk scans)
     val pred = get_json_object(col("metadata"), "$.doc") % 29 === 0
     queries.take(4).foreach { q =>
       val exp = regularP(q, pred)
       val got = routedP(q, pred)
-      assert(got == exp, s"widened-branch divergence for predicate query")
+      assert(got == exp, s"pushed-round divergence for predicate query")
     }
   }
 
   test("filtered routed query: terminal under-fill serves the exact flat scan") {
     import org.apache.spark.sql.functions.col
-    // fewer live matches than FinalK exist in the WHOLE table → widening
-    // can never fill → both paths land on the exact flat filtered scan
+    // fewer live matches than FinalK exist in the WHOLE table → even the
+    // pushed round can never fill → both paths land on the exact flat
+    // filtered scan
     val pred = col("id") < 10L
     queries.take(2).foreach { q =>
       val exp = regularP(q, pred)
@@ -405,9 +410,10 @@ class PreparedIndexSpec extends SparkSpec {
     import org.apache.spark.sql.functions.{col, get_json_object}
     import spark.implicits._
     // the same three predicate regimes as the single-path tests: filled
-    // (~50%), under-fill → widened (~3%), terminal flat (id < 10). The
-    // batch path re-routes under-filled queries through the single
-    // filtered query, so every row must be bit-identical per query.
+    // (~50%), under-fill → one shared pushed round (~3%), terminal flat
+    // (id < 10). The batch path routes ALL under-filled queries through
+    // one pushed round together (then the flat fallback together), so
+    // every row must be bit-identical per query to the single path.
     val preds = Seq(
       get_json_object(col("metadata"), "$.doc") % 2 === 0,
       get_json_object(col("metadata"), "$.doc") % 29 === 0,
@@ -435,5 +441,36 @@ class PreparedIndexSpec extends SparkSpec {
   test("closed handle refuses queries") {
     prep.close()
     intercept[IllegalArgumentException] { prep.query(queries(0), PrelimK, FinalK) }
+  }
+
+  test("buildBlocks raises the partition count for small scans (partial-cluster blocks serve)") {
+    // ADVICE r15: coalesce cannot RAISE a partition count, so a table
+    // with fewer file splits than numParts silently pinned that few
+    // serve tasks; small scans now take a round-robin repartition.
+    // Partial-cluster blocks (one cluster spread over several
+    // partitions) are semantically fine — each partial enters its
+    // partition's heap and the global (adc, id) merge unions them —
+    // which this test pins directly at the buildBlocks level.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = (0L until 64L)
+      .map(i => ((i % 4).toInt, i, Seq(1, 2), Seq(0.1f, 0.2f), s"m$i"))
+      .toDF("cluster_id", "id", "code", "vector", "metadata")
+      .select(col("cluster_id"), col("id"),
+        col("code").cast("array<int>").as("code"),
+        col("vector").cast("array<float>").as("vector"), col("metadata"))
+      .coalesce(1) // one split — the shape coalesce(numParts) can't widen
+    val blocks = graft.operators.PreparedANN.buildBlocks(df, numParts = 8)
+    assert(blocks.getNumPartitions == 8,
+      "small scan must round-robin up to the requested serve parallelism")
+    val maps = blocks.collect()
+    // 4 clusters over 8 partitions: some cluster MUST span >1 partition
+    val spans = maps.flatMap(_.keysIterator).groupBy(identity)
+      .map { case (k, v) => k -> v.length }
+    assert(spans.values.exists(_ > 1),
+      s"expected a cluster split across partitions, got $spans")
+    // no row lost or duplicated by the split
+    val ids = maps.flatMap(_.valuesIterator.flatMap(_.ids)).sorted.toSeq
+    assert(ids == (0L until 64L))
   }
 }
