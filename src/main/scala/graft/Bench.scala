@@ -112,6 +112,21 @@ object Bench {
     // exactly how BENCH_r12's "parsed": null happened. The complete
     // per-query map lives in the self-written artifact below.
     println(line)
+    // Soft TOTAL-drift telemetry (VERDICT r15 #7): the per-row budget
+    // catches a single-row regression, but nothing watched the sum —
+    // print the delta vs the previous committed BENCH_SELF so drift is
+    // visible in the round diff. Read BEFORE the artifact overwrite
+    // below; soft by design (totals across different host-contention
+    // windows aren't comparable — the canaries on both artifacts say
+    // which), so it never fails the run.
+    try {
+      val prev = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_SELF.json")), "UTF-8")
+      """"metric":"total","value":([0-9.eE+-]+)""".r.findFirstMatchIn(prev)
+        .map(_.group(1).toDouble).foreach { p =>
+          println(f"""{"metric":"total_drift","prev_total_sec":$p%.2f,"total_sec":$total%.2f,"delta_sec":${total - p}%.2f}""")
+        }
+    } catch { case _: Throwable => () } // first run / unreadable artifact
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","cpu_canary_ms":$canaryMs,"kernel_canary_rows_per_sec":$kernelCanary,"canary_waited_s":$canaryWaitedS,"queries_in":"BENCH_SELF.json"}""")
     // Artifact of record (VERDICT r12 #3): the driver's stdout capture
     // keeps only a 2000-char tail, which truncates an 80+-query map —
