@@ -140,7 +140,12 @@ final class PreparedIndex private[core] (
     */
   def query(q: Array[Float], preliminaryTopK: Int = 500,
             finalTopK: Int = 100): Array[Hit] =
-    queryWith(engine.load(pinned.name), q, preliminaryTopK, finalTopK)
+    // entry load through the engine's TTL'd serving cache — the same
+    // visibility trade the routed entry has had since r12 (same-driver
+    // mutations invalidate it exactly; cross-driver changes ≤TTL late),
+    // now shared by the raw handle so a 16-thread caller loop doesn't
+    // pay a catalog listing per query. [[isStale]] stays a fresh read.
+    queryWith(engine.loadRecheck(pinned.name), q, preliminaryTopK, finalTopK)
 
   /** [[query]] against an already-loaded catalog doc (the engine's
     * auto-routing observed `cur` and must serve exactly that state or
