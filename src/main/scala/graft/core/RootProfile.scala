@@ -142,6 +142,20 @@ object RootProfile {
     lat("routed (auto) seq", q => engine.query(db, q, 500, 50))
     storage("after routed seq")
     lat("prep.query seq#2", q => prep.query(q, 500, 50))
+    // filtered routed loops — ScaleEval's two predicate shapes (the
+    // packed-root filtered anomaly of r15 showed ONLY here: 169-503 ms
+    // vs the base root's 29-73 at 35M; this block exists to reproduce
+    // or clear it against a kept root, r16)
+    locally {
+      val predCol = pmod(hash(get_json_object(col("metadata"), "$.i")),
+        lit(2)) === 0
+      val predCorr =
+        get_json_object(col("metadata"), "$.i").cast("long") % 2 === 0
+      lat("filtered routed (uncorrelated)",
+        q => engine.queryHits(db, q, 500, 50, Some(predCol)))
+      lat("filtered routed (cluster-correlated)",
+        q => engine.queryHits(db, q, 500, 50, Some(predCorr)))
+    }
     // concurrent qps at the eval block's shape (16 threads, shared handle)
     // — the r15 A/B point for the columnar task-result wire format
     locally {
