@@ -2032,7 +2032,13 @@ class Engine(val spark: SparkSession, val root: String) {
     * scratch dirs (`spark.local.dir`, default `java.io.tmpdir` —
     * local-mode layout: each dir holds `blockmgr-<uuid>` trees with
     * `shuffle_*.{data,index}` leaves). Racy-by-design: files vanishing
-    * mid-walk read as 0.
+    * mid-walk read as 0. CLUSTER CAVEAT: this walks the DRIVER's local
+    * dirs only — in local mode that is every shuffle file; on a real
+    * cluster the executors hold the shuffle files and this undercounts,
+    * so [[awaitShuffleDrain]] degrades to the gc-nudge best-effort
+    * there (the bounded timeout guarantees progress either way; a
+    * cluster deployment that needs the strict envelope should gate on
+    * executor disk metrics instead).
     */
   private def shuffleScratchBytes(): Long = {
     def sum(f: java.io.File): Long = {
