@@ -225,8 +225,47 @@ object BatchANN {
         col("code"))
       spark.sparkContext.runJob(src.queryExecution.toRdd, partFn(isPackedCode(df)))
     }
+    // GRAFT_COARSE_UNION_JOB=true (experiment lever, default off): keep
+    // the parallel per-chunk DRIVER setup (toRdd on one thread per chunk
+    // — the conf-broadcast overlap the concurrent-jobs form bought), but
+    // submit ONE RDD-union job instead of `chunks` jobs: same partition
+    // functions over the same partitions, so every per-partition heap —
+    // and therefore the merged result — is bit-identical (gated by
+    // CoarseUnionJobSpec); what changes is 8 job submits + 8 result
+    // collections collapsing into 1 on the DAGScheduler's
+    // single-threaded event loop, a candidate residual of the coarse
+    // wall after r15 ruled out chain size and task CPU. Unmeasured on a
+    // healthy host as of r16 (the box moved — PLANS.md) — flip only
+    // with an A/B.
+    val unionJob =
+      chunks.lengthCompare(1) > 0 &&
+        sys.props.get("graft.coarse.union.job")
+          .orElse(sys.env.get("GRAFT_COARSE_UNION_JOB")).exists(_.toBoolean)
     val parts: Array[(Array[Double], Array[Long], Array[Int])] =
       if (chunks.lengthCompare(1) == 0) runChunk(chunks.head)
+      else if (unionJob) {
+        val rdds = new Array[org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.catalyst.InternalRow]](chunks.length)
+        val packed = new Array[Boolean](chunks.length)
+        val errors = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        val threads = chunks.zipWithIndex.map { case (df, i) =>
+          val t = new Thread(() => {
+            try {
+              packed(i) = isPackedCode(df)
+              rdds(i) = df.select(col("id").cast("long"),
+                col("cluster_id").cast("int"), col("code"))
+                .queryExecution.toRdd
+            } catch { case e: Throwable => errors.compareAndSet(null, e) }
+          })
+          t.setDaemon(true); t.start(); t
+        }
+        threads.foreach(_.join())
+        if (errors.get() != null) throw errors.get()
+        require(packed.distinct.length == 1,
+          "chunk scans of one table must share a code layout")
+        spark.sparkContext.runJob(spark.sparkContext.union(rdds.toIndexedSeq),
+          partFn(packed(0)))
+      }
       else {
         val results = new Array[Array[(Array[Double], Array[Long], Array[Int])]](chunks.length)
         val errors = new java.util.concurrent.atomic.AtomicReference[Throwable]()
