@@ -1410,7 +1410,11 @@ class Engine(val spark: SparkSession, val root: String) {
     * still opened ~once across the union. Overridable so specs can force
     * the multi-chunk path on a small nprobe.
     */
-  protected def probePushChunk: Int = 500
+  protected def probePushChunk: Int =
+    // measurement override (A/B harnesses force a chunk count on a
+    // small root — e.g. the union-job lever's submit-overhead A/B,
+    // which is data-size independent); production leaves it unset
+    sys.env.get("GRAFT_PROBE_PUSH_CHUNK").map(_.toInt).getOrElse(500)
 
   /** Per-instance view of [[Engine.CodedShuffleGroupBytes]] — the
     * grouped coded write's scratch threshold. Overridable so specs can

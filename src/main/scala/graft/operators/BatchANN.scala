@@ -225,22 +225,26 @@ object BatchANN {
         col("code"))
       spark.sparkContext.runJob(src.queryExecution.toRdd, partFn(isPackedCode(df)))
     }
-    // GRAFT_COARSE_UNION_JOB=true (experiment lever, default off): keep
-    // the parallel per-chunk DRIVER setup (toRdd on one thread per chunk
-    // — the conf-broadcast overlap the concurrent-jobs form bought), but
-    // submit ONE RDD-union job instead of `chunks` jobs: same partition
-    // functions over the same partitions, so every per-partition heap —
-    // and therefore the merged result — is bit-identical (gated by
-    // CoarseUnionJobSpec); what changes is 8 job submits + 8 result
-    // collections collapsing into 1 on the DAGScheduler's
-    // single-threaded event loop, a candidate residual of the coarse
-    // wall after r15 ruled out chain size and task CPU. Unmeasured on a
-    // healthy host as of r16 (the box moved — PLANS.md) — flip only
-    // with an A/B.
+    // ONE RDD-union job for all chunk scans (default ON, r16): keep the
+    // parallel per-chunk DRIVER setup (toRdd on one thread per chunk —
+    // the conf-broadcast overlap the concurrent-jobs form bought), but
+    // submit ONE job instead of `chunks` jobs: same partition functions
+    // over the same partitions, so every per-partition heap — and
+    // therefore the merged result — is bit-identical (gated by
+    // CoarseUnionJobSpec). What collapses is `chunks` job submits +
+    // result collections on the DAGScheduler's single-threaded event
+    // loop — the coarse-wall residual left after r15 ruled out chain
+    // size and task CPU. Measured (interleaved A/B on a 2M root forced
+    // to the 8-chunk shape, where submit overhead dominates —
+    // evalruns_r16/ujob_*.log): warm coarse 133→87 and 95→74 ms, e2e
+    // p50 365→350 and 332→248, never worse. GRAFT_COARSE_UNION_JOB=
+    // false (or -Dgraft.coarse.union.job=false) restores per-chunk
+    // jobs for A/B.
     val unionJob =
       chunks.lengthCompare(1) > 0 &&
         sys.props.get("graft.coarse.union.job")
-          .orElse(sys.env.get("GRAFT_COARSE_UNION_JOB")).exists(_.toBoolean)
+          .orElse(sys.env.get("GRAFT_COARSE_UNION_JOB"))
+          .forall(_.toBoolean)
     val parts: Array[(Array[Double], Array[Long], Array[Int])] =
       if (chunks.lengthCompare(1) == 0) runChunk(chunks.head)
       else if (unionJob) {

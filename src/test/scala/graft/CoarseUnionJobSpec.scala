@@ -44,16 +44,16 @@ class CoarseUnionJobSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getDouble(3)))
       .toSeq
 
-  test("union-job coarse is bit-identical to concurrent per-chunk jobs") {
+  test("union-job coarse (default) is bit-identical to concurrent per-chunk jobs") {
     assert(engine.load("db").nProbe > 4,
       "fixture must span multiple probe chunks for the lever to engage")
     val rnd = new Random(Seed + 1)
     val qs = Seq.fill(6)(Array.fill(D)(rnd.nextGaussian().toFloat))
-    val base = qs.map(results)
-    System.setProperty("graft.coarse.union.job", "true")
+    val union = qs.map(results) // default = union job
+    System.setProperty("graft.coarse.union.job", "false")
     try {
-      val union = qs.map(results)
-      assert(union == base, "union-job coarse diverged from per-chunk jobs")
+      val perChunk = qs.map(results)
+      assert(union == perChunk, "union-job coarse diverged from per-chunk jobs")
     } finally System.clearProperty("graft.coarse.union.job")
   }
 }
