@@ -69,9 +69,14 @@ def profile_row(path):
             int(m.group(1)), int(m.group(2)), int(m.group(3)))
     return row or None
 
-mapping_scale = {"scale_run_20m_768_opq": "scale_20m_768_opq.log"}
+mapping_scale = {"scale_run_11m_768_opq": "scale_11m_768_opq.log"}
 mapping_prof = {
-    "rootprofile_35m": "rootprofile_35m.log",
+    "rootprofile_35m_firstwindow": "rootprofile_35m.log",
+    "rootprofile_35m_inj2": "rootprofile_35m_inj2.log",
+    "rootprofile_35m_oldpush": "rootprofile_35m_oldpush.log",
+    "rootprofile_35m_r15code_control": "rootprofile_35m_r15code.log",
+    "rootprofile_35m_base_twin": "rootprofile_35m_base_twin.log",
+    "rootprofile_35m_unionjob": "rootprofile_35m_unionjob.log",
     "rootprofile_35m_packed": "rootprofile_35m_packed.log",
 }
 for key, log in mapping_scale.items():
@@ -88,20 +93,32 @@ for key, log in mapping_prof.items():
         rows[key] = row
 
 rows["provenance"] = {
-    "note": ("r16 rows come from the committed harnesses via "
-             "evalruns_r16/run_evals.sh on a frozen class snapshot "
-             "(graft_run.sh). The headline change under test: the "
-             "serving coarse scan's probe predicate is pre-serialized "
-             "into relation read options (one build per chunk per query "
-             "on the driver) instead of Spark's per-file predicate "
-             "rebuild - the r15-attributed O(terms^2) toString + "
-             "serialize at every reader init. Gates read against "
-             "VERDICT r15: catalyst p50 < 300 ms at 35M (#3), "
-             "concurrent >= 80 qps at 16 threads (#4), packed filtered "
-             "anomaly reproduced-or-cleared (#5), largest 768-d point "
-             "the disk envelope admits (#6)."),
+    "note": ("r16 rows come from the committed harnesses on a frozen "
+             "class snapshot (graft_run.sh). Read them against the four "
+             "r15 verdict gates with these r16 findings: (#3) the "
+             "injected-predicate fix measured WALL+CPU PARITY with the "
+             "per-file rebuild (inj2 vs oldpush rows; ccp_inj/"
+             "ccp_oldpush.log) - r15's 512 MB packing had already "
+             "amortized the plumbing; kept, env-revertable. The box "
+             "also moved: the r15 FROZEN classes re-measure 467 ms "
+             "catalyst p50 / 25.8 qps (r15code_control row) vs their "
+             "own 371-392 / 65.3 in r15's window, on a near-equal "
+             "kernel canary - so the absolute <300 ms / >=80 qps gates "
+             "are host-bound this round and same-box A/Bs are the "
+             "admissible evidence. (#4) per-query catalog listings "
+             "eliminated (TTL'd re-check); headline qps awaits a "
+             "healthy host. (#5) packed filtered anomaly CLEARED by "
+             "the back-to-back packed/base_twin rows - parity; the r15 "
+             "reading was contention. (#6) the 20M estimate used coded "
+             "bytes alone; measured root cost is ~5.9 GB/M so 11M x "
+             "768 is this box's true ceiling (scale_run_11m_768_opq). "
+             "NEW same-box win shipped: coarse chunk scans submit as "
+             "ONE union job (ujob_{off,on}_{a,b}.log: warm coarse "
+             "133->87 / 95->74 ms, e2e p50 365->350 / 332->248, never "
+             "worse; default ON, bit-equality gated)."),
     "runner": "evalruns_r16/graft_run.sh (plain java, frozen classes)",
-    "sequence": "evalruns_r16/run_evals.sh",
+    "union_job_ab": "evalruns_r16/ujob_off_a.log ujob_on_a.log ujob_off_b.log ujob_on_b.log",
+    "host_shift_control": "evalruns_r16/rootprofile_35m_r15code.log (r15 frozen classes, r16 root)",
 }
 
 with open(OUT, "w") as f:
