@@ -493,11 +493,13 @@ object RestServer {
   /** TCP_NODELAY for `com.sun.net.httpserver` — a JVM-global property
     * the JDK reads ONCE, in `ServerConfig`'s static initializer, i.e.
     * at the first touch of any `HttpServer` class in the process
-    * (ADVICE r15). Consequences, both accepted and warned about here:
+    * (ADVICE r15). Consequences, both accepted and named here:
     * (a) if some other code created an HttpServer before the first
-    * RestServer, this set is silently ineffective — we detect that case
-    * (the JDK class already initialized without the property) and warn
-    * with the launch-flag remedy (`-Dsun.net.httpserver.nodelay=true`);
+    * RestServer, this set is silently ineffective — the JDK exposes no
+    * way to observe whether `ServerConfig`'s static init already ran,
+    * so the too-late case CANNOT be detected; we log the remedy
+    * (`-Dsun.net.httpserver.nodelay=true` at launch) unconditionally
+    * once instead;
     * (b) conversely it force-enables nodelay for unrelated
     * com.sun.net.httpserver servers created later in this JVM — a
     * latency-over-batching default we consider safe. Without nodelay,
@@ -505,7 +507,15 @@ object RestServer {
     * p50 was 64.3 ms vs 20.0 after — EVAL_r15).
     */
   private def enableNoDelay(): Unit =
-    if (System.getProperty("sun.net.httpserver.nodelay") == null) {
+    if (System.getProperty("sun.net.httpserver.nodelay") != null) {
+      // an explicit pre-set value (possibly "false" = Nagle stays on)
+      // is respected — say so at debug rather than silently doing
+      // nothing (ADVICE r16)
+      org.slf4j.LoggerFactory.getLogger(classOf[RestServer]).debug(
+        "sun.net.httpserver.nodelay already set to '" +
+          System.getProperty("sun.net.httpserver.nodelay") +
+          "' - respecting the existing value")
+    } else {
       System.setProperty("sun.net.httpserver.nodelay", "true")
       // no JDK API observes whether ServerConfig's static init already
       // ran (Class.forName(initialize=false) can't tell), so we can't

@@ -484,6 +484,11 @@ class Engine(val spark: SparkSession, val root: String) {
   // that would otherwise pin a pre-swap doc for a full TTL
   private val docGeneration = new java.util.concurrent.atomic.AtomicLong()
 
+  // test seam — CachedDocRaceSpec injects a complete saveDoc between the
+  // generation re-check and the cache put to exercise the double-check
+  // eviction below deterministically
+  private[core] var docCachePutSeam: () => Unit = () => ()
+
   private def loadForServing(name: String): CatalogDoc = {
     val now = System.nanoTime()
     servingDocCache.get(name) match {
@@ -491,8 +496,18 @@ class Engine(val spark: SparkSession, val root: String) {
       case _ =>
         val g = docGeneration.get()
         val doc = load(name)
-        if (docGeneration.get() == g)
+        if (docGeneration.get() == g) {
+          docCachePutSeam()
           servingDocCache(name) = (System.nanoTime(), doc)
+          // check-then-put is not atomic: a save can land ENTIRELY
+          // between the guard above and the put (save + increment +
+          // remove), re-caching the pre-write doc. Re-validate after
+          // the put and evict on mismatch — a writer that lands after
+          // this second check removes the entry itself (its remove
+          // necessarily runs after our put), so "same-driver reads
+          // stay exact" holds unconditionally.
+          if (docGeneration.get() != g) servingDocCache.remove(name)
+        }
         doc
     }
   }
@@ -1413,8 +1428,19 @@ class Engine(val spark: SparkSession, val root: String) {
   protected def probePushChunk: Int =
     // measurement override (A/B harnesses force a chunk count on a
     // small root — e.g. the union-job lever's submit-overhead A/B,
-    // which is data-size independent); production leaves it unset
-    sys.env.get("GRAFT_PROBE_PUSH_CHUNK").map(_.toInt).getOrElse(500)
+    // which is data-size independent); production leaves it unset.
+    // Parsed tolerantly: non-numeric or <1 values fall back to the
+    // default with a warning instead of making every query's
+    // `grouped(0)` throw (ADVICE r16)
+    sys.env.get("GRAFT_PROBE_PUSH_CHUNK").flatMap(_.toIntOption)
+      .filter(_ >= 1)
+      .orElse {
+        if (sys.env.contains("GRAFT_PROBE_PUSH_CHUNK"))
+          log.warn("ignoring GRAFT_PROBE_PUSH_CHUNK=" +
+            s"'${sys.env("GRAFT_PROBE_PUSH_CHUNK")}' (need an int >= 1)")
+        None
+      }
+      .getOrElse(500)
 
   /** Per-instance view of [[Engine.CodedShuffleGroupBytes]] — the
     * grouped coded write's scratch threshold. Overridable so specs can
@@ -2075,8 +2101,20 @@ class Engine(val spark: SparkSession, val root: String) {
     val slack = 256L << 20
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     var cur = shuffleScratchBytes()
+    // One gc() makes the dropped ShuffleDependency collectable; the
+    // ContextCleaner's deletion is then async, so the wait is for the
+    // cleaner, not for more gcs. Nudge again only on a backed-off
+    // cadence (1 s, 2 s, 4 s, ... capped at 15 s) — a 200 ms gc loop
+    // here meant up to 600 forced full GCs per group on a large heap
+    // (ADVICE r16), stalling the very cleaner thread we're waiting on.
+    var nextGcNanos = 0L
+    var gcBackoffMs = 1000L
     while (cur > baseline + slack && System.nanoTime() < deadline) {
-      System.gc()
+      if (System.nanoTime() >= nextGcNanos) {
+        System.gc()
+        nextGcNanos = System.nanoTime() + gcBackoffMs * 1000000L
+        gcBackoffMs = math.min(gcBackoffMs * 2, 15000L)
+      }
       Thread.sleep(200)
       cur = shuffleScratchBytes()
     }
@@ -2519,6 +2557,9 @@ object Engine {
     */
   private[graft] def injectedIntInOptions(column: String,
                                           values: Array[Int]): Map[String, String] = {
+    require(values.nonEmpty,
+      "injectedIntInOptions needs at least one value (the or-of-eq tree " +
+        "has no empty form; an empty probe list means no scan at all)")
     import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
     val c = FilterApi.intColumn(column)
     def tree(lo: Int, hi: Int): FilterPredicate = // [lo, hi)

@@ -240,11 +240,14 @@ object BatchANN {
     // p50 365→350 and 332→248, never worse. GRAFT_COARSE_UNION_JOB=
     // false (or -Dgraft.coarse.union.job=false) restores per-chunk
     // jobs for A/B.
+    // Tolerant parse: only a literal "false" disables the union job;
+    // anything else (including typos like "off"/"1") keeps the default
+    // instead of throwing per query in the serve path (ADVICE r16).
     val unionJob =
       chunks.lengthCompare(1) > 0 &&
         sys.props.get("graft.coarse.union.job")
           .orElse(sys.env.get("GRAFT_COARSE_UNION_JOB"))
-          .forall(_.toBoolean)
+          .forall(v => !v.trim.equalsIgnoreCase("false"))
     val parts: Array[(Array[Double], Array[Long], Array[Int])] =
       if (chunks.lengthCompare(1) == 0) runChunk(chunks.head)
       else if (unionJob) {

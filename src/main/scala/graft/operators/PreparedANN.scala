@@ -128,8 +128,12 @@ object PreparedANN {
         codeM
       } else -1
     val src = coded.select("cluster_id", "id", "code", "vector", "metadata")
+    // partition-count probe via the already-planned internal RDD —
+    // `src.rdd` would wrap the plan in a second to-external-row
+    // deserializer stage just to read a count (ADVICE r16 nit)
+    val srcParts = src.queryExecution.toRdd.getNumPartitions
     val shaped =
-      if (src.rdd.getNumPartitions >= numParts) src.coalesce(numParts)
+      if (srcParts >= numParts) src.coalesce(numParts)
       else src.repartition(numParts)
     shaped.rdd
       .mapPartitions(it =>
