@@ -119,6 +119,70 @@ object Canary {
     (k, math.rint((System.nanoTime() - t0) / 1e9))
   }
 
+  /** AGGREGATE rows/s of the batched-argmin kernel on `threads`
+    * concurrent threads sharing one read-only centroid matrix — the
+    * multi-core face of [[kernelCanaryRowsPerSec]]. Why it exists: this
+    * box has windows where the SINGLE-thread kernel reads healthy
+    * (2,250+) while concurrent qps on identical code drops 2.5× (r16:
+    * 25.8 vs 65.3 on the r15-frozen control) — single-thread health
+    * cannot distinguish host multi-core/memory-bandwidth contention
+    * from a code-side serialization. Read it as a RATIO to the
+    * single-thread reading: a healthy box scales near-linearly for this
+    * embarrassingly parallel workload (centroids fit caches are shared,
+    * queries are private); a contended host caps the aggregate well
+    * below threads × single.
+    */
+  def kernelCanaryMultiRowsPerSec(threads: Int = 16): Double = {
+    val nlist = 131072; val d = 64; val nQ = 256
+    val rnd = new java.util.Random(7)
+    val cs = Array.fill(nlist)(Array.fill(d)(rnd.nextFloat()))
+    val fc = graft.index.FlatCentroids.build(cs)
+    val qs = Array.fill(nQ)(Array.fill(d)(rnd.nextDouble()))
+    fc.nearestBatch(qs.take(32), new Array[Int](32)) // JIT warm
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val tasks = (0 until threads).map { _ =>
+      new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = fc.nearestBatch(qs, new Array[Int](nQ))
+      }
+    }
+    val t0 = System.nanoTime()
+    pool.invokeAll(new java.util.ArrayList(
+      scala.jdk.CollectionConverters.SeqHasAsJava(tasks).asJava))
+      .forEach(f => f.get())
+    val s = (System.nanoTime() - t0) / 1e9
+    pool.shutdown()
+    math.rint(threads.toLong * nQ / s)
+  }
+
+  /** Run `body` inside a START+END canary bracket, retrying (up to
+    * `maxRetries` extra attempts) when the END canary reads below the
+    * floor — the r15 packed anomaly and every degraded r16 35M reading
+    * slipped through start-only gating exactly because contention began
+    * MID-block (PLANS.md round-16 audit). Returns the last attempt's
+    * result with both canaries; callers record both so the artifact says
+    * whether the window HELD, not just whether it opened.
+    */
+  def bracket[T](tag: String, maxRetries: Int = 2)(body: => T)
+      : (T, Double, Double, Double) = {
+    var attempt = 0
+    var out: (T, Double, Double, Double) = null
+    var done = false
+    while (!done) {
+      val (k0, waited) = awaitHealthyKernel(tag)
+      val r = body
+      val k1 = kernelCanaryRowsPerSec()
+      println(s"[canary $tag] start=$k0 end=$k1 waited_s=$waited attempt=$attempt")
+      out = (r, k0, k1, waited)
+      if (k1 >= HealthyKernelFloor || attempt >= maxRetries) done = true
+      else {
+        attempt += 1
+        System.err.println(s"[$tag] END canary $k1 < $HealthyKernelFloor — " +
+          s"window broke mid-block; retrying (attempt $attempt)")
+      }
+    }
+    out
+  }
+
   /** 1-minute load average (guest-visible contention; -1 if unreadable). */
   def loadAvg1(): Double =
     try new String(java.nio.file.Files.readAllBytes(

@@ -37,7 +37,19 @@ object RootBuild {
     val centers = Array.fill(numCenters, d)(rnd.nextGaussian().toFloat)
     val bcCenters = spark.sparkContext.broadcast(centers)
 
-    val engine = new Engine(spark, root)
+    // GRAFT_SCALE_GROUP_BYTES: override the grouped coded write's scratch
+    // threshold — smaller groups → more write passes → more coded FILES
+    // at the same row count. This is the file-count lever for measuring
+    // how the serving scans behave at object-store-like many-file
+    // geometries (VERDICT r16 next #5: the injected-predicate and
+    // union-job rationales are files×terms scaling claims; this knob
+    // makes them measurable instead of argued).
+    val engine = sys.env.get("GRAFT_SCALE_GROUP_BYTES").map(_.toLong) match {
+      case Some(gb) => new Engine(spark, root) {
+        override protected def codedShuffleGroupBytes: Long = gb
+      }
+      case None => new Engine(spark, root)
+    }
     // GRAFT_SCALE_PACKED=true → train writes the packed code column
     // (ScaleEval's knob, mirrored so packed roots can be kept and
     // profiled too — the r15 packed filtered anomaly repro)

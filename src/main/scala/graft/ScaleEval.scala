@@ -236,16 +236,22 @@ object ScaleEval {
     // contains the coarse scan execution. Task accounting + input bytes
     // attribute where a cold-cache p50 goes (driver vs task-time vs IO
     // volume) — the r14 35M artifact needed exactly this split.
-    val ((splits, catRunMs, catCpuMs, catTasks), catInMb) = inputDelta {
-      taskDelta {
-        (0 until nSingle).map { qi =>
-          val s0 = System.nanoTime()
-          val df = engine.queryCatalyst("scale", queries(qi), prelimK, finalK)
-          df.queryExecution.executedPlan
-          val s1 = System.nanoTime()
-          df.collect()
-          val s2 = System.nanoTime()
-          ((s1 - s0) / 1e6, (s2 - s1) / 1e6, (s2 - s0) / 1e6)
+    // the catalyst p50 is a GATED number (<300 ms): start+END canary
+    // bracket with retry, so a window breaking mid-loop re-measures
+    // instead of polluting the gate reading (VERDICT r16 next #1)
+    val (((splits, catRunMs, catCpuMs, catTasks), catInMb),
+         kernelCatStart, kernelCatEnd, _) = Canary.bracket("scale-eval-catalyst") {
+      inputDelta {
+        taskDelta {
+          (0 until nSingle).map { qi =>
+            val s0 = System.nanoTime()
+            val df = engine.queryCatalyst("scale", queries(qi), prelimK, finalK)
+            df.queryExecution.executedPlan
+            val s1 = System.nanoTime()
+            df.collect()
+            val s2 = System.nanoTime()
+            ((s1 - s0) / 1e6, (s2 - s1) / 1e6, (s2 - s0) / 1e6)
+          }
         }
       }
     }
@@ -308,26 +314,36 @@ object ScaleEval {
     val filteredCatalystP50 = fCat(nSingle / 2)
 
     // concurrent serving: nThreads callers × single queries, shared session
-    val (kernelConc, waitedConcS) =
-      Canary.awaitHealthyKernel("scale-eval-concurrent")
     val nConc = nThreads * 2
-    val pool = Executors.newFixedThreadPool(nThreads)
-    val tasks = (0 until nConc).map { qi =>
-      new Callable[Long] {
-        def call(): Long = {
-          engine.query("scale", queries(qi % nQ), prelimK, finalK).collect()
-          1L
+    // the ≥80 qps gate: start+END canary bracket with retry (same
+    // rationale as the catalyst bracket above — r16's qps spread of
+    // 13.8–35.4 on identical code was all mid-window contention)
+    val ((concSec, cRunMs, cCpuMs, cTasks),
+         kernelConc, kernelConcEnd, waitedConcS) =
+      Canary.bracket("scale-eval-concurrent") {
+        val pool = Executors.newFixedThreadPool(nThreads)
+        val tasks = (0 until nConc).map { qi =>
+          new Callable[Long] {
+            def call(): Long = {
+              engine.query("scale", queries(qi % nQ), prelimK, finalK).collect()
+              1L
+            }
+          }
         }
+        val r = taskDelta {
+          val c0 = System.nanoTime()
+          pool.invokeAll(new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(tasks).asJava)).forEach(f => f.get())
+          (System.nanoTime() - c0) / 1e9
+        }
+        pool.shutdown(); pool.awaitTermination(1, TimeUnit.MINUTES)
+        r
       }
-    }
-    val (concSec, cRunMs, cCpuMs, cTasks) = taskDelta {
-      val c0 = System.nanoTime()
-      pool.invokeAll(new java.util.ArrayList(scala.jdk.CollectionConverters
-        .SeqHasAsJava(tasks).asJava)).forEach(f => f.get())
-      (System.nanoTime() - c0) / 1e9
-    }
-    pool.shutdown(); pool.awaitTermination(1, TimeUnit.MINUTES)
     val concurrentQps = nConc / concSec
+    // multi-core canary next to the qps number (see Canary
+    // .kernelCanaryMultiRowsPerSec — single-thread health does not rule
+    // out host multi-core contention)
+    val kernelMulti16 = Canary.kernelCanaryMultiRowsPerSec(16)
     val singleQps = 1000.0 / p50
     // ceiling attribution: cores / per-query core-occupancy is the hard
     // throughput bound; the gap between it and measured concurrent qps
@@ -427,6 +443,10 @@ object ScaleEval {
         s""""kernel_canary_serving_rows_per_sec":$kernelServing,""" +
         s""""canary_waited_serving_s":$waitedServingS,""" +
         s""""kernel_canary_concurrent_rows_per_sec":$kernelConc,""" +
+        s""""kernel_canary_concurrent_end_rows_per_sec":$kernelConcEnd,""" +
+        s""""kernel_canary_16t_rows_per_sec":$kernelMulti16,""" +
+        s""""kernel_canary_catalyst_start_rows_per_sec":$kernelCatStart,""" +
+        s""""kernel_canary_catalyst_end_rows_per_sec":$kernelCatEnd,""" +
         s""""canary_waited_concurrent_s":$waitedConcS,""" +
         s""""cpu_canary_ms":${Canary.cpuCanaryMs()},""" +
         s""""kernel_canary_rows_per_sec":${Canary.kernelCanaryRowsPerSec()},""" +

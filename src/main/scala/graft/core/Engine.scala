@@ -73,6 +73,18 @@ class Engine(val spark: SparkSession, val root: String) {
   private val codedDfServingCache = scala.collection.concurrent.TrieMap
     .empty[(String, Int), DataFrame]
 
+  /** [[ServingScan.Epoch]] per (db, indexVersion) — the plan-free coarse
+    * scan's amortized driver state (one conf broadcast, one bucket→file
+    * listing). Same keys and invalidation sites as [[codedDfServingCache]]
+    * (the listing has exactly the cached FileIndex's staleness rules,
+    * including the same-version post-train append).
+    */
+  private val servingScanCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), ServingScan.Epoch]
+
+  private def dropServingScanEpoch(k: (String, Int)): Unit =
+    servingScanCache.remove(k).foreach(_.close())
+
   /** M7 — LRU over loaded index artifacts, bounded by their actual driver
     * footprint (reference cache/cache.py:5-102; the M8 estimator backs the
     * info endpoint, MemoryModel.scala). Evicting a model also unpersists
@@ -84,6 +96,7 @@ class Engine(val spark: SparkSession, val root: String) {
       modelBcCache.remove(k).foreach(_.unpersist(false))
       codedDfCache.remove(k)
       codedDfServingCache.remove(k)
+      dropServingScanEpoch(k)
       // a cold db releases its auto-routed serving blocks too (same
       // budget story as the model broadcast)
       autoPrepared.get(k._1).filter(_.pinned.indexVersion == k._2)
@@ -978,13 +991,22 @@ class Engine(val spark: SparkSession, val root: String) {
           // parquet where possible), so the survivors are the
           // top-`prelim` MATCHING rows by (adc, id) — identical to the
           // prepared path's kernel-gated pushed round.
-          val chunks0 = prunedLiveCodedChunks(doc, probes)
-          val chunks =
-            if (pushPred) predicate.fold(chunks0)(p => chunks0.map(_.filter(p)))
-            else chunks0
-          val candRows = graft.operators.BatchANN.coarseSingleChunked(
-            spark, chunks, modelBroadcast(doc),
-            qp, probes, prelim)
+          // the unfiltered coarse runs plan-free against the per-epoch
+          // serving scan (ServingScan — zero per-query Catalyst passes,
+          // one epoch-wide conf broadcast, cached footers); the pushed-
+          // predicate round and the fallback shapes keep the Catalyst
+          // chunk scans (they need composable Column filters)
+          val candRows =
+            (if (pushPred) None else servingScanCoarse(doc, qp, probes, prelim))
+              .getOrElse {
+                val chunks0 = prunedLiveCodedChunks(doc, probes)
+                val chunks =
+                  if (pushPred) predicate.fold(chunks0)(p => chunks0.map(_.filter(p)))
+                  else chunks0
+                graft.operators.BatchANN.coarseSingleChunked(
+                  spark, chunks, modelBroadcast(doc),
+                  qp, probes, prelim)
+              }
           // Q4 — candidate fetch reads ∝ CANDIDATES, not ∝ probes: the
           // surviving ids land on the driver (≤ prelim rows — the same
           // bound the old broadcast build already imposed), and the fetch
@@ -1546,6 +1568,69 @@ class Engine(val spark: SparkSession, val root: String) {
     * serializing (BatchANN.coarseSingleChunked). Row-set union over the
     * returned frames is exactly [[prunedLiveCoded]]'s row set.
     */
+  /** The plan-free coarse stage ([[ServingScan]]) when the layout admits
+    * it: bucketed coded table, no pending soft-deletes (the custom scan
+    * has no anti-join stage — deletes are transient between compactions,
+    * and the Catalyst path serves those windows), knob on. Returns None
+    * to route the query through the Catalyst chunk scans instead.
+    * `GRAFT_SERVING_CUSTOM_SCAN=false` / `-Dgraft.serving.custom.scan=
+    * false` restores the Catalyst path engine-wide for A/B.
+    */
+  private[core] def servingScanCoarse(doc: CatalogDoc, qp: Array[Float],
+                                      probes: Array[Int], prelimK: Int)
+      : Option[Array[(Long, Double, Int)]] =
+    if (doc.codedBucketShift < 0 || doc.numPendingDeletes > 0 ||
+        !sys.props.get("graft.serving.custom.scan")
+          .orElse(sys.env.get("GRAFT_SERVING_CUSTOM_SCAN"))
+          .forall(v => !v.trim.equalsIgnoreCase("false"))) None
+    else {
+      val epoch = servingScanCache.getOrElseUpdate(
+        (doc.name, doc.indexVersion), buildServingScanEpoch(doc))
+      Some(ServingScan.coarse(spark, epoch, modelBroadcast(doc), qp, probes,
+        prelimK))
+    }
+
+  /** Bucket→dir pairs under the exact owner-version rules of
+    * [[buildCodedDf]] (stale copies of rewritten buckets stay invisible
+    * because only the OWNED dirs are listed), handed to
+    * [[ServingScan.buildEpoch]] for the one-per-epoch file listing.
+    */
+  private def buildServingScanEpoch(doc: CatalogDoc): ServingScan.Epoch = {
+    import org.apache.hadoop.fs.Path
+    val packed = doc.codedPacked == 1
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cluster_id", IntegerType, nullable = false),
+      if (packed) StructField("code", LongType, nullable = false)
+      else StructField("code", ArrayType(IntegerType, containsNull = false),
+        nullable = false)))
+    def bucketsIn(base: Path): Seq[(Int, Path)] = {
+      val f = fsFor(base)
+      if (!f.exists(base)) Seq.empty
+      else f.listStatus(base).iterator.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("cluster_bucket="))
+          n.stripPrefix("cluster_bucket=").toIntOption.map(_ -> st.getPath)
+        else None
+      }.toSeq
+    }
+    val dirs: Seq[(Int, Path)] =
+      if (doc.codedOwners.isEmpty)
+        bucketsIn(new Path(s"${doc.indexPath(root)}/coded"))
+      else {
+        val buckets = Engine.codedBucketCount(math.max(1, doc.numClusters),
+          doc.codedBucketShift)
+        doc.ownerVersions(buckets).zipWithIndex.groupBy(_._1).toSeq.flatMap {
+          case (ownerV, entries) =>
+            val owned = entries.iterator.map(_._2).toSet
+            bucketsIn(new Path(s"$root/${doc.name}/index/v$ownerV/coded"))
+              .filter { case (b, _) => owned(b) }
+        }
+      }
+    ServingScan.buildEpoch(spark, packed, doc.codedBucketShift, schema, dirs,
+      Engine.ServingScanTaskBytes)
+  }
+
   private[core] def prunedLiveCodedChunks(doc: CatalogDoc,
                                           probes: Array[Int]): IndexedSeq[DataFrame] =
     if (doc.codedBucketShift < 0) IndexedSeq(prunedLiveCoded(doc, probes))
@@ -2198,6 +2283,7 @@ class Engine(val spark: SparkSession, val root: String) {
     // same-version append: the cached frame's FileIndex is now stale
     codedDfCache.remove((doc.name, doc.indexVersion))
     codedDfServingCache.remove((doc.name, doc.indexVersion))
+    dropServingScanEpoch((doc.name, doc.indexVersion))
   }
 
   /** Parquet files under a directory (recursive; 0 if absent). */
@@ -2506,6 +2592,7 @@ class Engine(val spark: SparkSession, val root: String) {
         modelBcCache.remove(k).foreach(_.unpersist(false))
         codedDfCache.remove(k)
         codedDfServingCache.remove(k)
+        dropServingScanEpoch(k)
       }
 
   private def normalizeLocal(v: Array[Float]): Array[Float] = {
@@ -2597,6 +2684,13 @@ object Engine {
     * T7 strategy chooser only — Spark spills instead of enforcing it.
     */
   val DefaultMaxMemoryUsage: Long = 4L * 1024 * 1024 * 1024
+
+  /** Target bytes per [[ServingScan]] task — matches the serving
+    * session's 512 MB split packing (the ccp6-measured optimum for the
+    * per-query coarse scans: fewer reader inits, still ≥2 tasks per
+    * bucket at the measured geometries).
+    */
+  val ServingScanTaskBytes: Long = 512L << 20
 
   /** Marker file carrying a version dir's explicit supersession stamp
     * (epoch millis, written at the pointer swap that replaced it). The

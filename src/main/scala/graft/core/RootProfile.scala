@@ -41,6 +41,8 @@ object RootProfile {
     val doc = engine.load(db)
     println(s"nlist=${doc.numClusters} nprobe=${doc.nProbe} " +
       s"shift=${doc.codedBucketShift} maxId=${doc.maxId}")
+    val (k0, w0) = graft.Canary.awaitHealthyKernel("rootprofile-start")
+    println(s"kernel_canary_start=$k0 waited_s=$w0")
     val rnd = new Random(123)
     val qs = Array.fill(nQ)(Array.fill(d)(rnd.nextGaussian().toFloat))
     def p50(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
@@ -88,6 +90,46 @@ object RootProfile {
     }
     println(f"catalyst end-to-end p50: ${p50(e2e)}%.0f ms  " +
       s"(all: ${e2e.map(_.toInt).mkString(",")})")
+    println(s"kernel_canary_after_catalyst=${graft.Canary.kernelCanaryRowsPerSec()}")
+
+    // ---- custom ServingScan vs Catalyst chunks: interleaved A/B ------
+    // Same JVM, alternating passes (A/B/A/B) — the only comparison shape
+    // that survives this box's contention windows. Both paths warm.
+    locally {
+      def pass(custom: Boolean): Double = {
+        if (!custom) System.setProperty("graft.serving.custom.scan", "false")
+        try p50(qs.toIndexedSeq.map { q =>
+          val t0 = System.nanoTime()
+          engine.queryCatalyst(db, q, 500, 50).collect()
+          (System.nanoTime() - t0) / 1e6
+        })
+        finally System.clearProperty("graft.serving.custom.scan")
+      }
+      pass(custom = true); pass(custom = false) // warm both
+      val rounds = (0 until 4).map(_ => (pass(custom = true), pass(custom = false)))
+      println("customscan A/B e2e p50 per round (custom,catalyst): " +
+        rounds.map { case (a, b) => f"($a%.0f,$b%.0f)" }.mkString(" "))
+      // coarse stage alone, warm, both paths
+      val q = qs(0)
+      val qp = model.pca.applyLocal(q)
+      val probes = model.nearestClusters(qp, doc.nProbe)
+      val chunks = engine.prunedLiveCodedChunks(doc, probes)
+      graft.operators.BatchANN.coarseSingleChunked(
+        spark, chunks, engine.modelBroadcast(doc), qp, probes, 500) // warm
+      engine.servingScanCoarse(doc, qp, probes, 500) // warm
+      val coarseAb = (0 until 4).map { _ =>
+        val c0 = System.nanoTime()
+        engine.servingScanCoarse(doc, qp, probes, 500).get
+        val c1 = System.nanoTime()
+        graft.operators.BatchANN.coarseSingleChunked(
+          spark, chunks, engine.modelBroadcast(doc), qp, probes, 500)
+        val c2 = System.nanoTime()
+        ((c1 - c0) / 1e6, (c2 - c1) / 1e6)
+      }
+      println("customscan A/B warm coarse ms per round (custom,catalyst): " +
+        coarseAb.map { case (a, b) => f"($a%.0f,$b%.0f)" }.mkString(" "))
+      println(s"kernel_canary_after_ab=${graft.Canary.kernelCanaryRowsPerSec()}")
+    }
 
     // ---- coarse dissection: scan+filter cost vs kernel cost ----------
     // count() = decode + pushed filter only (no ADC kernel); the gap to
@@ -174,6 +216,16 @@ object RootProfile {
       }
       cthreads.foreach(_.join())
       println(f"concurrent_qps_16t=${totalQ / ((System.nanoTime() - c0) / 1e9)}%.1f")
+    }
+    // the multi-core canary brackets the qps number: single-thread
+    // health does NOT rule out host multi-core contention (r16's 25.8
+    // qps control read kernel_canary 2,250+) — the 16-thread aggregate
+    // vs 16× single names which one this window was
+    locally {
+      val k1 = graft.Canary.kernelCanaryRowsPerSec()
+      val k16 = graft.Canary.kernelCanaryMultiRowsPerSec(16)
+      println(f"kernel_canary_single=$k1  kernel_canary_16t=$k16  " +
+        f"scaling=${k16 / k1}%.1fx of 16x")
     }
     println(s"kernel_canary=${graft.Canary.kernelCanaryRowsPerSec()}")
     prep.close()

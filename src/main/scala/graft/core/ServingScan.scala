@@ -1,0 +1,263 @@
+package graft.core
+
+
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.TaskAttemptID
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.parquet.hadoop.metadata.ParquetMetadata
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.TaskContext
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.core.Engine.IndexModel
+
+/** Plan-free serving scan for the per-query coarse ADC stage: reads the
+  * probed coded buckets through Spark's own vectorized parquet reader,
+  * but with every per-query driver cost amortized to once per INDEX
+  * EPOCH (db, indexVersion):
+  *
+  *  - the Hadoop conf is cloned from the session ONCE per epoch and
+  *    broadcast ONCE — the Catalyst path re-clones and re-broadcasts it
+  *    per chunk scan per query (8 fresh ~1000-entry conf broadcasts per
+  *    query at the 35M shape: driver serialize+gzip, executor
+  *    gunzip+HashMap fill — the r16-attributed top CPU frame,
+  *    PLANS.md round-16 audit);
+  *  - the bucket→file listing is computed once per epoch (the exact
+  *    owner-version dir rules of [[Engine]]'s coded read) and the probed
+  *    subset ships in the job closure — no FileIndex, no per-query
+  *    Catalyst analyze/optimize/physical-plan of N chunk subtrees
+  *    (the 286-of-389 ms plan share at 11M×768, EVAL_r16);
+  *  - parquet footers are cached executor-side across queries — the
+  *    stock reader re-reads every file's footer on every query;
+  *  - the injected probe predicate (same or-of-eq mechanism as
+  *    [[Engine.injectedIntInOptions]]) is built per TASK from only the
+  *    task's own buckets' probes — shorter chains than the 500-probe
+  *    chunk predicate every file of a chunk used to evaluate, and the
+  *    per-task conf writes drop from two clones per FILE (Spark's
+  *    reader-factory lambda) to two per TASK.
+  *
+  * Exactness story: row-group/page/dictionary pruning off the injected
+  * predicate passes a SUPERSET of the probed rows per file (page
+  * granularity), and the coarse kernel ([[graft.operators.BatchANN
+  * .coarsePartition]]) scores ONLY clusters in the query's probe set —
+  * the same superset-then-exact-gate contract the Catalyst serving path
+  * has carried since r15. The kernel and the driver merge are the very
+  * functions the Catalyst path runs, so the candidate array is
+  * bit-identical by construction (gated by ServingScanCustomSpec).
+  *
+  * Scale shape: one task per ~[[maxTaskBytes]] of bucket-sorted files,
+  * probes grouped per task — tasks/query stays proportional to probed
+  * bytes exactly like the chunked scans; at 1000-executor geometry the
+  * epoch conf broadcast and footer caches amortize across queries the
+  * same way (both are executor-resident).
+  */
+object ServingScan {
+
+  /** Conf keys the stock reader reads at init (literal because the Spark
+    * classes carrying them are package-private; values verified against
+    * the Spark 4.1 jars).
+    */
+  private val ReadSupportClassKey = "parquet.read.support.class"
+  private val ReadSupportClassName =
+    "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport"
+  private val SparkRequestedSchemaKey =
+    "org.apache.spark.sql.parquet.row.requested_schema"
+
+  /** Per-epoch driver state. `bucketFiles` holds (path, length) per
+    * cluster_bucket, listed under the owner-version dirs exactly as the
+    * engine's coded read does; `bcConf` is the one Hadoop-conf broadcast
+    * every query of this epoch reuses.
+    */
+  final class Epoch(
+      val packed: Boolean,
+      val shift: Int,
+      val bucketFiles: Map[Int, Array[(String, Long)]],
+      val bcConf: Broadcast[SerializableConfiguration],
+      val maxTaskBytes: Long) extends Serializable {
+    def close(): Unit = bcConf.unpersist(false)
+  }
+
+  /** One scan task: a run of bucket-sorted files plus the union of their
+    * buckets' probed cluster ids (the task's injected predicate).
+    */
+  final case class ScanTask(files: Array[(String, Long)], probes: Array[Int])
+
+  /** Executor-resident footer cache, keyed by (path, length) — coded
+    * files are immutable (new data lands in new files; compaction writes
+    * new version dirs), so length disambiguates the rare same-path
+    * rewrite. Bounded LRU: footers are small (~10-100 KB) but epochs
+    * churn in long-lived executors.
+    */
+  private val footerCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long), ParquetMetadata](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), ParquetMetadata]): Boolean =
+        size() > 4096
+    })
+
+  /** Build the per-epoch state: one conf clone + one broadcast + one
+    * listing pass. `listBucketDirs` supplies (bucket → dir) pairs — the
+    * engine owns the owner-version layout rules, so the listing rule
+    * stays in ONE place (Engine.servingScanEpoch).
+    */
+  def buildEpoch(spark: SparkSession, packed: Boolean, shift: Int,
+                 requestedSchema: StructType,
+                 bucketDirs: Seq[(Int, Path)],
+                 maxTaskBytes: Long): Epoch = {
+    val conf = spark.sessionState.newHadoopConf()
+    conf.set(ReadSupportClassKey, ReadSupportClassName)
+    conf.set(SparkRequestedSchemaKey, requestedSchema.json)
+    // keys the stock reader init reads WITHOUT defaults (normally set by
+    // ParquetFileFormat's reader factory) — pin them to the session's
+    // runtime values once per epoch
+    locally {
+      import org.apache.spark.sql.internal.SQLConf._
+      Seq(CASE_SENSITIVE, PARQUET_BINARY_AS_STRING, PARQUET_INT96_AS_TIMESTAMP,
+        PARQUET_FIELD_ID_READ_ENABLED, PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
+        LEGACY_PARQUET_NANOS_AS_LONG, PARQUET_IGNORE_VARIANT_ANNOTATION,
+        PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION,
+        VARIANT_ALLOW_READING_SHREDDED)
+        .foreach(e =>
+          conf.set(e.key, spark.conf.get(e.key, e.defaultValueString)))
+    }
+    val files: Map[Int, Array[(String, Long)]] = bucketDirs.iterator.map {
+      case (b, dir) =>
+        val fs = dir.getFileSystem(conf)
+        val listed: Array[(String, Long)] =
+          if (!fs.exists(dir)) Array.empty
+          else fs.listStatus(dir).iterator
+            .filter { st =>
+              val n = st.getPath.getName
+              st.isFile && st.getLen > 0 &&
+                !n.startsWith("_") && !n.startsWith(".")
+            }
+            .map(st => (st.getPath.toString, st.getLen))
+            .toArray.sortBy(_._1)
+        b -> listed
+    }.toMap
+    val bc = spark.sparkContext.broadcast(new SerializableConfiguration(conf))
+    new Epoch(packed, shift, files, bc, maxTaskBytes)
+  }
+
+  /** Group the query's probes by bucket and pack bucket-sorted files
+    * into ~maxTaskBytes tasks. A task spanning several buckets carries
+    * the union of their probes; a bucket spanning several tasks repeats
+    * its probes in each — both are supersets page-pruned per file and
+    * exact-gated by the kernel.
+    */
+  private[core] def planTasks(epoch: Epoch, probes: Array[Int]): Array[ScanTask] = {
+    val byBucket = probes.groupBy(_ >>> epoch.shift).toArray.sortBy(_._1)
+    val tasks = Array.newBuilder[ScanTask]
+    val curFiles = Array.newBuilder[(String, Long)]
+    val curProbes = scala.collection.mutable.LinkedHashSet.empty[Int]
+    var curBytes = 0L
+    var curN = 0
+    def flush(): Unit = if (curN > 0) {
+      tasks += ScanTask(curFiles.result(), curProbes.toArray.sorted)
+      curFiles.clear(); curProbes.clear(); curBytes = 0L; curN = 0
+    }
+    byBucket.foreach { case (b, bProbes) =>
+      epoch.bucketFiles.getOrElse(b, Array.empty).foreach { case (p, len) =>
+        if (curBytes + len > epoch.maxTaskBytes) flush()
+        curFiles += ((p, len)); curProbes ++= bProbes
+        curBytes += len; curN += 1
+      }
+    }
+    flush()
+    tasks.result()
+  }
+
+  /** The coarse ADC stage over the probed buckets: plan-free scan tasks,
+    * the shared per-partition kernel, the shared driver merge. Returns
+    * the ≤ prelimK (id, adc_dist, cluster_id) candidate rows, smallest
+    * (adc_dist, id) first — bit-identical to
+    * [[graft.operators.BatchANN.coarseSingleChunked]] over the same
+    * probed row set.
+    */
+  def coarse(spark: SparkSession, epoch: Epoch,
+             bcModel: Broadcast[IndexModel],
+             qp: Array[Float], probes: Array[Int],
+             prelimK: Int): Array[(Long, Double, Int)] = {
+    val tasks = planTasks(epoch, probes)
+    if (tasks.isEmpty) return Array.empty
+    val sc = spark.sparkContext
+    val bcQ = sc.broadcast((qp, probes.toSet))
+    val bcConf = epoch.bcConf
+    val packed = epoch.packed
+    val rdd = sc.parallelize(tasks.toIndexedSeq, tasks.length)
+    val parts = sc.runJob(rdd, (it: Iterator[ScanTask]) => {
+      val model = bcModel.value
+      val (q, ps) = bcQ.value
+      val rows = it.flatMap(taskRows(_, bcConf.value.value))
+      graft.operators.BatchANN.coarsePartition(rows, model, q, ps, prelimK, packed)
+    })
+    bcQ.unpersist(blocking = false)
+    graft.operators.BatchANN.mergeCoarseParts(parts, prelimK)
+  }
+
+  /** All rows of one task's files: one conf clone + one attempt context
+    * for the whole task (vs two clones per FILE in the stock reader
+    * factory), footers from the executor cache, vectorized batches
+    * surfaced as InternalRows for the kernel.
+    */
+  private def taskRows(task: ScanTask, baseConf: Configuration): Iterator[InternalRow] = {
+    val conf = new Configuration(baseConf)
+    Engine.injectedIntInOptions("cluster_id", task.probes)
+      .foreach { case (k, v) => conf.set(k, v) }
+    val ctx = new TaskAttemptContextImpl(conf, new TaskAttemptID())
+    task.files.iterator.flatMap { case (pathStr, len) => fileRows(pathStr, len, ctx) }
+  }
+
+  private def fileRows(pathStr: String, len: Long,
+                       ctx: TaskAttemptContextImpl): Iterator[InternalRow] = {
+    val conf = ctx.getConfiguration
+    val path = new Path(pathStr)
+    val footer = {
+      val k = (pathStr, len)
+      var f = footerCache.get(k)
+      if (f == null) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          HadoopInputFile.fromPath(path, conf))
+        try f = r.getFooter finally r.close()
+        footerCache.put(k, f)
+      }
+      f
+    }
+    val split = new org.apache.hadoop.mapred.FileSplit(path, 0, len, Array.empty[String])
+    val inputFile = HadoopInputFile.fromPath(path, conf)
+    val stream = inputFile.newStream()
+    val reader = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+    var init = false
+    try {
+      reader.initialize(split, ctx, Some(inputFile), Some(stream), Some(footer))
+      reader.initBatch(new StructType(), InternalRow.empty)
+      reader.enableReturningBatches()
+      init = true
+    } finally if (!init) { try reader.close() catch { case _: Throwable => () }
+      try stream.close() catch { case _: Throwable => () } }
+    var closed = false
+    def closeOnce(): Unit = if (!closed) { closed = true; reader.close() }
+    Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+    new Iterator[InternalRow] {
+      private var batchIt: java.util.Iterator[InternalRow] = _
+      private def advance(): Boolean = {
+        while (batchIt == null || !batchIt.hasNext) {
+          if (closed || !reader.nextKeyValue()) { closeOnce(); return false }
+          batchIt = reader.getCurrentValue.asInstanceOf[ColumnarBatch].rowIterator()
+        }
+        true
+      }
+      def hasNext: Boolean = advance()
+      def next(): InternalRow = { if (!advance()) throw new NoSuchElementException; batchIt.next() }
+    }
+  }
+}

@@ -195,30 +195,56 @@ object BatchANN {
     * @return ≤ prelimK (id, adc_dist, cluster_id) rows, smallest
     *         (adc_dist, id) first
     */
+  /** The q=1 per-partition coarse stage as a plain function: the shared
+    * kernel over an InternalRow iterator, drained to three flat
+    * primitive arrays (the task wire format — ship arrays, not ~500
+    * boxed tuples). BOTH serving scan paths (the Catalyst chunk scans
+    * below and [[graft.core.ServingScan]]'s plan-free tasks) run exactly
+    * this function, so their per-partition results are identical by
+    * construction.
+    */
+  def coarsePartition(it: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+                      model: IndexModel, qp: Array[Float], probeSet: Set[Int],
+                      prelimK: Int, packed: Boolean)
+      : (Array[Double], Array[Long], Array[Int]) = {
+    val c2q = probeSet.iterator.map(c => c -> Array(0)).toMap
+    val heap = scanPartitionHeaps(it, model, Array(qp), c2q, prelimK, packed)(0)
+    val n = heap.size
+    val ds = new Array[Double](n); val ids = new Array[Long](n)
+    val cs = new Array[Int](n)
+    var i = 0
+    while (heap.nonEmpty) {
+      val (dd, id, cid) = heap.dequeue()
+      ds(i) = dd; ids(i) = id; cs(i) = cid; i += 1
+    }
+    (ds, ids, cs)
+  }
+
+  /** Exact driver-side merge of per-partition coarse results: global
+    * (adc_dist, id) order, ≤ prelimK rows — shared by both serving scan
+    * paths (see [[coarsePartition]]).
+    */
+  def mergeCoarseParts(parts: Seq[(Array[Double], Array[Long], Array[Int])],
+                       prelimK: Int): Array[(Long, Double, Int)] = {
+    val merged = parts.iterator.flatMap { case (ds, ids, cs) =>
+      Iterator.tabulate(ds.length)(i => (ds(i), ids(i), cs(i)))
+    }.toArray
+    java.util.Arrays.sort(merged,
+      Ordering.by[(Double, Long, Int), (Double, Long)](e => (e._1, e._2)))
+    merged.take(prelimK).map { case (d, id, cid) => (id, d, cid) }
+  }
+
   def coarseSingleChunked(spark: SparkSession, chunks: Seq[DataFrame],
                           bcModel: Broadcast[IndexModel],
                           qp: Array[Float], probes: Array[Int],
                           prelimK: Int): Array[(Long, Double, Int)] = {
     val probeSet = probes.toSet
     val bcQ = spark.sparkContext.broadcast((qp, probeSet))
-    // task results ride the Java closure serializer: ship three flat
-    // primitive arrays per task, not ~500 boxed tuples (the same wire
-    // trim as PreparedANN.CandBatch — r15 driver-merge work reduction)
     def partFn(packed: Boolean) =
       (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
         val model = bcModel.value
         val (q, ps) = bcQ.value
-        val c2q = ps.iterator.map(c => c -> Array(0)).toMap
-        val heap = scanPartitionHeaps(it, model, Array(q), c2q, prelimK, packed)(0)
-        val n = heap.size
-        val ds = new Array[Double](n); val ids = new Array[Long](n)
-        val cs = new Array[Int](n)
-        var i = 0
-        while (heap.nonEmpty) {
-          val (dd, id, cid) = heap.dequeue()
-          ds(i) = dd; ids(i) = id; cs(i) = cid; i += 1
-        }
-        (ds, ids, cs)
+        coarsePartition(it, model, q, ps, prelimK, packed)
       }
     def runChunk(df: DataFrame): Array[(Array[Double], Array[Long], Array[Int])] = {
       val src = df.select(col("id").cast("long"), col("cluster_id").cast("int"),
@@ -288,12 +314,7 @@ object BatchANN {
         results.flatten
       }
     bcQ.unpersist(blocking = false)
-    val merged = parts.iterator.flatMap { case (ds, ids, cs) =>
-      Iterator.tabulate(ds.length)(i => (ds(i), ids(i), cs(i)))
-    }.toArray
-    java.util.Arrays.sort(merged,
-      Ordering.by[(Double, Long, Int), (Double, Long)](e => (e._1, e._2)))
-    merged.take(prelimK).map { case (d, id, cid) => (id, d, cid) }
+    mergeCoarseParts(parts, prelimK)
   }
 
   /** Exact rerank of per-query candidate id sets against the full-precision

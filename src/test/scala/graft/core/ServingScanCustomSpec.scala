@@ -1,0 +1,141 @@
+package graft.core
+
+import scala.util.Random
+
+import graft.SparkSpec
+import graft.index.IndexParams
+
+/** Bit-identity and staleness gates for the plan-free serving scan
+  * ([[ServingScan]]): its coarse candidate array must equal the Catalyst
+  * chunk-scan path's EXACTLY (same kernel, same merge — any drift means
+  * the reader surfaced different rows), across array and packed code
+  * layouts, and the per-epoch listing must be invalidated by the
+  * same-version post-train append exactly like the cached serving
+  * DataFrames are.
+  */
+class ServingScanCustomSpec extends SparkSpec {
+
+  private val D = 16
+  private val Seed = 11L
+
+  private def buildEngine(dir: String, packed: Boolean, n: Int = 2400): Engine = {
+    val e = new Engine(spark, tmpDir(dir)) {
+      override protected def chooseCodedBucketShift(nn: Long, nlist: Int,
+                                                    d: Int, m: Int): Int = 2
+      override protected def probePushChunk: Int = 4 // force multi-chunk Catalyst shape
+    }
+    e.packedCodesOnTrain = packed
+    val rnd = new Random(Seed)
+    val centers = Array.fill(12, D)(rnd.nextGaussian().toFloat)
+    val vecs = Seq.tabulate(n) { i =>
+      val c = centers(i % 12)
+      Array.tabulate(D)(j => c(j) + 0.3f * rnd.nextGaussian().toFloat)
+    }
+    e.create("db", vectorDimension = D)
+    e.addLocal("db", vecs, Seq.tabulate(n)(i => s"""{"i":$i}"""))
+    e.train("db", params = Some(IndexParams(D, D, 4, omitOpq = true)),
+      kmeansIters = 4, seed = Seed, minTrainRows = 1)
+    e
+  }
+
+  private def catalystCoarse(e: Engine, doc: graft.catalog.CatalogDoc,
+                             qp: Array[Float], probes: Array[Int],
+                             prelimK: Int): Array[(Long, Double, Int)] = {
+    val chunks = e.prunedLiveCodedChunks(doc, probes)
+    graft.operators.BatchANN.coarseSingleChunked(
+      spark, chunks, e.modelBroadcast(doc), qp, probes, prelimK)
+  }
+
+  private def compareAllShapes(e: Engine): Unit = {
+    val doc = e.load("db")
+    assert(doc.codedBucketShift >= 0 && doc.isTrained)
+    val model = e.indexModel(doc)
+    val rnd = new Random(Seed + 1)
+    val probeShapes = Seq(
+      Array.range(0, doc.numClusters),              // every cluster
+      Array.range(0, math.min(5, doc.numClusters)), // one bucket-ish run
+      Array(doc.numClusters - 1),                   // single trailing cluster
+      Array.range(0, doc.numClusters, 3))           // strided across buckets
+    probeShapes.zipWithIndex.foreach { case (probes, pi) =>
+      val q = Array.fill(D)(rnd.nextGaussian().toFloat)
+      val qp = model.pca.applyLocal(q)
+      val custom = e.servingScanCoarse(doc, qp, probes, 50)
+      assert(custom.isDefined, s"shape $pi: custom scan declined a clean layout")
+      val cat = catalystCoarse(e, doc, qp, probes, 50)
+      assert(custom.get.toSeq == cat.toSeq,
+        s"shape $pi: custom scan coarse diverged from the Catalyst path")
+      assert(cat.nonEmpty, s"shape $pi: empty coarse result undermines the gate")
+    }
+  }
+
+  test("array layout: custom coarse bit-equal to Catalyst chunks, all probe shapes") {
+    compareAllShapes(buildEngine("graft-sscan-arr", packed = false))
+  }
+
+  test("packed layout: custom coarse bit-equal to Catalyst chunks, all probe shapes") {
+    compareAllShapes(buildEngine("graft-sscan-pack", packed = true))
+  }
+
+  test("same-version post-train append invalidates the epoch listing") {
+    val e = buildEngine("graft-sscan-stale", packed = false, n = 2000)
+    val doc0 = e.load("db")
+    val model = e.indexModel(doc0)
+    val rnd = new Random(Seed + 2)
+    val q = Array.fill(D)(rnd.nextGaussian().toFloat)
+    val qp = model.pca.applyLocal(q)
+    val probes = Array.range(0, doc0.numClusters)
+    // prime the epoch cache
+    assert(e.servingScanCoarse(doc0, qp, probes, 2000).isDefined)
+    // post-train add: fused assign+encode appends coded rows under the
+    // SAME index version — the listing must pick them up
+    e.addLocal("db", Seq.tabulate(50)(i =>
+      Array.fill(D)(rnd.nextGaussian().toFloat)),
+      Seq.tabulate(50)(i => s"""{"new":$i}"""))
+    val doc1 = e.load("db")
+    val custom = e.servingScanCoarse(doc1, qp, probes, 5000).get
+    val cat = catalystCoarse(e, doc1, qp, probes, 5000)
+    assert(custom.toSeq == cat.toSeq)
+    assert(custom.exists(_._1 > doc0.maxId),
+      "appended rows never surfaced through the custom scan - stale epoch listing")
+  }
+
+  test("full query path equality: knob on vs knob off") {
+    val e = buildEngine("graft-sscan-e2e", packed = false)
+    val rnd = new Random(Seed + 3)
+    val qs = Array.fill(4)(Array.fill(D)(rnd.nextGaussian().toFloat))
+    def run(): Seq[Seq[Any]] = qs.toSeq.flatMap { q =>
+      e.queryCatalyst("db", q, 200, 20).collect().toSeq.map(_.toSeq)
+    }
+    val on = run()
+    System.setProperty("graft.serving.custom.scan", "false")
+    try {
+      val off = run()
+      assert(on == off, "queryCatalyst rows differ between custom scan and Catalyst path")
+    } finally System.clearProperty("graft.serving.custom.scan")
+  }
+
+  test("planTasks covers every probed bucket's file exactly once, probes sorted") {
+    val files = Map(
+      0 -> Array(("f0a", 10L), ("f0b", 10L)),
+      1 -> Array(("f1a", 25L)),
+      3 -> Array(("f3a", 5L), ("f3b", 5L), ("f3c", 5L)))
+    val bc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        new org.apache.hadoop.conf.Configuration(false)))
+    val epoch = new ServingScan.Epoch(false, 1, files, bc, maxTaskBytes = 20L)
+    // shift=1: probes 0,1 -> bucket 0; 2,3 -> bucket 1; 6 -> bucket 3
+    val tasks = ServingScan.planTasks(epoch, Array(6, 2, 0, 1, 3))
+    val seen = tasks.flatMap(_.files.map(_._1))
+    assert(seen.sorted.toSeq == Seq("f0a", "f0b", "f1a", "f3a", "f3b", "f3c"))
+    assert(seen.distinct.length == seen.length, "a file landed in two tasks")
+    tasks.foreach { t =>
+      assert(t.probes.toSeq == t.probes.toSeq.sorted)
+      assert(t.probes.nonEmpty)
+    }
+    // bucket 2 has no files and bucket 0's probes never leak into bucket 3's task
+    val f3task = tasks.find(_.files.exists(_._1 == "f3c")).get
+    assert(f3task.probes.contains(6))
+    // no task exceeds the byte target unless a single file does
+    tasks.foreach(t => assert(t.files.map(_._2).sum <= 25L))
+  }
+}
