@@ -79,23 +79,40 @@ object ScaleEval {
     val centers = Array.fill(numCenters, d)(rnd.nextGaussian().toFloat)
     val bcCenters = spark.sparkContext.broadcast(centers)
 
-    val root = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    // GRAFT_SCALE_ROOT: evaluate against a KEPT trained root (RootBuild
+    // writes the identical corpus/params/train chain) instead of
+    // rebuilding — the corpus generator is deterministic in (n, d, seed),
+    // so queries and ground truth derive identically; guarded below by
+    // dim/maxId asserts so a mismatched root fails loudly, not quietly.
+    val reuseRoot = sys.env.get("GRAFT_SCALE_ROOT")
+    val root = reuseRoot.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-scale").toString)
     val engine = new Engine(spark, root)
+    val reusing = reuseRoot.nonEmpty && engine.exists("scale") &&
+      engine.load("scale").isTrained
+    if (reusing) {
+      val d0 = engine.load("scale")
+      require(d0.vectorDimension == d && d0.maxId == n - 1,
+        s"kept root (d=${d0.vectorDimension}, maxId=${d0.maxId}) does not " +
+          s"match GRAFT_SCALE_N=$n / GRAFT_SCALE_D=$d")
+    }
     // GRAFT_SCALE_PACKED=true → train writes the r15 packed code column
     // (requires m ≤ 8); readers are dual-mode so the rest of the harness
     // is unchanged
     engine.packedCodesOnTrain =
       sys.env.getOrElse("GRAFT_SCALE_PACKED", "false").toBoolean
-    engine.create("scale", vectorDimension = d)
+    if (!reusing) engine.create("scale", vectorDimension = d)
 
     // distributed generation: 64 gen partitions so the per-partition working
     // set stays ~50 MB regardless of n
     val g0 = System.nanoTime()
-    val corpus = spark.range(0L, n, 1L, 64)
-      .map(i => (rowVector(i, bcCenters.value, d, seed).toSeq, s"""{"i":$i}"""))
-      .toDF("vector", "metadata")
-      .select(col("vector").cast("array<float>").as("vector"), col("metadata"))
-    engine.add("scale", corpus)
+    if (!reusing) {
+      val corpus = spark.range(0L, n, 1L, 64)
+        .map(i => (rowVector(i, bcCenters.value, d, seed).toSeq, s"""{"i":$i}"""))
+        .toDF("vector", "metadata")
+        .select(col("vector").cast("array<float>").as("vector"), col("metadata"))
+      engine.add("scale", corpus)
+    }
     val addSec = (System.nanoTime() - g0) / 1e9
 
     val params =
@@ -115,8 +132,9 @@ object ScaleEval {
         IndexParams(pca, pca, m.toInt, omitOpq = true)
       } // unset → heuristic default for d
     val t0 = System.nanoTime()
-    engine.train("scale", params = params, useTwoLevelClustering = Some(true),
-      seed = seed)
+    if (!reusing)
+      engine.train("scale", params = params, useTwoLevelClustering = Some(true),
+        seed = seed)
     val trainSec = (System.nanoTime() - t0) / 1e9
     val doc = engine.load("scale")
 
@@ -402,6 +420,7 @@ object ScaleEval {
         s""""nlist":${doc.numClusters},"nprobe":${doc.nProbe},""" +
         s""""add_sec":${"%.1f".format(addSec)},""" +
         s""""train_sec":${"%.1f".format(trainSec)},""" +
+        s""""root_reused":$reusing,""" +
         s""""coded_files":$codedFiles,"coded_mb":${codedBytes / 1024 / 1024},""" +
         s""""gt_flat_batch_sec":${"%.1f".format(gtSec)},""" +
         s""""recall_${finalK}_at_$prelimK":${"%.4f".format(recall)},""" +

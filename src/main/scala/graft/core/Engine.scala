@@ -1021,10 +1021,16 @@ class Engine(val spark: SparkSession, val root: String) {
             if (candRows.isEmpty)
               live.select("id", "vector", "metadata").filter(lit(false))
             else
-              prunedLiveCoded(doc, candRows.map(_._3).distinct)
-                .select("id", "vector", "metadata")
-                .filter(col("id").isInCollection(
-                  candRows.map(r => java.lang.Long.valueOf(r._1)).toIndexedSeq))
+              // plan-free fetch when the custom scan is eligible: same
+              // two pushed chains (cluster + id), zero per-query Catalyst
+              // pass, no per-file predicate rebuild; ≤ prelim rows come
+              // back as a local relation the rerank composes over
+              servingScanFetch(doc, candRows).getOrElse {
+                prunedLiveCoded(doc, candRows.map(_._3).distinct)
+                  .select("id", "vector", "metadata")
+                  .filter(col("id").isInCollection(
+                    candRows.map(r => java.lang.Long.valueOf(r._1)).toIndexedSeq))
+              }
           predicate.fold(fetched)(fetched.filter)
         }
         predicate match {
@@ -1604,6 +1610,17 @@ class Engine(val spark: SparkSession, val root: String) {
       if (packed) StructField("code", LongType, nullable = false)
       else StructField("code", ArrayType(IntegerType, containsNull = false),
         nullable = false)))
+    // cluster_id rides in the FETCH projection even though the caller
+    // only needs (id, vector, metadata): parquet's column-index filter
+    // treats a predicate column missing from the projection as "not in
+    // file" and returns EMPTY row ranges — the same reason Spark's scans
+    // always read their filter columns
+    val fetchSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("vector", ArrayType(FloatType, containsNull = false),
+        nullable = false),
+      StructField("metadata", StringType, nullable = true),
+      StructField("cluster_id", IntegerType, nullable = false)))
     def bucketsIn(base: Path): Seq[(Int, Path)] = {
       val f = fsFor(base)
       if (!f.exists(base)) Seq.empty
@@ -1627,9 +1644,40 @@ class Engine(val spark: SparkSession, val root: String) {
               .filter { case (b, _) => owned(b) }
         }
       }
-    ServingScan.buildEpoch(spark, packed, doc.codedBucketShift, schema, dirs,
-      Engine.ServingScanTaskBytes)
+    ServingScan.buildEpoch(spark, packed, doc.codedBucketShift, schema,
+      fetchSchema, dirs, Engine.ServingScanTaskBytes)
   }
+
+  /** Plan-free candidate fetch (Q4) through the same epoch state as
+    * [[servingScanCoarse]] — only taken when that path is eligible, so
+    * both stages of a query ride the same snapshot rules. Returns the
+    * fetched (id, vector, metadata) frame as a LOCAL relation (≤ prelimK
+    * rows by the coarse contract): downstream rerank expressions and
+    * caller predicates compose over it exactly as over the scan frame.
+    */
+  private[core] def servingScanFetch(doc: CatalogDoc,
+                                     candRows: Array[(Long, Double, Int)])
+      : Option[DataFrame] =
+    if (doc.codedBucketShift < 0 || doc.numPendingDeletes > 0 ||
+        !sys.props.get("graft.serving.custom.scan")
+          .orElse(sys.env.get("GRAFT_SERVING_CUSTOM_SCAN"))
+          .forall(v => !v.trim.equalsIgnoreCase("false"))) None
+    else {
+      val epoch = servingScanCache.getOrElseUpdate(
+        (doc.name, doc.indexVersion), buildServingScanEpoch(doc))
+      val idsByCluster = candRows.groupBy(_._3)
+        .map { case (c, rs) => c -> rs.map(_._1) }
+      val rows = ServingScan.fetch(spark, epoch, idsByCluster)
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("vector", ArrayType(FloatType, containsNull = false),
+          nullable = false),
+        StructField("metadata", StringType, nullable = true)))
+      Some(spark.createDataFrame(
+        java.util.Arrays.asList(rows.map { case (id, v, m) =>
+          org.apache.spark.sql.Row(id, v.toSeq, m)
+        }: _*), schema))
+    }
 
   private[core] def prunedLiveCodedChunks(doc: CatalogDoc,
                                           probes: Array[Int]): IndexedSeq[DataFrame] =

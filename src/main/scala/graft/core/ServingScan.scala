@@ -81,14 +81,20 @@ object ServingScan {
       val shift: Int,
       val bucketFiles: Map[Int, Array[(String, Long)]],
       val bcConf: Broadcast[SerializableConfiguration],
+      val coarseSchemaJson: String,
+      val fetchSchemaJson: String,
       val maxTaskBytes: Long) extends Serializable {
     def close(): Unit = bcConf.unpersist(false)
   }
 
   /** One scan task: a run of bucket-sorted files plus the union of their
-    * buckets' probed cluster ids (the task's injected predicate).
+    * buckets' probed cluster ids (the task's injected predicate). For
+    * FETCH tasks, `ids` additionally carries the candidate row ids of
+    * those clusters (ANDed into the injected predicate and applied
+    * exactly in the task); empty for coarse tasks.
     */
-  final case class ScanTask(files: Array[(String, Long)], probes: Array[Int])
+  final case class ScanTask(files: Array[(String, Long)], probes: Array[Int],
+                            ids: Array[Long] = Array.empty)
 
   /** Executor-resident footer cache, keyed by (path, length) — coded
     * files are immutable (new data lands in new files; compaction writes
@@ -109,12 +115,11 @@ object ServingScan {
     * stays in ONE place (Engine.servingScanEpoch).
     */
   def buildEpoch(spark: SparkSession, packed: Boolean, shift: Int,
-                 requestedSchema: StructType,
+                 coarseSchema: StructType, fetchSchema: StructType,
                  bucketDirs: Seq[(Int, Path)],
                  maxTaskBytes: Long): Epoch = {
     val conf = spark.sessionState.newHadoopConf()
     conf.set(ReadSupportClassKey, ReadSupportClassName)
-    conf.set(SparkRequestedSchemaKey, requestedSchema.json)
     // keys the stock reader init reads WITHOUT defaults (normally set by
     // ParquetFileFormat's reader factory) — pin them to the session's
     // runtime values once per epoch
@@ -144,7 +149,8 @@ object ServingScan {
         b -> listed
     }.toMap
     val bc = spark.sparkContext.broadcast(new SerializableConfiguration(conf))
-    new Epoch(packed, shift, files, bc, maxTaskBytes)
+    new Epoch(packed, shift, files, bc, coarseSchema.json, fetchSchema.json,
+      maxTaskBytes)
   }
 
   /** Group the query's probes by bucket and pack bucket-sorted files
@@ -153,7 +159,9 @@ object ServingScan {
     * its probes in each — both are supersets page-pruned per file and
     * exact-gated by the kernel.
     */
-  private[core] def planTasks(epoch: Epoch, probes: Array[Int]): Array[ScanTask] = {
+  private[core] def planTasks(epoch: Epoch, probes: Array[Int],
+                              idsByCluster: Map[Int, Array[Long]] = Map.empty)
+      : Array[ScanTask] = {
     val byBucket = probes.groupBy(_ >>> epoch.shift).toArray.sortBy(_._1)
     val tasks = Array.newBuilder[ScanTask]
     val curFiles = Array.newBuilder[(String, Long)]
@@ -161,7 +169,12 @@ object ServingScan {
     var curBytes = 0L
     var curN = 0
     def flush(): Unit = if (curN > 0) {
-      tasks += ScanTask(curFiles.result(), curProbes.toArray.sorted)
+      val ps = curProbes.toArray.sorted
+      val ids =
+        if (idsByCluster.isEmpty) Array.empty[Long]
+        else ps.iterator.flatMap(idsByCluster.getOrElse(_, Array.empty[Long]))
+          .toArray.sorted
+      tasks += ScanTask(curFiles.result(), ps, ids)
       curFiles.clear(); curProbes.clear(); curBytes = 0L; curN = 0
     }
     byBucket.foreach { case (b, bProbes) =>
@@ -192,15 +205,77 @@ object ServingScan {
     val bcQ = sc.broadcast((qp, probes.toSet))
     val bcConf = epoch.bcConf
     val packed = epoch.packed
+    val schemaJson = epoch.coarseSchemaJson
     val rdd = sc.parallelize(tasks.toIndexedSeq, tasks.length)
     val parts = sc.runJob(rdd, (it: Iterator[ScanTask]) => {
       val model = bcModel.value
       val (q, ps) = bcQ.value
-      val rows = it.flatMap(taskRows(_, bcConf.value.value))
+      val rows = it.flatMap(taskRows(_, bcConf.value.value, schemaJson))
       graft.operators.BatchANN.coarsePartition(rows, model, q, ps, prelimK, packed)
     })
     bcQ.unpersist(blocking = false)
     graft.operators.BatchANN.mergeCoarseParts(parts, prelimK)
+  }
+
+  /** Candidate fetch by exact row id over the probed-candidate clusters:
+    * the Q4 stage as a plan-free scan. Pages are pruned by the injected
+    * (cluster or-of-eq AND id or-of-eq) predicate — the same two chains
+    * the Catalyst fetch pushes — and rows are gated EXACTLY by the id
+    * set in the task. Returns (id, vector, metadata) driver-side: ≤
+    * prelimK rows by construction (the ids are the coarse survivors), so
+    * the collect is bounded by the same contract that already bounds the
+    * coarse merge.
+    */
+  def fetch(spark: SparkSession, epoch: Epoch,
+            idsByCluster: Map[Int, Array[Long]])
+      : Array[(Long, Array[Float], String)] = {
+    val clusters = idsByCluster.keysIterator.toArray.sorted
+    val tasks = planTasks(epoch, clusters, idsByCluster)
+    if (tasks.isEmpty) return Array.empty
+    val sc = spark.sparkContext
+    val bcConf = epoch.bcConf
+    val schemaJson = epoch.fetchSchemaJson
+    val rdd = sc.parallelize(tasks.toIndexedSeq, tasks.length)
+    val parts = sc.runJob(rdd, (it: Iterator[ScanTask]) => {
+      val out = Array.newBuilder[(Long, Array[Float], String)]
+      it.foreach { task =>
+        val idSet = task.ids.toSet
+        taskRows(task, bcConf.value.value, schemaJson).foreach { r =>
+          val id = r.getLong(0)
+          if (idSet.contains(id)) {
+            val vec = r.getArray(1).toFloatArray()
+            val meta = if (r.isNullAt(2)) null else r.getUTF8String(2).toString
+            out += ((id, vec, meta))
+          }
+        }
+      }
+      out.result()
+    })
+    parts.iterator.flatten.toArray
+  }
+
+  /** The task's injected parquet predicate: a balanced or-of-eq over its
+    * buckets' probed clusters, ANDed (fetch tasks) with a balanced
+    * or-of-eq over its candidate ids — the same shape rationale as
+    * [[Engine.injectedIntInOptions]] (parquet 1.16's native In page
+    * pruning is broken-coarse; or-of-eq prunes exactly).
+    */
+  private def taskPredicate(task: ScanTask)
+      : org.apache.parquet.filter2.predicate.FilterPredicate = {
+    import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+    val cCol = FilterApi.intColumn("cluster_id")
+    def intTree(lo: Int, hi: Int): FilterPredicate =
+      if (hi - lo == 1) FilterApi.eq(cCol, Integer.valueOf(task.probes(lo)))
+      else { val mid = (lo + hi) >>> 1; FilterApi.or(intTree(lo, mid), intTree(mid, hi)) }
+    val clusterPred = intTree(0, task.probes.length)
+    if (task.ids.isEmpty) clusterPred
+    else {
+      val idCol = FilterApi.longColumn("id")
+      def longTree(lo: Int, hi: Int): FilterPredicate =
+        if (hi - lo == 1) FilterApi.eq(idCol, java.lang.Long.valueOf(task.ids(lo)))
+        else { val mid = (lo + hi) >>> 1; FilterApi.or(longTree(lo, mid), longTree(mid, hi)) }
+      FilterApi.and(clusterPred, longTree(0, task.ids.length))
+    }
   }
 
   /** All rows of one task's files: one conf clone + one attempt context
@@ -208,10 +283,16 @@ object ServingScan {
     * factory), footers from the executor cache, vectorized batches
     * surfaced as InternalRows for the kernel.
     */
-  private def taskRows(task: ScanTask, baseConf: Configuration): Iterator[InternalRow] = {
+  private def taskRows(task: ScanTask, baseConf: Configuration,
+                       schemaJson: String): Iterator[InternalRow] = {
     val conf = new Configuration(baseConf)
-    Engine.injectedIntInOptions("cluster_id", task.probes)
-      .foreach { case (k, v) => conf.set(k, v) }
+    conf.set(SparkRequestedSchemaKey, schemaJson)
+    val key = org.apache.parquet.hadoop.ParquetInputFormat.FILTER_PREDICATE
+    org.apache.parquet.hadoop.util.SerializationUtil.writeObjectToConfAsBase64(
+      key, taskPredicate(task), conf)
+    conf.set(key + ".human.readable",
+      s"or-of-eq(cluster_id, ${task.probes.length})" +
+        (if (task.ids.isEmpty) "" else s" and or-of-eq(id, ${task.ids.length})"))
     val ctx = new TaskAttemptContextImpl(conf, new TaskAttemptID())
     task.files.iterator.flatMap { case (pathStr, len) => fileRows(pathStr, len, ctx) }
   }

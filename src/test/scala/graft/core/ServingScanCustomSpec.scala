@@ -114,6 +114,47 @@ class ServingScanCustomSpec extends SparkSpec {
     } finally System.clearProperty("graft.serving.custom.scan")
   }
 
+  test("custom fetch returns exactly the rows the Catalyst fetch scan returns") {
+    val e = buildEngine("graft-sscan-fetch", packed = false)
+    val doc = e.load("db")
+    val model = e.indexModel(doc)
+    val rnd = new Random(Seed + 7)
+    val q = Array.fill(D)(rnd.nextGaussian().toFloat)
+    val qp = model.pca.applyLocal(q)
+    val probes = Array.range(0, doc.numClusters)
+    val candRows = e.servingScanCoarse(doc, qp, probes, 80).get
+    assert(candRows.nonEmpty)
+    val custom = e.servingScanFetch(doc, candRows).get
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    import org.apache.spark.sql.functions._
+    val old = e.prunedLiveCoded(doc, candRows.map(_._3).distinct)
+      .select("id", "vector", "metadata")
+      .filter(col("id").isInCollection(
+        candRows.map(r => java.lang.Long.valueOf(r._1)).toIndexedSeq))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(custom == old, "custom fetch rows diverged from the Catalyst fetch")
+    assert(custom.map(_._1).toSet == candRows.map(_._1).toSet,
+      "fetch did not return exactly the candidate ids")
+  }
+
+  test("filtered query path equality: knob on vs knob off") {
+    val e = buildEngine("graft-sscan-filt", packed = false)
+    import org.apache.spark.sql.functions._
+    val pred = get_json_object(col("metadata"), "$.i").cast("long") % 2 === 0
+    val rnd = new Random(Seed + 9)
+    val qs = Array.fill(3)(Array.fill(D)(rnd.nextGaussian().toFloat))
+    def run(): Seq[Seq[Any]] = qs.toSeq.flatMap { q =>
+      e.queryCatalyst("db", q, 200, 20, Some(pred)).collect().toSeq.map(_.toSeq)
+    }
+    val on = run()
+    System.setProperty("graft.serving.custom.scan", "false")
+    try assert(on == run(),
+      "filtered queryCatalyst rows differ between custom scan and Catalyst path")
+    finally System.clearProperty("graft.serving.custom.scan")
+  }
+
   test("planTasks covers every probed bucket's file exactly once, probes sorted") {
     val files = Map(
       0 -> Array(("f0a", 10L), ("f0b", 10L)),
@@ -122,7 +163,8 @@ class ServingScanCustomSpec extends SparkSpec {
     val bc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         new org.apache.hadoop.conf.Configuration(false)))
-    val epoch = new ServingScan.Epoch(false, 1, files, bc, maxTaskBytes = 20L)
+    val epoch = new ServingScan.Epoch(false, 1, files, bc, "", "",
+      maxTaskBytes = 20L)
     // shift=1: probes 0,1 -> bucket 0; 2,3 -> bucket 1; 6 -> bucket 3
     val tasks = ServingScan.planTasks(epoch, Array(6, 2, 0, 1, 3))
     val seen = tasks.flatMap(_.files.map(_._1))
