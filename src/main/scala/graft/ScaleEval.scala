@@ -256,7 +256,12 @@ object ScaleEval {
     // volume) — the r14 35M artifact needed exactly this split.
     // the catalyst p50 is a GATED number (<300 ms): start+END canary
     // bracket with retry, so a window breaking mid-loop re-measures
-    // instead of polluting the gate reading (VERDICT r16 next #1)
+    // instead of polluting the gate reading (VERDICT r16 next #1).
+    // One unrecorded warmup first — parity with the routed loop, whose
+    // first (block-building) call is likewise timed separately as
+    // route_build_sec: the catalyst loop otherwise counts footer-cache
+    // and codegen warmup inside a p50 of 8.
+    engine.queryCatalyst("scale", queries(0), prelimK, finalK).collect()
     val (((splits, catRunMs, catCpuMs, catTasks), catInMb),
          kernelCatStart, kernelCatEnd, _) = Canary.bracket("scale-eval-catalyst") {
       inputDelta {
