@@ -981,7 +981,9 @@ class Engine(val spark: SparkSession, val root: String) {
         val probes = model.nearestClusters(qp, doc.nProbe)
         lazy val live = prunedLiveCoded(doc, probes) // only the empty-candidate branch needs the union form
         def probedCandidates(prelim: Int,
-                             pushPred: Boolean = false): DataFrame = {
+                             pushPred: Boolean = false,
+                             preCoarse: Option[Array[(Long, Double, Int)]] = None)
+            : DataFrame = {
           // q=1 coarse: same kernel and (adc_dist, id) order as the batch
           // form, merged on the driver — one CONCURRENT job per probe
           // chunk, no window shuffle (BatchANN.coarseSingleChunked; the
@@ -997,7 +999,9 @@ class Engine(val spark: SparkSession, val root: String) {
           // predicate round and the fallback shapes keep the Catalyst
           // chunk scans (they need composable Column filters)
           val candRows =
-            (if (pushPred) None else servingScanCoarse(doc, qp, probes, prelim))
+            preCoarse
+              .orElse(if (pushPred) None
+                      else servingScanCoarse(doc, qp, probes, prelim))
               .getOrElse {
                 val chunks0 = prunedLiveCodedChunks(doc, probes)
                 val chunks =
@@ -1034,7 +1038,26 @@ class Engine(val spark: SparkSession, val root: String) {
           predicate.fold(fetched)(fetched.filter)
         }
         predicate match {
-          case None => probedCandidates(preliminaryTopK)
+          case None =>
+            // Fully-local serve when both stages rode the plan-free scan:
+            // the rerank over ≤ prelimK driver-resident rows needs no
+            // cluster job at all — rerankLocal runs the dot kernel's
+            // exact arithmetic (double accumulation over float products,
+            // VectorKernels.dotFF) and the same (cos desc, id) order, so
+            // the frame is row-identical to rerankFrame's (gated by
+            // ServingScanCustomSpec e2e equality + the DuckDB trained
+            // rows). The measured motive: the window+orderBy rerank of
+            // ~500 LOCAL rows still cost a ~70 ms two-stage job at 35M
+            // (scaleeval_35m_clean.log query_exec_ms_p50).
+            servingScanCoarse(doc, qp, probes, preliminaryTopK) match {
+              case Some(cand) =>
+                servingScanFetchRows(doc, cand) match {
+                  case Some(rows) => return rerankLocal(rows, qn, finalTopK)
+                  case None => probedCandidates(preliminaryTopK,
+                    preCoarse = Some(cand))
+                }
+              case None => probedCandidates(preliminaryTopK)
+            }
           case Some(_) =>
             // Under-fill guard (r15 semantics — one decisive pushed
             // round, see PreparedIndex.queryFilteredWith for the full
@@ -1655,9 +1678,9 @@ class Engine(val spark: SparkSession, val root: String) {
     * rows by the coarse contract): downstream rerank expressions and
     * caller predicates compose over it exactly as over the scan frame.
     */
-  private[core] def servingScanFetch(doc: CatalogDoc,
-                                     candRows: Array[(Long, Double, Int)])
-      : Option[DataFrame] =
+  private[core] def servingScanFetchRows(doc: CatalogDoc,
+                                          candRows: Array[(Long, Double, Int)])
+      : Option[Array[(Long, Array[Float], String)]] =
     if (doc.codedBucketShift < 0 || doc.numPendingDeletes > 0 ||
         !sys.props.get("graft.serving.custom.scan")
           .orElse(sys.env.get("GRAFT_SERVING_CUSTOM_SCAN"))
@@ -1667,17 +1690,58 @@ class Engine(val spark: SparkSession, val root: String) {
         (doc.name, doc.indexVersion), buildServingScanEpoch(doc))
       val idsByCluster = candRows.groupBy(_._3)
         .map { case (c, rs) => c -> rs.map(_._1) }
-      val rows = ServingScan.fetch(spark, epoch, idsByCluster)
+      Some(ServingScan.fetch(spark, epoch, idsByCluster))
+    }
+
+  private[core] def servingScanFetch(doc: CatalogDoc,
+                                     candRows: Array[(Long, Double, Int)])
+      : Option[DataFrame] =
+    servingScanFetchRows(doc, candRows).map { rows =>
       val schema = StructType(Seq(
         StructField("id", LongType, nullable = false),
         StructField("vector", ArrayType(FloatType, containsNull = false),
           nullable = false),
         StructField("metadata", StringType, nullable = true)))
-      Some(spark.createDataFrame(
+      spark.createDataFrame(
         java.util.Arrays.asList(rows.map { case (id, v, m) =>
           org.apache.spark.sql.Row(id, v.toSeq, m)
-        }: _*), schema))
+        }: _*), schema)
     }
+
+  /** Driver-side twin of [[rerankFrame]] for ≤ prelimK LOCAL candidate
+    * rows: same scoring arithmetic (the dot kernel's double accumulation
+    * over float products — [[graft.functions.VectorKernels.dotFF]]),
+    * same (cosine desc, id asc) total order (java.lang.Double.compare =
+    * Spark's DoubleType sort semantics), same limit-then-rank. Exists
+    * because a window+orderBy over a 500-row LOCAL relation still pays a
+    * two-stage cluster job (~70 ms at the 35M shape).
+    */
+  private def rerankLocal(rows: Array[(Long, Array[Float], String)],
+                          qn: Array[Float], finalTopK: Int): DataFrame = {
+    val scored = rows.map { case (id, v, m) =>
+      var s = 0.0
+      var i = 0
+      val n = v.length
+      while (i < n) { s += v(i).toDouble * qn(i).toDouble; i += 1 }
+      (id, m, s)
+    }
+    java.util.Arrays.sort(scored, new java.util.Comparator[(Long, String, Double)] {
+      def compare(a: (Long, String, Double), b: (Long, String, Double)): Int = {
+        val c = java.lang.Double.compare(b._3, a._3)
+        if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+      }
+    })
+    val top = scored.take(finalTopK)
+    val schema = StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("metadata", StringType, nullable = true),
+      StructField("cosine_similarity", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(top.zipWithIndex.map { case ((id, m, s), i) =>
+        org.apache.spark.sql.Row(i + 1, id, m, s)
+      }: _*), schema)
+  }
 
   private[core] def prunedLiveCodedChunks(doc: CatalogDoc,
                                           probes: Array[Int]): IndexedSeq[DataFrame] =
