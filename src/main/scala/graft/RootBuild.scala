@@ -44,12 +44,23 @@ object RootBuild {
     // geometries (VERDICT r16 next #5: the injected-predicate and
     // union-job rationales are files×terms scaling claims; this knob
     // makes them measurable instead of argued).
-    val engine = sys.env.get("GRAFT_SCALE_GROUP_BYTES").map(_.toLong) match {
-      case Some(gb) => new Engine(spark, root) {
-        override protected def codedShuffleGroupBytes: Long = gb
+    // GRAFT_SCALE_SHIFT: override the coded bucket shift — SMALLER shift
+    // → more cluster_bucket dirs → more coded FILES at the same row
+    // count (each bucket is one file per write). This, not group bytes,
+    // is the file-count lever: the grouped write never splits a bucket
+    // (each bucket is written by exactly one group), so group size only
+    // bounds shuffle scratch.
+    val gbOpt = sys.env.get("GRAFT_SCALE_GROUP_BYTES").map(_.toLong)
+    val shiftOpt = sys.env.get("GRAFT_SCALE_SHIFT").map(_.toInt)
+    val engine =
+      if (gbOpt.isEmpty && shiftOpt.isEmpty) new Engine(spark, root)
+      else new Engine(spark, root) {
+        override protected def codedShuffleGroupBytes: Long =
+          gbOpt.getOrElse(super.codedShuffleGroupBytes)
+        override protected def chooseCodedBucketShift(n: Long, nlist: Int,
+                                                      d: Int, m: Int): Int =
+          shiftOpt.getOrElse(super.chooseCodedBucketShift(n, nlist, d, m))
       }
-      case None => new Engine(spark, root)
-    }
     // GRAFT_SCALE_PACKED=true → train writes the packed code column
     // (ScaleEval's knob, mirrored so packed roots can be kept and
     // profiled too — the r15 packed filtered anomaly repro)

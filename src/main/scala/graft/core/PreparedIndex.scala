@@ -99,6 +99,33 @@ final class PreparedIndex private[core] (
   // own publish) — and frees the blocks only at zero.
   private val refs = new java.util.concurrent.atomic.AtomicInteger(1)
 
+  // ---- adaptive serving shape ----------------------------------------
+  // At 16 caller threads the driver schedules threads × numPartitions
+  // task events per query wave; with the default 32-partition blocks
+  // that serialized the DAGScheduler loop and capped a healthy 35M box
+  // at ~47 qps while 8 partitions measured 95.4 (same root, same window
+  // — evalruns_r17/rootprofile_35m_parts_*.log). But fewer partitions
+  // also serve a SINGLE query on fewer cores (seq p50 46 → 53 ms), so
+  // the narrow shape is taken only under measured concurrency: when
+  // `inFlight` servings ≥ NarrowDepth, the job runs over a coalesce()
+  // WRAPPER of the same cached partitions (no second copy, no shuffle —
+  // each narrow task folds several cached block maps). Results are
+  // identical by construction: the same per-partition heaps reach the
+  // same global merge, whichever task grouping computed them.
+  private val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val narrowParts =
+    sys.env.get("GRAFT_PREPARED_NARROW").flatMap(_.toIntOption)
+      .getOrElse(math.max(4, spark.sparkContext.defaultParallelism / 4))
+  // var so specs can force every serve onto the narrow shape (depth 1)
+  // and assert bit-equality against the wide shape
+  @volatile private[core] var narrowDepth: Int =
+    sys.env.get("GRAFT_PREPARED_NARROW_DEPTH").flatMap(_.toIntOption)
+      .getOrElse(3)
+  private val narrowBlocks: RDD[Map[Int, ClusterBlock]] =
+    if (narrowParts > 0 && blocks.getNumPartitions > narrowParts)
+      blocks.coalesce(narrowParts)
+    else blocks
+
   /** Acquire one more reference — None if the last holder already
     * released (a concurrent swap closed the routing handle between
     * publish and this acquisition; the caller re-enters the builder).
@@ -329,14 +356,28 @@ final class PreparedIndex private[core] (
     val bc = bcModel // avoid capturing `this` in the job closure
     val bcDel = bcDeleted
     val p = pred
-    val batches: Array[PreparedANN.CandBatch] = spark.sparkContext.runJob(
-      blocks,
-      (it: Iterator[Map[Int, ClusterBlock]]) =>
-        if (it.hasNext)
-          PreparedANN.servePartitionBatch(it.next(), bc.value, probes, qp, qn,
-            prelimK, bcDel.value, p)
-        else new PreparedANN.CandBatch(Array.empty, Array.empty, Array.empty,
-          Array.empty))
+    val depth = inFlight.incrementAndGet()
+    val batches: Array[PreparedANN.CandBatch] =
+      try {
+        if (depth >= narrowDepth && (narrowBlocks ne blocks))
+          // throughput shape: each narrow task folds several cached
+          // partitions' block maps — one CandBatch per ORIGINAL
+          // partition comes back, exactly as the wide job returns them
+          spark.sparkContext.runJob(
+            narrowBlocks,
+            (it: Iterator[Map[Int, ClusterBlock]]) =>
+              it.map(m => PreparedANN.servePartitionBatch(m, bc.value, probes,
+                qp, qn, prelimK, bcDel.value, p)).toArray).flatten
+        else
+          spark.sparkContext.runJob(
+            blocks,
+            (it: Iterator[Map[Int, ClusterBlock]]) =>
+              if (it.hasNext)
+                PreparedANN.servePartitionBatch(it.next(), bc.value, probes,
+                  qp, qn, prelimK, bcDel.value, p)
+              else new PreparedANN.CandBatch(Array.empty, Array.empty,
+                Array.empty, Array.empty))
+      } finally inFlight.decrementAndGet()
     val parts = batches.map(_.toCands)
     // the appended-rows side scan: same kernel, driver-local, merged as
     // one more part — arithmetic identical to the rows having been in a

@@ -171,7 +171,13 @@ object RootProfile {
     // ---- 2. dual-handle prepared repro -------------------------------
     engine.query(db, qs(0), 500, 50).collect() // builds the AUTO handle
     storage("after auto handle")
-    val prep = engine.prepareServing(db)
+    // GRAFT_PREPARED_PARTS: explicit-handle partition count A/B — at 16
+    // caller threads the driver schedules threads×parts tasks/second;
+    // fewer, bigger partitions trade single-query spread for driver
+    // headroom (the measured qps ceiling lever)
+    val prep = engine.prepareServing(db,
+      numParts = sys.env.get("GRAFT_PREPARED_PARTS").map(_.toInt).getOrElse(-1))
+    println(s"prepared_parts=${sys.env.getOrElse("GRAFT_PREPARED_PARTS", "default")}")
     storage("after explicit prepare")
     def lat(tag: String, f: Array[Float] => Unit): Unit = {
       val xs = qs.toIndexedSeq.map { q =>

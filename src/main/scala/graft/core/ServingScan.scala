@@ -87,13 +87,20 @@ object ServingScan {
     def close(): Unit = bcConf.unpersist(false)
   }
 
-  /** One scan task: a run of bucket-sorted files plus the union of their
-    * buckets' probed cluster ids (the task's injected predicate). For
-    * FETCH tasks, `ids` additionally carries the candidate row ids of
-    * those clusters (ANDed into the injected predicate and applied
+  /** A byte range of one parquet file (row groups are selected by the
+    * midpoint rule, exactly like Spark's splits); `fileLen` rides along
+    * for the footer-cache key and the end-of-range bound.
+    */
+  final case class FileRange(path: String, start: Long, len: Long,
+                             fileLen: Long)
+
+  /** One scan task: a run of bucket-sorted file ranges plus the union of
+    * their buckets' probed cluster ids (the task's injected predicate).
+    * For FETCH tasks, `ids` additionally carries the candidate row ids
+    * of those clusters (ANDed into the injected predicate and applied
     * exactly in the task); empty for coarse tasks.
     */
-  final case class ScanTask(files: Array[(String, Long)], probes: Array[Int],
+  final case class ScanTask(files: Array[FileRange], probes: Array[Int],
                             ids: Array[Long] = Array.empty)
 
   /** Executor-resident footer cache, keyed by (path, length) — coded
@@ -159,12 +166,26 @@ object ServingScan {
     * its probes in each — both are supersets page-pruned per file and
     * exact-gated by the kernel.
     */
+  /** Group the query's probes by bucket, RANGE-SPLIT the probed files
+    * (Spark's own trade: target split bytes = probed bytes over ~2×
+    * parallelism, clamped to [4 MB, maxTaskBytes] — a 3-big-file
+    * geometry must still spread over the cores; measured on a 2M root
+    * where whole-file tasks ran the coarse on 3 of 32 cores), and pack
+    * bucket-sorted ranges into ~targetSplit tasks.
+    */
   private[core] def planTasks(epoch: Epoch, probes: Array[Int],
-                              idsByCluster: Map[Int, Array[Long]] = Map.empty)
+                              idsByCluster: Map[Int, Array[Long]] = Map.empty,
+                              parallelism: Int = 32)
       : Array[ScanTask] = {
     val byBucket = probes.groupBy(_ >>> epoch.shift).toArray.sortBy(_._1)
+    val probedBytes = byBucket.iterator.map { case (b, _) =>
+      epoch.bucketFiles.getOrElse(b, Array.empty).iterator.map(_._2).sum
+    }.sum
+    val targetSplit = math.max(4L << 20,
+      math.min(epoch.maxTaskBytes,
+        probedBytes / math.max(1, 2 * parallelism)))
     val tasks = Array.newBuilder[ScanTask]
-    val curFiles = Array.newBuilder[(String, Long)]
+    val curFiles = Array.newBuilder[FileRange]
     val curProbes = scala.collection.mutable.LinkedHashSet.empty[Int]
     var curBytes = 0L
     var curN = 0
@@ -179,9 +200,15 @@ object ServingScan {
     }
     byBucket.foreach { case (b, bProbes) =>
       epoch.bucketFiles.getOrElse(b, Array.empty).foreach { case (p, len) =>
-        if (curBytes + len > epoch.maxTaskBytes) flush()
-        curFiles += ((p, len)); curProbes ++= bProbes
-        curBytes += len; curN += 1
+        var off = 0L
+        while (off < len) {
+          val rangeLen = math.min(targetSplit, len - off)
+          if (curBytes + rangeLen > targetSplit) flush()
+          curFiles += FileRange(p, off, rangeLen, len)
+          curProbes ++= bProbes
+          curBytes += rangeLen; curN += 1
+          off += rangeLen
+        }
       }
     }
     flush()
@@ -199,7 +226,8 @@ object ServingScan {
              bcModel: Broadcast[IndexModel],
              qp: Array[Float], probes: Array[Int],
              prelimK: Int): Array[(Long, Double, Int)] = {
-    val tasks = planTasks(epoch, probes)
+    val tasks = planTasks(epoch, probes,
+      parallelism = spark.sparkContext.defaultParallelism)
     if (tasks.isEmpty) return Array.empty
     val sc = spark.sparkContext
     val bcQ = sc.broadcast((qp, probes.toSet))
@@ -230,7 +258,8 @@ object ServingScan {
             idsByCluster: Map[Int, Array[Long]])
       : Array[(Long, Array[Float], String)] = {
     val clusters = idsByCluster.keysIterator.toArray.sorted
-    val tasks = planTasks(epoch, clusters, idsByCluster)
+    val tasks = planTasks(epoch, clusters, idsByCluster,
+      parallelism = spark.sparkContext.defaultParallelism)
     if (tasks.isEmpty) return Array.empty
     val sc = spark.sparkContext
     val bcConf = epoch.bcConf
@@ -294,15 +323,15 @@ object ServingScan {
       s"or-of-eq(cluster_id, ${task.probes.length})" +
         (if (task.ids.isEmpty) "" else s" and or-of-eq(id, ${task.ids.length})"))
     val ctx = new TaskAttemptContextImpl(conf, new TaskAttemptID())
-    task.files.iterator.flatMap { case (pathStr, len) => fileRows(pathStr, len, ctx) }
+    task.files.iterator.flatMap(fr => fileRows(fr, ctx))
   }
 
-  private def fileRows(pathStr: String, len: Long,
+  private def fileRows(fr: FileRange,
                        ctx: TaskAttemptContextImpl): Iterator[InternalRow] = {
     val conf = ctx.getConfiguration
-    val path = new Path(pathStr)
+    val path = new Path(fr.path)
     val footer = {
-      val k = (pathStr, len)
+      val k = (fr.path, fr.fileLen)
       var f = footerCache.get(k)
       if (f == null) {
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -312,7 +341,8 @@ object ServingScan {
       }
       f
     }
-    val split = new org.apache.hadoop.mapred.FileSplit(path, 0, len, Array.empty[String])
+    val split = new org.apache.hadoop.mapred.FileSplit(path, fr.start, fr.len,
+      Array.empty[String])
     val inputFile = HadoopInputFile.fromPath(path, conf)
     val stream = inputFile.newStream()
     val reader = new VectorizedParquetRecordReader(

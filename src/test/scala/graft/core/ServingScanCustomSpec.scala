@@ -155,29 +155,45 @@ class ServingScanCustomSpec extends SparkSpec {
     finally System.clearProperty("graft.serving.custom.scan")
   }
 
-  test("planTasks covers every probed bucket's file exactly once, probes sorted") {
-    val files = Map(
-      0 -> Array(("f0a", 10L), ("f0b", 10L)),
-      1 -> Array(("f1a", 25L)),
-      3 -> Array(("f3a", 5L), ("f3b", 5L), ("f3c", 5L)))
+  test("planTasks covers every probed byte exactly once; big files range-split") {
     val bc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         new org.apache.hadoop.conf.Configuration(false)))
-    val epoch = new ServingScan.Epoch(false, 1, files, bc, "", "",
-      maxTaskBytes = 20L)
+    // tiny files: below the 4 MB split floor everything packs into ONE
+    // task whose probes are the sorted union
+    val tiny = Map(
+      0 -> Array(("f0a", 10L), ("f0b", 10L)),
+      1 -> Array(("f1a", 25L)),
+      3 -> Array(("f3a", 5L), ("f3b", 5L), ("f3c", 5L)))
+    val e1 = new ServingScan.Epoch(false, 1, tiny, bc, "", "",
+      maxTaskBytes = 512L << 20)
     // shift=1: probes 0,1 -> bucket 0; 2,3 -> bucket 1; 6 -> bucket 3
-    val tasks = ServingScan.planTasks(epoch, Array(6, 2, 0, 1, 3))
-    val seen = tasks.flatMap(_.files.map(_._1))
-    assert(seen.sorted.toSeq == Seq("f0a", "f0b", "f1a", "f3a", "f3b", "f3c"))
-    assert(seen.distinct.length == seen.length, "a file landed in two tasks")
-    tasks.foreach { t =>
-      assert(t.probes.toSeq == t.probes.toSeq.sorted)
-      assert(t.probes.nonEmpty)
+    val t1 = ServingScan.planTasks(e1, Array(6, 2, 0, 1, 3), parallelism = 32)
+    assert(t1.length == 1)
+    assert(t1(0).files.map(_.path).sorted.toSeq ==
+      Seq("f0a", "f0b", "f1a", "f3a", "f3b", "f3c"))
+    assert(t1(0).files.forall(fr => fr.start == 0 && fr.len == fr.fileLen))
+    assert(t1(0).probes.toSeq == Seq(0, 1, 2, 3, 6))
+    // big files: range-split so a 3-file geometry still spreads over the
+    // cores — every byte of every probed file covered exactly once
+    val gb = 600L << 20
+    val big = Map(0 -> Array(("b0", gb)), 1 -> Array(("b1", gb)),
+      2 -> Array(("b2", gb)))
+    val e2 = new ServingScan.Epoch(false, 1, big, bc, "", "",
+      maxTaskBytes = 512L << 20)
+    val t2 = ServingScan.planTasks(e2, Array(0, 2, 4), parallelism = 32)
+    assert(t2.length >= 32, s"expected >=32 tasks, got ${t2.length}")
+    Seq("b0", "b1", "b2").foreach { f =>
+      val ranges = t2.flatMap(_.files).filter(_.path == f).sortBy(_.start)
+      assert(ranges.head.start == 0)
+      assert(ranges.map(_.len).sum == gb, s"$f bytes not covered exactly")
+      ranges.sliding(2).foreach {
+        case Array(a, b) => assert(a.start + a.len == b.start,
+          s"$f ranges overlap or gap")
+        case _ => ()
+      }
+      assert(ranges.forall(_.fileLen == gb))
     }
-    // bucket 2 has no files and bucket 0's probes never leak into bucket 3's task
-    val f3task = tasks.find(_.files.exists(_._1 == "f3c")).get
-    assert(f3task.probes.contains(6))
-    // no task exceeds the byte target unless a single file does
-    tasks.foreach(t => assert(t.files.map(_._2).sum <= 25L))
+    t2.foreach(t => assert(t.probes.toSeq == t.probes.toSeq.sorted))
   }
 }
