@@ -1668,8 +1668,15 @@ class Engine(val spark: SparkSession, val root: String) {
         }
       }
     ServingScan.buildEpoch(spark, packed, doc.codedBucketShift, schema,
-      fetchSchema, dirs, Engine.ServingScanTaskBytes)
+      fetchSchema, dirs, Engine.ServingScanTaskBytes, servingScanMinSplitBytes)
   }
+
+  /** Byte-range floor for the plan-free serving scan's splits —
+    * overridable so specs can force multi-range tasks (and the
+    * midpoint-rule footer filtering they depend on) on sbt-test-sized
+    * files.
+    */
+  protected def servingScanMinSplitBytes: Long = 4L << 20
 
   /** Plan-free candidate fetch (Q4) through the same epoch state as
     * [[servingScanCoarse]] — only taken when that path is eligible, so

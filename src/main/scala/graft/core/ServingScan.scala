@@ -83,7 +83,11 @@ object ServingScan {
       val bcConf: Broadcast[SerializableConfiguration],
       val coarseSchemaJson: String,
       val fetchSchemaJson: String,
-      val maxTaskBytes: Long) extends Serializable {
+      val maxTaskBytes: Long,
+      // floor for the per-query byte-range target — production 4 MB;
+      // specs lower it so multi-range tasks (and the midpoint-rule
+      // footer filtering they depend on) are exercised at sbt-test scale
+      val minSplitBytes: Long = 4L << 20) extends Serializable {
     def close(): Unit = bcConf.unpersist(false)
   }
 
@@ -124,7 +128,8 @@ object ServingScan {
   def buildEpoch(spark: SparkSession, packed: Boolean, shift: Int,
                  coarseSchema: StructType, fetchSchema: StructType,
                  bucketDirs: Seq[(Int, Path)],
-                 maxTaskBytes: Long): Epoch = {
+                 maxTaskBytes: Long,
+                 minSplitBytes: Long = 4L << 20): Epoch = {
     val conf = spark.sessionState.newHadoopConf()
     conf.set(ReadSupportClassKey, ReadSupportClassName)
     // keys the stock reader init reads WITHOUT defaults (normally set by
@@ -157,7 +162,7 @@ object ServingScan {
     }.toMap
     val bc = spark.sparkContext.broadcast(new SerializableConfiguration(conf))
     new Epoch(packed, shift, files, bc, coarseSchema.json, fetchSchema.json,
-      maxTaskBytes)
+      maxTaskBytes, minSplitBytes)
   }
 
   /** Group the query's probes by bucket and pack bucket-sorted files
@@ -166,12 +171,26 @@ object ServingScan {
     * its probes in each — both are supersets page-pruned per file and
     * exact-gated by the kernel.
     */
-  /** Group the query's probes by bucket, RANGE-SPLIT the probed files
-    * (Spark's own trade: target split bytes = probed bytes over ~2×
-    * parallelism, clamped to [4 MB, maxTaskBytes] — a 3-big-file
-    * geometry must still spread over the cores; measured on a 2M root
-    * where whole-file tasks ran the coarse on 3 of 32 cores), and pack
-    * bucket-sorted ranges into ~targetSplit tasks.
+  /** Split the probed buckets' files into scan tasks aiming at ~2×
+    * `parallelism` tasks. Two subdivision axes, because two geometries
+    * bound parallelism differently:
+    *
+    *  - BYTE RANGES (Spark's own splits, row groups by the midpoint
+    *    rule): target split bytes = probed bytes / 2×parallelism,
+    *    clamped to [4 MB, maxTaskBytes]. Enough for many-file roots —
+    *    but on a FEW-big-row-group root only the range holding a row
+    *    group's midpoint does any work, so ranges alone left a 3-file
+    *    2M root scanning on ~4 of 32 cores (measured: custom coarse
+    *    215–243 ms vs the 11-chunk Catalyst union's 69–80).
+    *  - PROBE SUBSETS: when ranges are too few, each range is served by
+    *    k tasks carrying DISJOINT contiguous slices of its bucket's
+    *    probes — each task's injected predicate page-prunes to its own
+    *    slice, which is exactly how the Catalyst chunk-union subdivides
+    *    the same row groups.
+    *
+    * Every task's kernel/id gate is its OWN `probes`/`ids` (disjoint
+    * union over tasks = the query's full sets), so each probed row is
+    * scored by exactly one task under BOTH axes.
     */
   private[core] def planTasks(epoch: Epoch, probes: Array[Int],
                               idsByCluster: Map[Int, Array[Long]] = Map.empty,
@@ -181,38 +200,62 @@ object ServingScan {
     val probedBytes = byBucket.iterator.map { case (b, _) =>
       epoch.bucketFiles.getOrElse(b, Array.empty).iterator.map(_._2).sum
     }.sum
-    val targetSplit = math.max(4L << 20,
+    val targetSplit = math.max(epoch.minSplitBytes,
       math.min(epoch.maxTaskBytes,
         probedBytes / math.max(1, 2 * parallelism)))
-    val tasks = Array.newBuilder[ScanTask]
-    val curFiles = Array.newBuilder[FileRange]
-    val curProbes = scala.collection.mutable.LinkedHashSet.empty[Int]
-    var curBytes = 0L
-    var curN = 0
-    def flush(): Unit = if (curN > 0) {
-      val ps = curProbes.toArray.sorted
-      val ids =
-        if (idsByCluster.isEmpty) Array.empty[Long]
-        else ps.iterator.flatMap(idsByCluster.getOrElse(_, Array.empty[Long]))
-          .toArray.sorted
-      tasks += ScanTask(curFiles.result(), ps, ids)
-      curFiles.clear(); curProbes.clear(); curBytes = 0L; curN = 0
-    }
+    def idsFor(ps: Array[Int]): Array[Long] =
+      if (idsByCluster.isEmpty) Array.empty[Long]
+      else ps.iterator.flatMap(idsByCluster.getOrElse(_, Array.empty[Long]))
+        .toArray.sorted
+    // bucket-tagged ranges, bucket-sorted
+    val ranges = Array.newBuilder[(Int, Array[Int], FileRange)]
+    var nRanges = 0
     byBucket.foreach { case (b, bProbes) =>
+      val sortedProbes = bProbes.sorted
       epoch.bucketFiles.getOrElse(b, Array.empty).foreach { case (p, len) =>
         var off = 0L
         while (off < len) {
           val rangeLen = math.min(targetSplit, len - off)
-          if (curBytes + rangeLen > targetSplit) flush()
-          curFiles += FileRange(p, off, rangeLen, len)
-          curProbes ++= bProbes
-          curBytes += rangeLen; curN += 1
+          ranges += ((b, sortedProbes, FileRange(p, off, rangeLen, len)))
+          nRanges += 1
           off += rangeLen
         }
       }
     }
-    flush()
-    tasks.result()
+    val allRanges = ranges.result()
+    val targetTasks = 2 * math.max(1, parallelism)
+    if (nRanges >= targetTasks) {
+      // many ranges: pack consecutive (bucket-sorted) ranges up to
+      // ~targetSplit bytes per task; task probes = union of its buckets'
+      val tasks = Array.newBuilder[ScanTask]
+      val curFiles = Array.newBuilder[FileRange]
+      val curProbes = scala.collection.mutable.LinkedHashSet.empty[Int]
+      var curBytes = 0L
+      var curN = 0
+      def flush(): Unit = if (curN > 0) {
+        val ps = curProbes.toArray.sorted
+        tasks += ScanTask(curFiles.result(), ps, idsFor(ps))
+        curFiles.clear(); curProbes.clear(); curBytes = 0L; curN = 0
+      }
+      allRanges.foreach { case (_, bProbes, fr) =>
+        if (curBytes + fr.len > targetSplit) flush()
+        curFiles += fr
+        curProbes ++= bProbes
+        curBytes += fr.len; curN += 1
+      }
+      flush()
+      tasks.result()
+    } else {
+      // few ranges (big row groups): subdivide each range by probe slices
+      val k = (targetTasks + nRanges - 1) / nRanges
+      allRanges.flatMap { case (_, bProbes, fr) =>
+        val slices = math.min(k, bProbes.length)
+        val per = (bProbes.length + slices - 1) / slices
+        bProbes.grouped(per).map { slice =>
+          ScanTask(Array(fr), slice, idsFor(slice))
+        }
+      }
+    }
   }
 
   /** The coarse ADC stage over the probed buckets: plan-free scan tasks,
@@ -230,19 +273,25 @@ object ServingScan {
       parallelism = spark.sparkContext.defaultParallelism)
     if (tasks.isEmpty) return Array.empty
     val sc = spark.sparkContext
-    val bcQ = sc.broadcast((qp, probes.toSet))
     val bcConf = epoch.bcConf
     val packed = epoch.packed
     val schemaJson = epoch.coarseSchemaJson
+    val q = qp
     val rdd = sc.parallelize(tasks.toIndexedSeq, tasks.length)
+    // kernel gate = the TASK's own probe slice (not the query's full
+    // set): probe-sliced tasks over one range page-prune to supersets
+    // that may overlap another slice's pages, and the per-task gate is
+    // what keeps every probed row scored by exactly one task
     val parts = sc.runJob(rdd, (it: Iterator[ScanTask]) => {
       val model = bcModel.value
-      val (q, ps) = bcQ.value
-      val rows = it.flatMap(taskRows(_, bcConf.value.value, schemaJson))
-      graft.operators.BatchANN.coarsePartition(rows, model, q, ps, prelimK, packed)
+      it.map { task =>
+        graft.operators.BatchANN.coarsePartition(
+          taskRows(task, bcConf.value.value, schemaJson), model, q,
+          task.probes.toSet, prelimK, packed)
+      }.toArray
     })
-    bcQ.unpersist(blocking = false)
-    graft.operators.BatchANN.mergeCoarseParts(parts, prelimK)
+    graft.operators.BatchANN.mergeCoarseParts(
+      parts.iterator.flatten.toSeq, prelimK)
   }
 
   /** Candidate fetch by exact row id over the probed-candidate clusters:
@@ -330,7 +379,7 @@ object ServingScan {
                        ctx: TaskAttemptContextImpl): Iterator[InternalRow] = {
     val conf = ctx.getConfiguration
     val path = new Path(fr.path)
-    val footer = {
+    val fullFooter = {
       val k = (fr.path, fr.fileLen)
       var f = footerCache.get(k)
       if (f == null) {
@@ -341,6 +390,25 @@ object ServingScan {
       }
       f
     }
+    // RANGE-filter the cached footer by parquet's midpoint rule
+    // (startingPos + compressedSize/2 ∈ [start, end)) — the rule Spark's
+    // per-split footer READ applies. A PROVIDED footer bypasses that
+    // read, and ParquetFileReader's constructor applies only the RECORD
+    // filter to it, so without this every range of a file read every
+    // row group: the r17 scaleeval_35m_final equality-gate failure
+    // (duplicate coarse candidates, 3× fetch rows) was exactly that.
+    val footer = {
+      val kept = new java.util.ArrayList[
+        org.apache.parquet.hadoop.metadata.BlockMetaData]()
+      val it = fullFooter.getBlocks.iterator()
+      while (it.hasNext) {
+        val b = it.next()
+        val mid = b.getStartingPos + b.getCompressedSize / 2
+        if (mid >= fr.start && mid < fr.start + fr.len) kept.add(b)
+      }
+      new ParquetMetadata(fullFooter.getFileMetaData, kept)
+    }
+    if (footer.getBlocks.isEmpty) return Iterator.empty
     val split = new org.apache.hadoop.mapred.FileSplit(path, fr.start, fr.len,
       Array.empty[String])
     val inputFile = HadoopInputFile.fromPath(path, conf)

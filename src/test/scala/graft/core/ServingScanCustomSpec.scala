@@ -18,11 +18,13 @@ class ServingScanCustomSpec extends SparkSpec {
   private val D = 16
   private val Seed = 11L
 
-  private def buildEngine(dir: String, packed: Boolean, n: Int = 2400): Engine = {
+  private def buildEngine(dir: String, packed: Boolean, n: Int = 2400,
+                          minSplit: Long = 4L << 20): Engine = {
     val e = new Engine(spark, tmpDir(dir)) {
       override protected def chooseCodedBucketShift(nn: Long, nlist: Int,
                                                     d: Int, m: Int): Int = 2
       override protected def probePushChunk: Int = 4 // force multi-chunk Catalyst shape
+      override protected def servingScanMinSplitBytes: Long = minSplit
     }
     e.packedCodesOnTrain = packed
     val rnd = new Random(Seed)
@@ -114,6 +116,34 @@ class ServingScanCustomSpec extends SparkSpec {
     } finally System.clearProperty("graft.serving.custom.scan")
   }
 
+  test("multi-range tasks: coarse + fetch + e2e stay exact (midpoint-rule footer filter)") {
+    // 1 KB split floor → every file splits into many byte ranges, and a
+    // file's single row group has its midpoint in exactly ONE of them.
+    // Without the midpoint-rule filtering of the cached footer, every
+    // range re-read every row group: duplicate coarse candidates and
+    // N× fetch rows (the r17 scaleeval_35m_final equality-gate failure,
+    // reproduced and pinned here at spec scale).
+    val e = buildEngine("graft-sscan-ranges", packed = false, minSplit = 1L << 10)
+    val doc = e.load("db")
+    val model = e.indexModel(doc)
+    val rnd = new Random(Seed + 21)
+    val q = Array.fill(D)(rnd.nextGaussian().toFloat)
+    val qp = model.pca.applyLocal(q)
+    val probes = Array.range(0, doc.numClusters)
+    val cand = e.servingScanCoarse(doc, qp, probes, 100).get
+    assert(cand.map(_._1).distinct.length == cand.length,
+      "duplicate candidate ids - a row group was read by several ranges")
+    val cat = catalystCoarse(e, doc, qp, probes, 100)
+    assert(cand.toSeq == cat.toSeq)
+    val fetched = e.servingScanFetchRows(doc, cand).get
+    assert(fetched.map(_._1).sorted.toSeq == cand.map(_._1).sorted.toSeq,
+      "fetch rows are not exactly the candidate ids")
+    val res = e.queryCatalyst("db", q, 100, 20).collect().map(_.toSeq).toSeq
+    System.setProperty("graft.serving.custom.scan", "false")
+    try assert(res == e.queryCatalyst("db", q, 100, 20).collect().map(_.toSeq).toSeq)
+    finally System.clearProperty("graft.serving.custom.scan")
+  }
+
   test("custom fetch returns exactly the rows the Catalyst fetch scan returns") {
     val e = buildEngine("graft-sscan-fetch", packed = false)
     val doc = e.load("db")
@@ -159,8 +189,9 @@ class ServingScanCustomSpec extends SparkSpec {
     val bc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         new org.apache.hadoop.conf.Configuration(false)))
-    // tiny files: below the 4 MB split floor everything packs into ONE
-    // task whose probes are the sorted union
+    // tiny files, few ranges: the probe-slice branch subdivides each
+    // file's bucket probes into disjoint slices — every (file, probe)
+    // pair served by exactly one task
     val tiny = Map(
       0 -> Array(("f0a", 10L), ("f0b", 10L)),
       1 -> Array(("f1a", 25L)),
@@ -169,11 +200,15 @@ class ServingScanCustomSpec extends SparkSpec {
       maxTaskBytes = 512L << 20)
     // shift=1: probes 0,1 -> bucket 0; 2,3 -> bucket 1; 6 -> bucket 3
     val t1 = ServingScan.planTasks(e1, Array(6, 2, 0, 1, 3), parallelism = 32)
-    assert(t1.length == 1)
-    assert(t1(0).files.map(_.path).sorted.toSeq ==
-      Seq("f0a", "f0b", "f1a", "f3a", "f3b", "f3c"))
-    assert(t1(0).files.forall(fr => fr.start == 0 && fr.len == fr.fileLen))
-    assert(t1(0).probes.toSeq == Seq(0, 1, 2, 3, 6))
+    val pairs = t1.flatMap(t => t.files.flatMap(fr => t.probes.map(p => (fr.path, p))))
+    assert(pairs.distinct.length == pairs.length,
+      "a (file, probe) pair landed in two tasks")
+    assert(pairs.toSet == Set(
+      ("f0a", 0), ("f0a", 1), ("f0b", 0), ("f0b", 1),
+      ("f1a", 2), ("f1a", 3),
+      ("f3a", 6), ("f3b", 6), ("f3c", 6)),
+      s"coverage wrong: ${pairs.toSet}")
+    assert(t1.forall(_.files.forall(fr => fr.start == 0 && fr.len == fr.fileLen)))
     // big files: range-split so a 3-file geometry still spreads over the
     // cores — every byte of every probed file covered exactly once
     val gb = 600L << 20
