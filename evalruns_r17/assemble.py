@@ -65,6 +65,7 @@ def prof_row(name, log):
     out[name] = d
 
 scale_row("scale_20m_64", "scale_20m_64.log")
+scale_row("scale_2m_768_opq", "scale_2m_768_opq.log")
 scale_row("scaleeval_35m_clean", "scaleeval_35m_clean.log")
 scale_row("scaleeval_35m_retry", "scaleeval_35m_retry.log")
 scale_row("scaleeval_35m_final_DISCARDED", "scaleeval_35m_final.log")
@@ -105,11 +106,14 @@ out["provenance"] = {
         "canary (first live catch: scaleeval_35m_clean's prepared block, "
         "16t=2696 vs healthy ~20000); (3) interleaved A/B rounds "
         "(custom,catalyst) within one JVM are valid even in degraded "
-        "windows. The r16 carried gates: catalyst p50 <300 ms at 35M "
-        "(scaleeval_35m_retry: 273 ms, bracket 2375/2345; "
-        "rootprofile_35m_v2 A/B custom rounds 170-180 ms) and >=80 qps "
-        "@16 threads at 35M (scaleeval_35m_v2: routed 88.8, prepared "
-        "131.5, canaries 2271/2414 + 16t 19219, equality gates TRUE)."),
+        "windows. The r16 carried gates, BOTH MET on final-code artifacts: "
+        "catalyst p50 <300 ms at 35M — scaleeval_35m_v3: 204 ms, bracket "
+        "2290/2392 (earlier same-root rows: retry 273, v2 607 with a "
+        "mid-block flap; rootprofile_35m_v2 A/B custom rounds 170-180 ms) "
+        "— and >=80 qps @16 threads at 35M — scaleeval_35m_v3: routed "
+        "104.9 / prepared 129.2, 16t canary 19284 (v2: 88.8/131.5, "
+        "canaries 2271/2414 + 16t 19219), equality gates TRUE and recall "
+        "1.0 on every admitted row."),
 }
 
 with open(os.path.join(R, "..", "EVAL_r17.json"), "w") as f:

@@ -53,9 +53,15 @@ import graft.core.Engine.IndexModel
   * functions the Catalyst path runs, so the candidate array is
   * bit-identical by construction (gated by ServingScanCustomSpec).
   *
-  * Scale shape: one task per ~[[maxTaskBytes]] of bucket-sorted files,
-  * probes grouped per task — tasks/query stays proportional to probed
-  * bytes exactly like the chunked scans; at 1000-executor geometry the
+  * Scale shape: [[planTasks]] aims at ~2× parallelism tasks per query
+  * along two subdivision axes — byte ranges of bucket-sorted files
+  * (Spark's own split rule) and, when ranges are fewer than that
+  * (few big row groups), disjoint probe slices over the same range —
+  * so tasks/query stays proportional to probed bytes at many-file
+  * geometries AND spreads over the cores at few-file ones. Measured
+  * (EVAL_r17): latency is ~flat in file count (94–112 ms at 665 coded
+  * files vs 105–143 at 3, same 2M corpus) where the per-query-planned
+  * path degrades 294–371 vs 197–284. At 1000-executor geometry the
   * epoch conf broadcast and footer caches amortize across queries the
   * same way (both are executor-resident).
   */
@@ -165,19 +171,14 @@ object ServingScan {
       maxTaskBytes, minSplitBytes)
   }
 
-  /** Group the query's probes by bucket and pack bucket-sorted files
-    * into ~maxTaskBytes tasks. A task spanning several buckets carries
-    * the union of their probes; a bucket spanning several tasks repeats
-    * its probes in each — both are supersets page-pruned per file and
-    * exact-gated by the kernel.
-    */
   /** Split the probed buckets' files into scan tasks aiming at ~2×
     * `parallelism` tasks. Two subdivision axes, because two geometries
     * bound parallelism differently:
     *
     *  - BYTE RANGES (Spark's own splits, row groups by the midpoint
     *    rule): target split bytes = probed bytes / 2×parallelism,
-    *    clamped to [4 MB, maxTaskBytes]. Enough for many-file roots —
+    *    clamped to [minSplitBytes, maxTaskBytes]. Enough for many-file
+    *    roots —
     *    but on a FEW-big-row-group root only the range holding a row
     *    group's midpoint does any work, so ranges alone left a 3-file
     *    2M root scanning on ~4 of 32 cores (measured: custom coarse
