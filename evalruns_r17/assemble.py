@@ -66,11 +66,13 @@ def prof_row(name, log):
 
 scale_row("scale_20m_64", "scale_20m_64.log")
 scale_row("scale_2m_768_opq", "scale_2m_768_opq.log")
+scale_row("scale_5m_768_opq", "scale_5m_768_opq.log")
 scale_row("scaleeval_35m_clean", "scaleeval_35m_clean.log")
 scale_row("scaleeval_35m_retry", "scaleeval_35m_retry.log")
 scale_row("scaleeval_35m_final_DISCARDED", "scaleeval_35m_final.log")
 scale_row("scaleeval_35m_v2", "scaleeval_35m_v2.log")
 scale_row("scaleeval_35m_v3", "scaleeval_35m_v3.log")
+scale_row("scaleeval_35m_v4", "scaleeval_35m_v4.log")
 
 prof_row("rootprofile_35m_r17a", "rootprofile_35m.log")
 prof_row("rootprofile_35m_r17b", "rootprofile_35m_b.log")
@@ -113,7 +115,10 @@ out["provenance"] = {
         "— and >=80 qps @16 threads at 35M — scaleeval_35m_v3: routed "
         "104.9 / prepared 129.2, 16t canary 19284 (v2: 88.8/131.5, "
         "canaries 2271/2414 + 16t 19219), equality gates TRUE and recall "
-        "1.0 on every admitted row."),
+        "1.0 on every admitted row. Replications on final code: "
+        "scaleeval_35m_v4 280 ms / 97.6 routed / 102.5 prepared; "
+        "scale_5m_768_opq 196 ms / 101.6 / 116.4 at the published "
+        "dimensionality."),
 }
 
 with open(os.path.join(R, "..", "EVAL_r17.json"), "w") as f:
