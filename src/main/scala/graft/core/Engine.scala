@@ -490,7 +490,7 @@ class Engine(val spark: SparkSession, val root: String) {
   // TTL window are served at ≤TTL-old visibility — the documented
   // trade, same class as the adds-refresh debounce.
   private val servingDocCache =
-    scala.collection.concurrent.TrieMap.empty[String, (Long, CatalogDoc)]
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long, CatalogDoc)]
   // bumped by every same-driver catalog write: loadForServing caches a
   // freshly-read doc only if no write landed DURING the read, closing
   // the read-old-doc / save / invalidate / cache-old-doc interleaving
@@ -505,20 +505,27 @@ class Engine(val spark: SparkSession, val root: String) {
   private def loadForServing(name: String): CatalogDoc = {
     val now = System.nanoTime()
     servingDocCache.get(name) match {
-      case Some((t, doc)) if now - t < Engine.ServingDocTtlNanos => doc
+      // the generation stamp must still be CURRENT at read time: an
+      // entry put by a reader that raced a writer (pre-write doc cached
+      // in the put-to-remove microsecond window below) carries a stale
+      // stamp, so no reader ever serves it — this read-side check is
+      // what makes "same-driver reads stay exact" unconditional rather
+      // than "up to one stale read per race" (ADVICE r17)
+      case Some((t, g, doc)) if now - t < Engine.ServingDocTtlNanos &&
+          docGeneration.get() == g => doc
       case _ =>
         val g = docGeneration.get()
         val doc = load(name)
         if (docGeneration.get() == g) {
           docCachePutSeam()
-          servingDocCache(name) = (System.nanoTime(), doc)
+          servingDocCache(name) = (System.nanoTime(), g, doc)
           // check-then-put is not atomic: a save can land ENTIRELY
           // between the guard above and the put (save + increment +
           // remove), re-caching the pre-write doc. Re-validate after
-          // the put and evict on mismatch — a writer that lands after
-          // this second check removes the entry itself (its remove
-          // necessarily runs after our put), so "same-driver reads
-          // stay exact" holds unconditionally.
+          // the put and evict on mismatch; any reader that hits the
+          // entry inside this window rejects it anyway, because its
+          // stamped generation no longer matches (read-side check
+          // above).
           if (docGeneration.get() != g) servingDocCache.remove(name)
         }
         doc
@@ -1612,12 +1619,49 @@ class Engine(val spark: SparkSession, val root: String) {
         !sys.props.get("graft.serving.custom.scan")
           .orElse(sys.env.get("GRAFT_SERVING_CUSTOM_SCAN"))
           .forall(v => !v.trim.equalsIgnoreCase("false"))) None
-    else {
-      val epoch = servingScanCache.getOrElseUpdate(
-        (doc.name, doc.indexVersion), buildServingScanEpoch(doc))
-      Some(ServingScan.coarse(spark, epoch, modelBroadcast(doc), qp, probes,
-        prelimK))
+    else
+      Some(ServingScan.coarse(spark, servingScanEpochFor(doc),
+        modelBroadcast(doc), qp, probes, prelimK))
+
+  /** The epoch's data stamp: the doc fields a same-version coded append
+    * or per-bucket compaction moves. A CROSS-DRIVER writer saves the doc
+    * with a new stamp; this driver's TTL'd doc re-read surfaces it and
+    * [[servingScanEpochFor]] rebuilds the listing — so out-of-band coded
+    * files are served at doc-TTL granularity, the same visibility rule
+    * as every other serving read (was: stale until a version bump,
+    * VERDICT r17 #3). Same-driver writers still invalidate eagerly via
+    * [[dropServingScanEpoch]].
+    */
+  private def servingScanStamp(doc: CatalogDoc): String =
+    s"${doc.maxId}|${doc.codedOwners}|${doc.codedPacked}"
+
+  /** Epoch lookup with a race-safe build: TrieMap.getOrElseUpdate is not
+    * atomic for the builder's side effects, so two cold-epoch queries
+    * could each broadcast a Hadoop conf and leak the loser's (ADVICE
+    * r17). Cold or stale-stamped builds serialize on the cache monitor —
+    * a once-per-epoch event, so contention is irrelevant and the loser's
+    * broadcast never exists. Closing a replaced epoch under in-flight
+    * queries is safe: unpersist(false) only drops executor copies; the
+    * broadcast value re-ships lazily (the model-broadcast eviction has
+    * relied on the same semantics since r12).
+    */
+  private def servingScanEpochFor(doc: CatalogDoc): ServingScan.Epoch = {
+    val k = (doc.name, doc.indexVersion)
+    val want = servingScanStamp(doc)
+    servingScanCache.get(k) match {
+      case Some(e) if e.stamp == want => e
+      case _ => servingScanCache.synchronized {
+        servingScanCache.get(k) match {
+          case Some(e) if e.stamp == want => e
+          case stale =>
+            stale.foreach(_.close())
+            val built = buildServingScanEpoch(doc)
+            servingScanCache.put(k, built)
+            built
+        }
+      }
     }
+  }
 
   /** Bucket→dir pairs under the exact owner-version rules of
     * [[buildCodedDf]] (stale copies of rewritten buckets stay invisible
@@ -1668,7 +1712,8 @@ class Engine(val spark: SparkSession, val root: String) {
         }
       }
     ServingScan.buildEpoch(spark, packed, doc.codedBucketShift, schema,
-      fetchSchema, dirs, Engine.ServingScanTaskBytes, servingScanMinSplitBytes)
+      fetchSchema, dirs, Engine.ServingScanTaskBytes, servingScanMinSplitBytes,
+      servingScanStamp(doc))
   }
 
   /** Byte-range floor for the plan-free serving scan's splits —
@@ -1692,12 +1737,11 @@ class Engine(val spark: SparkSession, val root: String) {
         !sys.props.get("graft.serving.custom.scan")
           .orElse(sys.env.get("GRAFT_SERVING_CUSTOM_SCAN"))
           .forall(v => !v.trim.equalsIgnoreCase("false"))) None
+    else if (candRows.isEmpty) Some(Array.empty) // zero-hit: nothing to scan
     else {
-      val epoch = servingScanCache.getOrElseUpdate(
-        (doc.name, doc.indexVersion), buildServingScanEpoch(doc))
       val idsByCluster = candRows.groupBy(_._3)
         .map { case (c, rs) => c -> rs.map(_._1) }
-      Some(ServingScan.fetch(spark, epoch, idsByCluster))
+      Some(ServingScan.fetch(spark, servingScanEpochFor(doc), idsByCluster))
     }
 
   private[core] def servingScanFetch(doc: CatalogDoc,

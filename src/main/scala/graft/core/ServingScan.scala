@@ -93,7 +93,14 @@ object ServingScan {
       // floor for the per-query byte-range target — production 4 MB;
       // specs lower it so multi-range tasks (and the midpoint-rule
       // footer filtering they depend on) are exercised at sbt-test scale
-      val minSplitBytes: Long = 4L << 20) extends Serializable {
+      val minSplitBytes: Long = 4L << 20,
+      // data stamp of the catalog doc this epoch's listing reflects
+      // (maxId|codedOwners|packed at build time) — the engine rebuilds
+      // the epoch when the TTL'd doc re-read shows a different stamp, so
+      // a CROSS-DRIVER same-version coded append is served at doc-TTL
+      // granularity instead of "stale until a version bump" (r18,
+      // VERDICT r17 #3)
+      val stamp: String = "") extends Serializable {
     def close(): Unit = bcConf.unpersist(false)
   }
 
@@ -116,15 +123,50 @@ object ServingScan {
   /** Executor-resident footer cache, keyed by (path, length) — coded
     * files are immutable (new data lands in new files; compaction writes
     * new version dirs), so length disambiguates the rare same-path
-    * rewrite. Bounded LRU: footers are small (~10-100 KB) but epochs
-    * churn in long-lived executors.
+    * rewrite. BYTE-bounded LRU (r18, VERDICT r17 #2): an entry-count
+    * bound let a wide-schema tenant sharing the executor grow the cache
+    * to hundreds of MB; the footprint is approximated from the footer's
+    * own shape (per-column-chunk metadata dominates a ParquetMetadata).
     */
-  private val footerCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Long), ParquetMetadata](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), ParquetMetadata]): Boolean =
-        size() > 4096
-    })
+  private[core] var footerCacheMaxBytes: Long = 128L << 20
+
+  private def footerApproxBytes(f: ParquetMetadata): Long = {
+    var cols = 0L
+    val it = f.getBlocks.iterator()
+    while (it.hasNext) cols += it.next().getColumns.size()
+    // ~512 B per ColumnChunkMetaData (path, codec, stats, offsets) plus a
+    // fixed base for FileMetaData/schema — deliberately generous so the
+    // bound errs toward evicting early, never toward unbounded growth
+    2048L + 512L * cols
+  }
+
+  private object footerCache {
+    private val map = new java.util.LinkedHashMap[
+      (String, Long), (ParquetMetadata, Long)](64, 0.75f, true)
+    private var bytes = 0L
+    def get(k: (String, Long)): ParquetMetadata = synchronized {
+      val v = map.get(k)
+      if (v == null) null else v._1
+    }
+    def put(k: (String, Long), f: ParquetMetadata): Unit = synchronized {
+      val b = footerApproxBytes(f)
+      val prev = map.put(k, (f, b))
+      bytes += b - (if (prev == null) 0L else prev._2)
+      // evict access-order-eldest until under the bound; the entry just
+      // inserted is exempt (a single oversized footer must still serve)
+      val it = map.entrySet().iterator()
+      while (bytes > footerCacheMaxBytes && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != k) { bytes -= e.getValue._2; it.remove() }
+      }
+    }
+    def stats: (Int, Long) = synchronized { (map.size(), bytes) }
+    def clear(): Unit = synchronized { map.clear(); bytes = 0L }
+  }
+
+  /** Test seams for the byte-bound spec. */
+  private[core] def footerCacheStats: (Int, Long) = footerCache.stats
+  private[core] def footerCacheClear(): Unit = footerCache.clear()
 
   /** Build the per-epoch state: one conf clone + one broadcast + one
     * listing pass. `listBucketDirs` supplies (bucket → dir) pairs — the
@@ -135,7 +177,8 @@ object ServingScan {
                  coarseSchema: StructType, fetchSchema: StructType,
                  bucketDirs: Seq[(Int, Path)],
                  maxTaskBytes: Long,
-                 minSplitBytes: Long = 4L << 20): Epoch = {
+                 minSplitBytes: Long = 4L << 20,
+                 stamp: String = ""): Epoch = {
     val conf = spark.sessionState.newHadoopConf()
     conf.set(ReadSupportClassKey, ReadSupportClassName)
     // keys the stock reader init reads WITHOUT defaults (normally set by
@@ -168,7 +211,7 @@ object ServingScan {
     }.toMap
     val bc = spark.sparkContext.broadcast(new SerializableConfiguration(conf))
     new Epoch(packed, shift, files, bc, coarseSchema.json, fetchSchema.json,
-      maxTaskBytes, minSplitBytes)
+      maxTaskBytes, minSplitBytes, stamp)
   }
 
   /** Split the probed buckets' files into scan tasks aiming at ~2×
@@ -224,6 +267,13 @@ object ServingScan {
       }
     }
     val allRanges = ranges.result()
+    // Zero ranges is a legal plan, not an error: every probed cluster can
+    // land in a missing/empty bucket dir (skewed tiny corpora), and the
+    // fetch path plans over an empty candidate set when coarse found
+    // nothing. The probe-slice branch below divides by nRanges — guard
+    // BEFORE it so a zero-hit query returns an empty frame instead of
+    // throwing (ADVICE r17 high; pinned by ServingScanCustomSpec).
+    if (nRanges == 0) return Array.empty[ScanTask]
     val targetTasks = 2 * math.max(1, parallelism)
     if (nRanges >= targetTasks) {
       // many ranges: pack consecutive (bucket-sorted) ranges up to
