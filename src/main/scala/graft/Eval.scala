@@ -101,11 +101,31 @@ object Eval {
     // the contrast number, not the headline, and at 648 queries the
     // uncapped loop would dominate the whole eval's wall time)
     val nCat = math.min(nQ, 32)
+    // the composable surface's DEFAULT (r18: warm-serve — the routed
+    // loop above warmed the handle, so queryCatalyst rides its blocks)
     val catalystLat = queries.take(nCat).map { q =>
       val q0 = System.nanoTime()
       engine.queryCatalyst("eval", q, prelimK, finalK).collect()
       (System.nanoTime() - q0) / 1e6
     }.sorted
+    // the PURE plan path (r17's catalyst number), plus a live equality
+    // gate: warm-serve must be bit-identical to the pure plan
+    engine.catalystWarmServe = false
+    val warmMatchesPure = queries.take(4).forall { q =>
+      val pure = engine.queryCatalyst("eval", q, prelimK, finalK)
+        .collect().map(_.toSeq).toSeq
+      engine.catalystWarmServe = true
+      val warm = engine.queryCatalyst("eval", q, prelimK, finalK)
+        .collect().map(_.toSeq).toSeq
+      engine.catalystWarmServe = false
+      warm == pure
+    }
+    val catalystPureLat = queries.take(nCat).map { q =>
+      val q0 = System.nanoTime()
+      engine.queryCatalyst("eval", q, prelimK, finalK).collect()
+      (System.nanoTime() - q0) / 1e6
+    }.sorted
+    engine.catalystWarmServe = true
 
     // the hits form of the routed path (no per-call DataFrame analysis)
     engine.queryHits("eval", queries(0), prelimK, finalK) // warm
@@ -168,6 +188,7 @@ object Eval {
     // comparison pays the planning floor; the prepared timing itself
     // covers all nQ)
     var prepMatches = true
+    engine.catalystWarmServe = false // ground truth must stay the pure plan
     queries.take(nCat).foreach { q =>
       val hits = prep.query(q, prelimK, finalK)
       val reg = engine.queryCatalyst("eval", q, prelimK, finalK).collect()
@@ -176,6 +197,7 @@ object Eval {
           h.cosineSimilarity == r.getDouble(3)
       }
     }
+    engine.catalystWarmServe = true
     val prepLat = queries.map { q =>
       val t = System.nanoTime()
       prep.query(q, prelimK, finalK)
@@ -207,6 +229,8 @@ object Eval {
         s""""query_ms_p95":${"%.0f".format(latencies((nQ * 95) / 100))},""" +
         s""""query_ms_p99":${"%.0f".format(latencies((nQ * 99) / 100))},""" +
         s""""catalyst_query_ms_p50":${"%.0f".format(catalystLat(nCat / 2))},""" +
+        s""""catalyst_pure_ms_p50":${"%.0f".format(catalystPureLat(nCat / 2))},""" +
+        s""""warm_serve_matches_pure":$warmMatchesPure,""" +
         s""""hits_query_ms_p50":${"%.1f".format(hitsLat(nQ / 2))},""" +
         s""""hits_query_ms_p95":${"%.1f".format(hitsLat((nQ * 95) / 100))},""" +
         s""""hits_query_ms_p99":${"%.1f".format(hitsLat((nQ * 99) / 100))},""" +
@@ -223,6 +247,10 @@ object Eval {
         s""""prepared_query_ms_p95":${"%.1f".format(prepLat((nQ * 95) / 100))},""" +
         s""""prepared_query_ms_p99":${"%.1f".format(prepLat((nQ * 99) / 100))},""" +
         s""""prepared_concurrent_qps":${"%.1f".format(concQps)},""" +
+        // 16-thread kernel canary NEXT TO the qps number — single-thread
+        // health does not rule out host multi-core collapse (the r17
+        // admissibility rule: read qps only when 16t ≳ 8× single)
+        s""""kernel_canary_16t_rows_per_sec":${Canary.kernelCanaryMultiRowsPerSec(16)},""" +
         s""""canary_waited_before_s":$waitedBeforeS,""" +
         s""""kernel_canary_serving_rows_per_sec":$kernelServing,""" +
         s""""canary_waited_serving_s":$waitedServingS,""" +

@@ -115,6 +115,22 @@ class Engine(val spark: SparkSession, val root: String) {
     scala.collection.concurrent.TrieMap.empty[String, Object]
   @volatile var autoRoutePrepared: Boolean = true
 
+  /** r18 (VERDICT r17 next #2): [[queryCatalyst]]'s no-predicate trained
+    * branch serves through the engine's auto-prepared handle when one is
+    * ALREADY WARM and its blocks exactly cover the freshly-loaded doc
+    * (never builds one, never relaxes queryCatalyst's read-your-writes
+    * visibility — [[PreparedIndex.coversAddsOf]]). The returned frame is
+    * the same local relation the plan-free path builds, bit-identical by
+    * the prepared equality gates, but the candidate work runs over the
+    * handle's in-memory decoded blocks instead of re-decoding ~4 task-
+    * seconds of probed parquet per query (EVAL_r17 35M: occupancy
+    * 4,050 ms/query plan-free vs 153 prepared). OFF = the pure plan
+    * path, required by every spec/eval that uses queryCatalyst as the
+    * independent ground truth for the prepared path (comparing prepared
+    * to prepared gates nothing).
+    */
+  @volatile var catalystWarmServe: Boolean = true
+
   /** r15 layout knob, off by default: when true, the NEXT train writes
     * the coded table with the PACKED code column (one BIGINT carrying up
     * to 8 code bytes) instead of `array<int>` — 2.2× the scan-decode
@@ -143,12 +159,25 @@ class Engine(val spark: SparkSession, val root: String) {
     * one block build. The build lock is NOT [[dbLock]]: pinning blocks
     * runs a Spark job and must not stall adds/removes.
     */
+  /** Adds-refresh debounce of the AUTO-built handle — a test seam
+    * (CatalystWarmServeSpec pins read-your-writes with a debounce the
+    * test provably cannot outrun).
+    */
+  protected def autoPreparedAddsRefreshMs: Long =
+    Engine.PreparedAddsRefreshIntervalMs
+
+  /** True when an auto-prepared handle exists for `name` (test seam:
+    * queryCatalyst's warm-serve must never BUILD one).
+    */
+  private[core] def hasAutoPrepared(name: String): Boolean =
+    autoPrepared.contains(name)
+
   private def autoPreparedFor(doc: CatalogDoc): PreparedIndex =
     autoPrepared.get(doc.name).filter(!_.isStaleFor(doc)).getOrElse {
       prepareLocks.getOrElseUpdate(doc.name, new Object).synchronized {
         autoPrepared.get(doc.name).filter(!_.isStaleFor(doc)).getOrElse {
           autoPrepared.remove(doc.name).foreach(_.close())
-          val p = buildPrepared(doc.name, -1, Engine.PreparedAddsRefreshIntervalMs)
+          val p = buildPrepared(doc.name, -1, autoPreparedAddsRefreshMs)
           // close any handle the publish displaces: after a drop+recreate
           // the OLD lock object is gone (delete() removes prepareLocks),
           // so a stale builder still holding it can race this publish —
@@ -961,10 +990,15 @@ class Engine(val spark: SparkSession, val root: String) {
     }
   }
 
-  /** [[query]] pinned to the regular Catalyst plan (no prepared routing):
-    * the ground-truth path specs and evals compare the routed/prepared
-    * forms against, and the shape for callers that want a lazy plan to
-    * compose further.
+  /** [[query]] on the composable plan surface: a fresh catalog load
+    * (read-your-writes, unlike the routed entry's TTL'd load), Column
+    * predicates, explainable frames. Since r18 the no-predicate trained
+    * branch is served from an already-warm prepared handle when its
+    * blocks exactly cover the fresh doc ([[catalystWarmServe]] — same
+    * rows, same local-relation surface, none of the per-query probed-
+    * parquet decode); set `catalystWarmServe = false` to pin the PURE
+    * plan path — the independent ground truth every spec/eval compares
+    * the routed/prepared forms against.
     */
   def queryCatalyst(name: String, q: Array[Float], preliminaryTopK: Int = 500,
                     finalTopK: Int = 100,
@@ -972,6 +1006,19 @@ class Engine(val spark: SparkSession, val root: String) {
     val doc = load(name)
     require(doc.vectorDimension <= 0 || q.length == doc.vectorDimension,
       s"query dim ${q.length} != ${doc.vectorDimension}")
+    // warm-serve fast path (see [[catalystWarmServe]]): same frame, same
+    // fresh-doc visibility (coversAddsOf gates exactness), served from
+    // the already-warm handle's in-memory blocks. Strictly opportunistic:
+    // never builds a handle, and any handle-side refusal (concurrent
+    // close, version drift) falls through to the plan path below.
+    if (catalystWarmServe && predicate.isEmpty && doc.isTrained) {
+      autoPrepared.get(name)
+        .filter(p => !p.isStaleFor(doc) && p.coversAddsOf(doc))
+        .foreach { p =>
+          try return hitsDf(p.queryWith(doc, q, preliminaryTopK, finalTopK))
+          catch { case _: IllegalArgumentException => () }
+        }
+    }
     val qn = normalizeLocal(q)
     val table = snapshot(doc)
 

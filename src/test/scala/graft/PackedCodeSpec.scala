@@ -146,6 +146,10 @@ class PackedCodeSpec extends SparkSpec {
     val metas = vecs.indices.map(i => s"""{"i":$i}""")
     def build(packed: Boolean): Engine = {
       val eng = new Engine(spark, tmpDir(s"graft-packed-$packed"))
+      // queryHits below warms the auto-prepared handle; this spec's
+      // catalyst() must stay the INDEPENDENT plan path (hits==catalyst
+      // is one of its gates), so pin queryCatalyst pure
+      eng.catalystWarmServe = false
       eng.packedCodesOnTrain = packed
       eng.create("db", vectorDimension = 16)
       eng.addLocal("db", vecs, metas)

@@ -21,7 +21,14 @@ class PreparedIndexSpec extends SparkSpec {
   private val PrelimK = 200
   private val FinalK = 25
 
-  lazy val engine = new Engine(spark, tmpDir("graft-prep"))
+  lazy val engine = {
+    val e = new Engine(spark, tmpDir("graft-prep"))
+    // regular()/regularP() are this spec's INDEPENDENT ground truth for
+    // the prepared/routed paths — pin queryCatalyst to the pure plan
+    // path (warm-serve would compare prepared against prepared)
+    e.catalystWarmServe = false
+    e
+  }
 
   private def mkCorpus(n: Int, seed: Long): Array[Array[Float]] = {
     val rnd = new Random(seed)
