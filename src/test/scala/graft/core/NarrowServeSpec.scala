@@ -41,6 +41,8 @@ class NarrowServeSpec extends SparkSpec {
       def run(): Seq[Seq[Any]] = qs.toSeq.flatMap { q =>
         prep.query(q, 200, 20).toSeq
       }.map(h => Seq(h.rank, h.id, h.metadata, h.cosineSimilarity))
+      prep.localServe = false // force the JOB shapes this spec gates
+      prep.waveServe = false // one job per query, so the shape seam binds
       prep.narrowDepth = Int.MaxValue // wide shape
       val wide = run()
       prep.narrowDepth = 1 // every serve takes the narrow shape
