@@ -172,7 +172,13 @@ final class PreparedIndex private[core] (
       val promise: java.util.concurrent.CompletableFuture[Array[Cand]])
   private val waveQueue =
     new java.util.concurrent.ConcurrentLinkedQueue[WaveReq]
-  private val waveLeader = new java.util.concurrent.Semaphore(1)
+  // two leaders so a forming wave's job overlaps the previous wave's
+  // submit/merge gap — one leader serialized ALL serving onto a single
+  // job at a time and idled the cores between waves (r18b: 22 qps at
+  // 35M where one-job-per-query read 75-129)
+  private val waveLeader = new java.util.concurrent.Semaphore(
+    sys.env.get("GRAFT_PREPARED_WAVE_LEADERS").flatMap(_.toIntOption)
+      .getOrElse(2))
   private val WaveMax =
     sys.env.get("GRAFT_PREPARED_WAVE_MAX").flatMap(_.toIntOption).getOrElse(16)
   @volatile private[core] var waveServe: Boolean =
@@ -490,14 +496,16 @@ final class PreparedIndex private[core] (
       val qpArr = wave.map(_.qp)
       val qnArr = wave.map(_.qn)
       val prelimArr = wave.map(_.prelimK)
-      val depth = inFlight.addAndGet(nQ)
-      // task → query → one CandBatch per cached partition map (the
-      // narrow shape folds several maps per task, same as the single path)
+      inFlight.addAndGet(nQ)
+      // task → query → one CandBatch per cached partition map. Waves
+      // always run the WIDE partitioning: a wave is ~the only job in
+      // flight, so the narrow shape's fewer-task-events rationale does
+      // not apply and its fewer tasks would cap the wave at a fraction
+      // of the cores (measured: 8-task waves kept ~6 of 32 cores busy
+      // and qps collapsed to 22 — scaleeval_35m_r18b.log)
       val perTask: Array[Array[Array[PreparedANN.CandBatch]]] =
         try {
-          val rdd =
-            if (depth >= narrowDepth && (narrowBlocks ne blocks)) narrowBlocks
-            else blocks
+          val rdd = blocks
           spark.sparkContext.runJob(rdd,
             (it: Iterator[Map[Int, ClusterBlock]]) => {
               val maps = it.toArray
