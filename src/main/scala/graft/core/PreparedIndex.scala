@@ -126,20 +126,24 @@ final class PreparedIndex private[core] (
       blocks.coalesce(narrowParts)
     else blocks
 
-  // ---- wave batching (r18, VERDICT r17 next #5) -----------------------
-  // One serving JOB per query caps concurrent qps at the scheduler's
-  // small-job floor, not at CPU: EVAL_r17 35M reads measured 102-146 qps
-  // against prepared_implied_cpu_max_qps 209-384, and the narrow-shape
-  // work (fewer tasks/job) already showed the gap is job-event pressure.
-  // Under concurrency, callers now enqueue and ONE caller (the wave
-  // leader, flat-combining — no dedicated thread) drains up to WaveMax
-  // queued queries and serves them in a SINGLE job whose tasks run the
-  // UNCHANGED per-query kernel once per (query, cached partition): the
-  // same CandBatch per (query, partition) reaches the same per-query
-  // merge, so results are bit-identical to the one-job-per-query shape
-  // (WaveServeSpec). A lone query forms a wave of 1 — no added latency,
-  // no behavior change. Filtered queries keep the single-query path
-  // (their pushed round's under-fill logic is per-query).
+  // ---- wave batching (r18, VERDICT r17 next #5) — measured NEGATIVE,
+  // default OFF. Hypothesis: one serving JOB per query caps concurrent
+  // qps at the scheduler's small-job floor (ServeFloorProfile: 428
+  // empty 8-task jobs/s at 16 threads), so flat-combining waves — one
+  // leader serves every queued query in a single job whose tasks run
+  // the UNCHANGED per-query kernel once per (query, cached partition),
+  // bit-identical by construction (WaveServeSpec) — should recover the
+  // gap to prepared_implied_cpu_max_qps. Measured same-JVM interleaved
+  // A/B on the 35M root (waveqps_35m.log, healthy sub-windows): OFF
+  // 108.6/136.6 qps vs ON 83.3/107.4 — waves LOSE ~23%. Why: 16
+  // one-job-per-query narrow jobs keep ~128 tasks outstanding, which
+  // pipelines away both per-job gaps and per-partition skew, while 2
+  // wave jobs idle cores at wave boundaries and on straggler
+  // partitions. The scheduler floor was never binding at ~130 qps; the
+  // binding term is kernel CPU occupancy (implied max 172-209 by
+  // window). Kept env-gated (GRAFT_PREPARED_WAVE=true) with this
+  // negative result as the record; the 200-qps lever is kernel
+  // occupancy, not job count.
   // ---- driver-local serve for small corpora (r18) ---------------------
   // The published-config replication (57,638×768) pinned the single-query
   // floor at the per-query Spark JOB (~15-19 ms at local[32]) while the
@@ -182,7 +186,7 @@ final class PreparedIndex private[core] (
   private val WaveMax =
     sys.env.get("GRAFT_PREPARED_WAVE_MAX").flatMap(_.toIntOption).getOrElse(16)
   @volatile private[core] var waveServe: Boolean =
-    sys.env.get("GRAFT_PREPARED_WAVE").forall(v => !v.trim.equalsIgnoreCase("false"))
+    sys.env.get("GRAFT_PREPARED_WAVE").exists(_.trim.equalsIgnoreCase("true"))
 
   /** Acquire one more reference — None if the last holder already
     * released (a concurrent swap closed the routing handle between

@@ -136,25 +136,31 @@ object BatchANN {
           while (j < m) { codeBuf(j) = code.getInt(j); j += 1 }
         }
         val cc = centroids(cid)
-        var j = 0
-        while (j < m) {
-          val cb = codebooks(j)(codeBuf(j))
-          val off = j * subDim
-          var t = 0
-          while (t < subDim) { recon(off + t) = cc(off + t).toDouble + cb(t); t += 1 }
-          j += 1
-        }
-        var k = 0
-        while (k < probing.length) {
-          val qi = probing(k)
+        if (probing.length == 1) {
+          // single-query fused reconstruct+distance (r18): the separate
+          // recon pass built all p dims while the bounded distance loop
+          // early-exits after a handful once the heap fills — fusing
+          // skips the dims the exit never reads. Same per-dim expression
+          // and accumulation order → bit-identical dist (the batch form
+          // below amortizes ONE reconstruction over many queries, where
+          // the separate pass is the right trade).
+          val qi = probing(0)
           val q = qvecs(qi)
           val h = heaps(qi)
           val full = h.size >= prelimK
           val bound = if (full) h.head._1 else Double.MaxValue
           var d = 0.0
-          var x = 0
-          while (x < p && d <= bound) {
-            val df = q(x) - recon(x); d += df * df; x += 1
+          var j = 0
+          while (j < m && d <= bound) {
+            val cb = codebooks(j)(codeBuf(j))
+            val off = j * subDim
+            var t = 0
+            while (t < subDim && d <= bound) {
+              val df = q(off + t) - (cc(off + t).toDouble + cb(t))
+              d += df * df
+              t += 1
+            }
+            j += 1
           }
           if (!full) h.enqueue((d, id, cid))
           else {
@@ -163,7 +169,36 @@ object BatchANN {
               h.dequeue(); h.enqueue((d, id, cid))
             }
           }
-          k += 1
+        } else {
+          var j = 0
+          while (j < m) {
+            val cb = codebooks(j)(codeBuf(j))
+            val off = j * subDim
+            var t = 0
+            while (t < subDim) { recon(off + t) = cc(off + t).toDouble + cb(t); t += 1 }
+            j += 1
+          }
+          var k = 0
+          while (k < probing.length) {
+            val qi = probing(k)
+            val q = qvecs(qi)
+            val h = heaps(qi)
+            val full = h.size >= prelimK
+            val bound = if (full) h.head._1 else Double.MaxValue
+            var d = 0.0
+            var x = 0
+            while (x < p && d <= bound) {
+              val df = q(x) - recon(x); d += df * df; x += 1
+            }
+            if (!full) h.enqueue((d, id, cid))
+            else {
+              val (wd, wid, _) = h.head
+              if (d < wd || (d == wd && id < wid)) {
+                h.dequeue(); h.enqueue((d, id, cid))
+              }
+            }
+            k += 1
+          }
         }
       }
     }

@@ -168,14 +168,12 @@ object PreparedANN {
     val codebooks = model.pq.codebooks
     val subDim = model.pq.subDim
     val m = codebooks.length
-    val p = qp.length
     val d = qn.length
     // max-heap on (dist, id, cluster, row): head = worst kept under
     // (dist asc, id asc) — same ordering as the BatchANN heap
     val heapOrd =
       Ordering.by[(Double, Long, Int, Int), (Double, Long)](e => (e._1, e._2))
     val heap = PriorityQueue.empty[(Double, Long, Int, Int)](heapOrd)
-    val recon = new Array[Double](p)
     var pi = 0
     while (pi < probes.length) {
       val cid = probes(pi)
@@ -188,22 +186,28 @@ object PreparedANN {
           if (deleted.length == 0 ||
               java.util.Arrays.binarySearch(deleted, id) < 0) {
             val base = row * m
-            var j = 0
-            while (j < m) {
-              val cb = codebooks(j)(blk.codes(base + j) & 0xFF)
-              val off = j * subDim
-              var t = 0
-              while (t < subDim) {
-                recon(off + t) = cc(off + t).toDouble + cb(t); t += 1
-              }
-              j += 1
-            }
+            // FUSED reconstruct+distance (r18): the old shape built the
+            // full p-dim reconstruction into `recon` before a distance
+            // loop that early-exits after a handful of dims once the
+            // heap is full — most of the reconstruction work was never
+            // read. Same per-dim expression (cc.toDouble + cb, float
+            // query minus double), same accumulation order, same
+            // early-exit points → bit-identical dist; only the dims the
+            // exit never reaches are skipped.
             val full = heap.size >= prelimK
             val bound = if (full) heap.head._1 else Double.MaxValue
             var dist = 0.0
-            var x = 0
-            while (x < p && dist <= bound) {
-              val df = qp(x) - recon(x); dist += df * df; x += 1
+            var j = 0
+            while (j < m && dist <= bound) {
+              val cb = codebooks(j)(blk.codes(base + j) & 0xFF)
+              val off = j * subDim
+              var t = 0
+              while (t < subDim && dist <= bound) {
+                val df = qp(off + t) - (cc(off + t).toDouble + cb(t))
+                dist += df * df
+                t += 1
+              }
+              j += 1
             }
             if (!full) {
               if (pred == null || pred(id, blk.meta(row)))
