@@ -103,6 +103,31 @@ scale_row("scaleeval_35m_r18a_prewave", "scaleeval_35m_r18a.log")
 scale_row("scaleeval_35m_r18b", "scaleeval_35m_r18b.log")
 scale_row("scaleeval_35m_r18c", "scaleeval_35m_r18c.log")
 json_row("fiqa_57k_768_local_serve", "fiqa_57k_768_v3.log")
+json_row("fiqa_57k_768_final", "fiqa_57k_768_v4.log")
+scale_row("scaleeval_35m_r18d_wave_wide", "scaleeval_35m_r18d.log")
+scale_row("scaleeval_35m_r18e_fused", "scaleeval_35m_r18e.log")
+scale_row("scaleeval_35m_r17ctl_oldkernel", "scaleeval_35m_r17ctl.log")
+scale_row("scaleeval_35m_r18f_fused", "scaleeval_35m_r18f.log")
+
+
+def waveqps_row(name, log):
+    p = os.path.join(R, log)
+    if not os.path.exists(p):
+        return
+    txt = open(p, errors="replace").read()
+    d = {"log": "evalruns_r18/" + log}
+    m = re.search(r"wave_matches_single=(\w+)", txt)
+    if m:
+        d["wave_matches_single"] = m.group(1) == "true"
+    d["rounds_off_on"] = re.findall(r"round \d+: qps_off=([\d.]+) qps_on=([\d.]+)", txt)
+    for k in ("kernel_canary_start", "kernel_canary_end",
+              "kernel_canary_16t_start", "kernel_canary_16t_end"):
+        m = re.search(k + r"=([\d.]+)", txt)
+        if m:
+            d[k] = float(m.group(1))
+    out[name] = d
+
+waveqps_row("waveqps_35m_ab", "waveqps_35m.log")
 
 out["provenance"] = {
     "note": (
@@ -122,10 +147,18 @@ out["provenance"] = {
         "embed_near_dup r16 {2.93,2.83} vs r17 {3.19,2.80} s and "
         "tfidf_topk r16 {1.25,1.27} vs r17 {1.32,1.23} s overlap with "
         "no systematic gap -> host-window, not code. servefloor_16t is "
-        "the empty-job scheduler floor sweep backing the qps-gap "
-        "attribution (428 jobs/s at the narrow 8-task shape; "
-        "1/qps ~= occupancy/cores + 1/floor reproduces the measured "
-        "129 qps at 35M)."),
+        "the empty-job scheduler floor sweep (428 jobs/s at the narrow "
+        "8-task shape). scaleeval_35m_r18b is the honest record of the "
+        "first wave-batching cut (narrow-rdd waves kept ~6/32 cores "
+        "busy, qps 22) and r18c ran inside a full host collapse (its "
+        "flapped fields are marked); waveqps_35m_ab is the same-JVM "
+        "interleaved OFF/ON A/B that decided the wave default: OFF "
+        "108.6/136.6 vs ON 83.3/107.4 qps in healthy rounds -> wave "
+        "batching defaults off. r18e/r17ctl/r18f are the same-window "
+        "kernel-fusion A/B/A: fused occupancy 164-198 ms/query vs the "
+        "old kernel's 275, prepared p50 34 vs 45, prepared qps 102-112 "
+        "vs 83.4. fiqa_57k_768_final is the published-config replication "
+        "on the final classes (driver-local serve + fused kernel)."),
 }
 
 with open(os.path.join(R, "..", "EVAL_r18.json"), "w") as f:
