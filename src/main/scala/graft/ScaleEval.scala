@@ -415,32 +415,44 @@ object ScaleEval {
         got == exp
       } finally engine.catalystWarmServe = true
       prep.query(queries(0), prelimK, finalK) // warm the code path
-      val pLat = (0 until nSingle).map { qi =>
-        val s0 = System.nanoTime()
-        prep.query(queries(qi), prelimK, finalK)
-        (System.nanoTime() - s0) / 1e6
-      }.sorted
-      val pP50 = pLat(nSingle / 2)
-      val pPool = Executors.newFixedThreadPool(nThreads)
-      val pTasks = (0 until nConc).map { qi =>
-        new Callable[Long] {
-          def call(): Long = { prep.query(queries(qi % nQ), prelimK, finalK); 1L }
+      // start+END canary bracket (r18b): the prepared block runs LAST in
+      // this main, after every other bracket — the 2M×768 r18 rerun
+      // measured its prepared occupancy at 4.3× the r17 control with a
+      // healthy p50, the signature of contention arriving exactly here,
+      // and had no marker to prove it. Same bracket-with-retry rule as
+      // the qps gate block above.
+      val ((pP50, pConcSec, pRunMs), pKStart, pKEnd, pWaited) =
+        Canary.bracket("scale-eval-prepared") {
+          val pLat = (0 until nSingle).map { qi =>
+            val s0 = System.nanoTime()
+            prep.query(queries(qi), prelimK, finalK)
+            (System.nanoTime() - s0) / 1e6
+          }.sorted
+          val pPool = Executors.newFixedThreadPool(nThreads)
+          val pTasks = (0 until nConc).map { qi =>
+            new Callable[Long] {
+              def call(): Long = { prep.query(queries(qi % nQ), prelimK, finalK); 1L }
+            }
+          }
+          val (pcSec, prMs, _, _) = taskDelta {
+            val pc0 = System.nanoTime()
+            pPool.invokeAll(new java.util.ArrayList(scala.jdk.CollectionConverters
+              .SeqHasAsJava(pTasks).asJava)).forEach(f => f.get())
+            (System.nanoTime() - pc0) / 1e9
+          }
+          pPool.shutdown(); pPool.awaitTermination(1, TimeUnit.MINUTES)
+          (pLat(nSingle / 2), pcSec, prMs)
         }
-      }
-      val (pConcSec, pRunMs, _, _) = taskDelta {
-        val pc0 = System.nanoTime()
-        pPool.invokeAll(new java.util.ArrayList(scala.jdk.CollectionConverters
-          .SeqHasAsJava(pTasks).asJava)).forEach(f => f.get())
-        (System.nanoTime() - pc0) / 1e9
-      }
-      pPool.shutdown(); pPool.awaitTermination(1, TimeUnit.MINUTES)
       s""""prepared_build_sec":${"%.1f".format(prepBuildSec)},""" +
         s""""prepared_matches_regular":$matches,""" +
         s""""prepared_query_ms_p50":${"%.0f".format(pP50)},""" +
         s""""prepared_concurrent_qps":${"%.2f".format(nConc / pConcSec)},""" +
         s""""prepared_task_occupancy_ms_per_query":${"%.0f".format(pRunMs / nConc)},""" +
         s""""prepared_implied_cpu_max_qps":${
-          "%.1f".format(if (pRunMs > 0) cpus.toDouble * 1000.0 * nConc / pRunMs else -1.0)},"""
+          "%.1f".format(if (pRunMs > 0) cpus.toDouble * 1000.0 * nConc / pRunMs else -1.0)},""" +
+        s""""kernel_canary_prepared_start_rows_per_sec":$pKStart,""" +
+        s""""kernel_canary_prepared_end_rows_per_sec":$pKEnd,""" +
+        s""""canary_waited_prepared_s":$pWaited,"""
     }
 
     println(

@@ -149,13 +149,17 @@ object BatchANN {
           val h = heaps(qi)
           val full = h.size >= prelimK
           val bound = if (full) h.head._1 else Double.MaxValue
+          // bound check hoisted to once per subquantizer (r18b): d only
+          // grows, so exit granularity cannot change which rows pass —
+          // and kept rows' += sequence is untouched → bit-identical.
+          // The branch-free 8-dim inner loop unrolls/pipelines in C2.
           var d = 0.0
           var j = 0
           while (j < m && d <= bound) {
             val cb = codebooks(j)(codeBuf(j))
             val off = j * subDim
             var t = 0
-            while (t < subDim && d <= bound) {
+            while (t < subDim) {
               val df = q(off + t) - (cc(off + t).toDouble + cb(t))
               d += df * df
               t += 1
@@ -185,10 +189,16 @@ object BatchANN {
             val h = heaps(qi)
             val full = h.size >= prelimK
             val bound = if (full) h.head._1 else Double.MaxValue
+            // per-subDim-block bound check (r18b): same monotonic-dist
+            // argument as the single-query branch — identical kept rows
+            // and bits, branch-free inner block
             var d = 0.0
             var x = 0
             while (x < p && d <= bound) {
-              val df = q(x) - recon(x); d += df * df; x += 1
+              val end = x + subDim
+              while (x < end) {
+                val df = q(x) - recon(x); d += df * df; x += 1
+              }
             }
             if (!full) h.enqueue((d, id, cid))
             else {

@@ -191,18 +191,24 @@ object PreparedANN {
             // loop that early-exits after a handful of dims once the
             // heap is full — most of the reconstruction work was never
             // read. Same per-dim expression (cc.toDouble + cb, float
-            // query minus double), same accumulation order, same
-            // early-exit points → bit-identical dist; only the dims the
-            // exit never reaches are skipped.
+            // query minus double) and accumulation order → kept rows'
+            // dists are bit-identical; only dims past the (per-block,
+            // see below) exit are skipped.
             val full = heap.size >= prelimK
             val bound = if (full) heap.head._1 else Double.MaxValue
+            // bound check hoisted to once per subquantizer (r18b): dist
+            // only grows (+= df*df), so a row over the bound at dim t
+            // stays over it at its block end — same rows kept, same dist
+            // bits (the += sequence of kept rows is untouched). What it
+            // buys: the 8-dim inner loop is branch-free (was 2 compare
+            // branches per FLOP), so C2 unrolls and pipelines it.
             var dist = 0.0
             var j = 0
             while (j < m && dist <= bound) {
               val cb = codebooks(j)(blk.codes(base + j) & 0xFF)
               val off = j * subDim
               var t = 0
-              while (t < subDim && dist <= bound) {
+              while (t < subDim) {
                 val df = qp(off + t) - (cc(off + t).toDouble + cb(t))
                 dist += df * df
                 t += 1
