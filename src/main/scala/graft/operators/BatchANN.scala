@@ -149,22 +149,41 @@ object BatchANN {
           val h = heaps(qi)
           val full = h.size >= prelimK
           val bound = if (full) h.head._1 else Double.MaxValue
-          // bound check hoisted to once per subquantizer (r18b): d only
-          // grows, so exit granularity cannot change which rows pass —
-          // and kept rows' += sequence is untouched → bit-identical.
-          // The branch-free 8-dim inner loop unrolls/pipelines in C2.
+          // bound check hoisted to once per subquantizer (r18b); for
+          // subDim==8 the block sum uses the PAIRWISE-TREE grouping
+          // (r18c) — same grouping as PreparedANN.servePartition and the
+          // DuckDB replay (see the comment there): breaks the serial FP
+          // add chain, measured 123 → 68 ns/row (AdcKernelProfile)
           var d = 0.0
           var j = 0
-          while (j < m && d <= bound) {
-            val cb = codebooks(j)(codeBuf(j))
-            val off = j * subDim
-            var t = 0
-            while (t < subDim) {
-              val df = q(off + t) - (cc(off + t).toDouble + cb(t))
-              d += df * df
-              t += 1
+          if (subDim == 8) {
+            while (j < m && d <= bound) {
+              val cb = codebooks(j)(codeBuf(j))
+              val off = j * subDim
+              val e0 = q(off) - (cc(off).toDouble + cb(0))
+              val e1 = q(off + 1) - (cc(off + 1).toDouble + cb(1))
+              val e2 = q(off + 2) - (cc(off + 2).toDouble + cb(2))
+              val e3 = q(off + 3) - (cc(off + 3).toDouble + cb(3))
+              val e4 = q(off + 4) - (cc(off + 4).toDouble + cb(4))
+              val e5 = q(off + 5) - (cc(off + 5).toDouble + cb(5))
+              val e6 = q(off + 6) - (cc(off + 6).toDouble + cb(6))
+              val e7 = q(off + 7) - (cc(off + 7).toDouble + cb(7))
+              d += ((e0 * e0 + e1 * e1) + (e2 * e2 + e3 * e3)) +
+                ((e4 * e4 + e5 * e5) + (e6 * e6 + e7 * e7))
+              j += 1
             }
-            j += 1
+          } else {
+            while (j < m && d <= bound) {
+              val cb = codebooks(j)(codeBuf(j))
+              val off = j * subDim
+              var t = 0
+              while (t < subDim) {
+                val df = q(off + t) - (cc(off + t).toDouble + cb(t))
+                d += df * df
+                t += 1
+              }
+              j += 1
+            }
           }
           if (!full) h.enqueue((d, id, cid))
           else {
@@ -189,15 +208,34 @@ object BatchANN {
             val h = heaps(qi)
             val full = h.size >= prelimK
             val bound = if (full) h.head._1 else Double.MaxValue
-            // per-subDim-block bound check (r18b): same monotonic-dist
-            // argument as the single-query branch — identical kept rows
-            // and bits, branch-free inner block
+            // per-subDim-block bound check (r18b) + the same
+            // pairwise-tree grouping as the fused branch when subDim==8
+            // (r18c): recon(x) IS cc+cb bit-for-bit, so both branches
+            // produce identical dists — a query served partly by each
+            // branch (probing.length varies per partition) merges
+            // consistently
             var d = 0.0
             var x = 0
-            while (x < p && d <= bound) {
-              val end = x + subDim
-              while (x < end) {
-                val df = q(x) - recon(x); d += df * df; x += 1
+            if (subDim == 8) {
+              while (x < p && d <= bound) {
+                val e0 = q(x) - recon(x)
+                val e1 = q(x + 1) - recon(x + 1)
+                val e2 = q(x + 2) - recon(x + 2)
+                val e3 = q(x + 3) - recon(x + 3)
+                val e4 = q(x + 4) - recon(x + 4)
+                val e5 = q(x + 5) - recon(x + 5)
+                val e6 = q(x + 6) - recon(x + 6)
+                val e7 = q(x + 7) - recon(x + 7)
+                d += ((e0 * e0 + e1 * e1) + (e2 * e2 + e3 * e3)) +
+                  ((e4 * e4 + e5 * e5) + (e6 * e6 + e7 * e7))
+                x += 8
+              }
+            } else {
+              while (x < p && d <= bound) {
+                val end = x + subDim
+                while (x < end) {
+                  val df = q(x) - recon(x); d += df * df; x += 1
+                }
               }
             }
             if (!full) h.enqueue((d, id, cid))

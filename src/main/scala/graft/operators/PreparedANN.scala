@@ -199,21 +199,48 @@ object PreparedANN {
             // bound check hoisted to once per subquantizer (r18b): dist
             // only grows (+= df*df), so a row over the bound at dim t
             // stays over it at its block end — same rows kept, same dist
-            // bits (the += sequence of kept rows is untouched). What it
-            // buys: the 8-dim inner loop is branch-free (was 2 compare
-            // branches per FLOP), so C2 unrolls and pipelines it.
+            // bits (the += sequence of kept rows is untouched).
+            //
+            // subDim==8 blocks use the PAIRWISE-TREE grouping (r18c):
+            // partial = ((s0+s1)+(s2+s3)) + ((s4+s5)+(s6+s7)), dist +=
+            // partial in j order. This REGROUPS the FP sum (not
+            // bit-identical to the old sequential fold) — the DuckDB
+            // replay (TrainedFixture.replayCtes) and BOTH BatchANN
+            // branches compute the SAME grouping, so every path and the
+            // oracle stay hash-exact together. Why: the sequential
+            // dist += df*df chain is latency-bound (one dependent FP add
+            // per dim); the depth-3 tree halves measured scan cost
+            // (AdcKernelProfile: 123 → 68 ns/row at the 35M geometry).
             var dist = 0.0
             var j = 0
-            while (j < m && dist <= bound) {
-              val cb = codebooks(j)(blk.codes(base + j) & 0xFF)
-              val off = j * subDim
-              var t = 0
-              while (t < subDim) {
-                val df = qp(off + t) - (cc(off + t).toDouble + cb(t))
-                dist += df * df
-                t += 1
+            if (subDim == 8) {
+              while (j < m && dist <= bound) {
+                val cb = codebooks(j)(blk.codes(base + j) & 0xFF)
+                val off = j * subDim
+                val d0 = qp(off) - (cc(off).toDouble + cb(0))
+                val d1 = qp(off + 1) - (cc(off + 1).toDouble + cb(1))
+                val d2 = qp(off + 2) - (cc(off + 2).toDouble + cb(2))
+                val d3 = qp(off + 3) - (cc(off + 3).toDouble + cb(3))
+                val d4 = qp(off + 4) - (cc(off + 4).toDouble + cb(4))
+                val d5 = qp(off + 5) - (cc(off + 5).toDouble + cb(5))
+                val d6 = qp(off + 6) - (cc(off + 6).toDouble + cb(6))
+                val d7 = qp(off + 7) - (cc(off + 7).toDouble + cb(7))
+                dist += ((d0 * d0 + d1 * d1) + (d2 * d2 + d3 * d3)) +
+                  ((d4 * d4 + d5 * d5) + (d6 * d6 + d7 * d7))
+                j += 1
               }
-              j += 1
+            } else {
+              while (j < m && dist <= bound) {
+                val cb = codebooks(j)(blk.codes(base + j) & 0xFF)
+                val off = j * subDim
+                var t = 0
+                while (t < subDim) {
+                  val df = qp(off + t) - (cc(off + t).toDouble + cb(t))
+                  dist += df * df
+                  t += 1
+                }
+                j += 1
+              }
             }
             if (!full) {
               if (pred == null || pred(id, blk.meta(row)))

@@ -20,9 +20,11 @@ import graft.index.{IndexParams, IndexStore}
   * numbers": DuckDB cannot reproduce k-means training, but given the
   * trained artifacts it CAN recompute assignment, residual PQ codes, ADC
   * distances and the rerank bit-for-bit (both engines run the same
-  * IEEE-double op sequence: sequential left-to-right sums, (v−c)−e
-  * residuals, q−(c+e) reconstruction), so the driver's hash compare
-  * covers the full trained read path. Identity PCA keeps the replay free
+  * IEEE-double op sequence: sequential left-to-right sums — except the
+  * ADC block sum, which both sides compute in the r18c pairwise-tree
+  * grouping, see [[adcDistExpr]] — (v−c)−e residuals, q−(c+e)
+  * reconstruction), so the driver's hash compare covers the full
+  * trained read path. Identity PCA keeps the replay free
   * of a matmul; float literals are printed via their exact double values.
   */
 object TrainedFixture {
@@ -239,13 +241,41 @@ object TrainedFixture {
        |  WHERE a.cid IN (SELECT cid FROM probes)),
        |adc AS (
        |  SELECT id, label, v,
-       |    list_sum([
-       |        (CAST(q.qv[i] AS DOUBLE)
-       |          - (cents.c[cid+1][i] + books.b[((i-1)//$sub)+1][codes[((i-1)//$sub)+1]+1][((i-1)%$sub)+1]))
-       |      * (CAST(q.qv[i] AS DOUBLE)
-       |          - (cents.c[cid+1][i] + books.b[((i-1)//$sub)+1][codes[((i-1)//$sub)+1]+1][((i-1)%$sub)+1]))
-       |      for i in generate_series(1, $d)]) AS dist
+       |    $adcDistExpr AS dist
        |  FROM coded, q, cents, books)""".stripMargin
+  }
+
+  /** The ADC distance expression replaying the serving kernels' exact FP
+    * grouping. subDim==8 (every real config: PQ splits into 8-dim
+    * subspaces) uses the r18c PAIRWISE-TREE block sum — per subquantizer
+    * j: ((s1+s2)+(s3+s4)) + ((s5+s6)+(s7+s8)), then a sequential
+    * left-fold over the j partials (DuckDB's `list_sum` over the
+    * M-element list) — matching `dist += treeBlock(j)` in
+    * PreparedANN.servePartition / BatchANN.scanPartitionHeaps term for
+    * term. Other subDims replay the sequential per-element fold the
+    * kernels fall back to.
+    */
+  private def adcDistExpr: String = {
+    val d = 64
+    val sub = d / M
+    def term(j: Int, u: Int): String = {
+      val i = (j - 1) * sub + u
+      s"""(CAST(q.qv[$i] AS DOUBLE) - (cents.c[cid+1][$i] + books.b[$j][codes[$j]+1][$u]))"""
+    }
+    def sq(j: Int, u: Int): String = s"${term(j, u)} * ${term(j, u)}"
+    if (sub == 8) {
+      val blocks = (1 to M).map { j =>
+        s"((${sq(j, 1)} + ${sq(j, 2)}) + (${sq(j, 3)} + ${sq(j, 4)})) + " +
+          s"((${sq(j, 5)} + ${sq(j, 6)}) + (${sq(j, 7)} + ${sq(j, 8)}))"
+      }
+      s"list_sum([${blocks.mkString(",\n        ")}])"
+    } else
+      s"""list_sum([
+         |        (CAST(q.qv[i] AS DOUBLE)
+         |          - (cents.c[cid+1][i] + books.b[((i-1)//$sub)+1][codes[((i-1)//$sub)+1]+1][((i-1)%$sub)+1]))
+         |      * (CAST(q.qv[i] AS DOUBLE)
+         |          - (cents.c[cid+1][i] + books.b[((i-1)//$sub)+1][codes[((i-1)//$sub)+1]+1][((i-1)%$sub)+1]))
+         |      for i in generate_series(1, $d)])""".stripMargin
   }
 
   private def adcSql(f: Fixture): String =
