@@ -211,10 +211,22 @@ out["provenance"] = {
         "classes but its canary sat at 1612, barely over the 1600 floor "
         "(66.6 s); bench_final_v3_unroll is the keeper — 58.54 s / 96 "
         "rows / 0 failed, canary 1917, the round's best healthy "
-        "reading, and what BENCH_SELF.json holds."),
+        "reading, and what BENCH_SELF.json holds. r18i/ctl3/r18j are "
+        "the pairwise-tree-block-sum A/B/A (tree classes / unroll "
+        "frozen control / tree classes, all brackets healthy): "
+        "occupancy 139/152/141 ms/query, qps 125.3/122.9/126.3 — the "
+        "tree's 45% single-thread microbench win (AdcKernelProfile, "
+        "123 -> 68 ns/row) compresses to ~8% under 16-way SMT; the "
+        "oracle's adc CTE is regrouped with it so hash-exactness holds "
+        "(96/96 after the change). fiqa_57k_768_tree re-measures the "
+        "published config on the tree classes."),
 }
 bench_row("bench_final_v2_unroll_MARGINAL", "bench_final_v2.log")
 bench_row("bench_final_v3_unroll", "bench_final_v3.log")
+scale_row("scaleeval_35m_r18i_tree", "scaleeval_35m_r18i_tree.log")
+scale_row("scaleeval_35m_r18ctl3_unroll", "scaleeval_35m_r18ctl3_unroll.log")
+scale_row("scaleeval_35m_r18j_tree", "scaleeval_35m_r18j_tree.log")
+json_row("fiqa_57k_768_tree", "fiqa_57k_768_v5.log")
 
 with open(os.path.join(R, "..", "EVAL_r18.json"), "w") as f:
     json.dump(out, f, indent=1)
