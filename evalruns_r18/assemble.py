@@ -219,7 +219,15 @@ out["provenance"] = {
         "123 -> 68 ns/row) compresses to ~8% under 16-way SMT; the "
         "oracle's adc CTE is regrouped with it so hash-exactness holds "
         "(96/96 after the change). fiqa_57k_768_tree re-measures the "
-        "published config on the tree classes."),
+        "published config on the tree classes. scale_2m_768_tree and "
+        "scale_5m_768_tree are fresh 768-d full builds on the FINAL "
+        "tree classes with the new prepared bracket: every block "
+        "bracket passed (2M: prepared 2232->1794), all equality gates "
+        "true, recall 1.0 — they replace the flapped 2M row's role; "
+        "their windows read ~20% below the session's best canaries "
+        "(1790-1820 vs 2250+), so absolute ms there are "
+        "window-conservative (EVAL_r17 scale_2m_768_opq remains the "
+        "best healthy old-kernel reading)."),
 }
 bench_row("bench_final_v2_unroll_MARGINAL", "bench_final_v2.log")
 bench_row("bench_final_v3_unroll", "bench_final_v3.log")
@@ -227,6 +235,8 @@ scale_row("scaleeval_35m_r18i_tree", "scaleeval_35m_r18i_tree.log")
 scale_row("scaleeval_35m_r18ctl3_unroll", "scaleeval_35m_r18ctl3_unroll.log")
 scale_row("scaleeval_35m_r18j_tree", "scaleeval_35m_r18j_tree.log")
 json_row("fiqa_57k_768_tree", "fiqa_57k_768_v5.log")
+scale_row("scale_2m_768_tree", "scale_2m_768_tree.log")
+scale_row("scale_5m_768_tree", "scale_5m_768_tree.log")
 
 with open(os.path.join(R, "..", "EVAL_r18.json"), "w") as f:
     json.dump(out, f, indent=1)
