@@ -237,6 +237,9 @@ scale_row("scaleeval_35m_r18j_tree", "scaleeval_35m_r18j_tree.log")
 json_row("fiqa_57k_768_tree", "fiqa_57k_768_v5.log")
 scale_row("scale_2m_768_tree", "scale_2m_768_tree.log")
 scale_row("scale_5m_768_tree", "scale_5m_768_tree.log")
+json_row("servefloor_payload_16t", "servefloor_payload.log",
+         prefix='{"threads"')
+bench_row("bench_final_v5_treeclasses", "bench_final_v5.log")
 
 with open(os.path.join(R, "..", "EVAL_r18.json"), "w") as f:
     json.dump(out, f, indent=1)
