@@ -77,6 +77,42 @@ case class L2DistSq(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Σx² in double — the norm building block. Native codegen expression:
+  * the `aggregate(...)` higher-order-function form this replaces runs on
+  * Catalyst's interpreted HOF path (boxing every element), which measured
+  * as the dominant per-pair cost on the cosine verify joins.
+  */
+case class SumSq(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  private def kernelName: String = child.dataType match {
+    case ArrayType(FloatType, _) => "sumSqF"
+    case _ => "sumSqD"
+  }
+
+  override def nullSafeEval(a: Any): Any = kernelName match {
+    case "sumSqF" => VectorKernels.sumSqF(a.asInstanceOf[ArrayData])
+    case _ => VectorKernels.sumSqD(a.asInstanceOf[ArrayData])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.$kernelName($a);")
+
+  override def prettyName: String = "sum_sq"
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** v / ‖v‖₂ as one native pass (the ingest invariant,
   * input_validation.py:96-99). Output is array<double>; zero vectors map
   * to zeros. Replaces the `transform(aggregate(...))` lambda whose norm

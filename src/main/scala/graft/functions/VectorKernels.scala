@@ -64,6 +64,27 @@ object VectorKernels {
 
   def l2DistSqDF(a: ArrayData, b: ArrayData): Double = l2DistSqFD(b, a)
 
+  /** Σx² in double, left-to-right — bit-identical to the
+    * `aggregate(v, 0.0, (acc, x) -> acc + x*x)` lambda it replaces (the
+    * interpreted HOF path boxed every element and re-entered the
+    * interpreter per pair on the near-dup verify joins).
+    */
+  def sumSqF(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    s
+  }
+
+  def sumSqD(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
+    s
+  }
+
   /** v / ‖v‖₂ in one pass pair (norm, then scale) — O(d). The norm is a
     * double left-to-right Σx² fold, elementwise division matches the
     * `transform(v, x -> x / sqrt(aggregate(...)))` lambda this replaces

@@ -207,12 +207,23 @@ object EmbeddingLSH {
     */
   private def verifyCosine(df: DataFrame, idCol: String, vecCol: String,
                            tau: Double, pairs: DataFrame): DataFrame = {
-    val vecs = df.select(col(idCol), col(vecCol))
+    // Each vector's norm is computed ONCE on the per-vector side of the
+    // joins (O(n) evals) instead of inside the per-pair cosine (O(pairs)
+    // interpreted re-evals — 2 norms per candidate, and once more in the
+    // output projection). dot/(na·nb) runs the exact double op sequence
+    // of VectorFunctions.cosine — sqrt of the same left-to-right Σx²
+    // fold, then the same multiply/divide order — so cos9 is
+    // bit-identical to the inline form.
+    val vecs = df.select(col(idCol), col(vecCol),
+      VectorFunctions.l2Norm(col(vecCol)).as("nrm"))
     pairs
-      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("va")), Seq("id_a"))
-      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb")), Seq("id_b"))
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(VectorFunctions.cosine(col("va"), col("vb")), 9).as("cos9"))
+        round(VectorFunctions.dot(col("va"), col("vb")) /
+          (col("na") * col("nb")), 9).as("cos9"))
       .filter(col("cos9") >= tau)
   }
 }

@@ -47,11 +47,17 @@ object SemanticDedup {
     val idx = array_position(dists, array_min(dists)) // first min → lowest cid on ties
     val assigned = items.select(col(idCol), col(vecCol),
       element_at(cidLit, idx.cast("int")).as("cid"))
-    val a = assigned.select(col(idCol).as("id_a"), col("cid"), col(vecCol).as("va"))
-    val b = assigned.select(col(idCol).as("id_b"), col("cid"), col(vecCol).as("vb"))
+    // per-vector norm hoisted out of the in-cluster pair join (same
+    // rationale and bit-identity argument as EmbeddingLSH.verifyCosine:
+    // dot/(na·nb) is cosine's exact double op sequence)
+    val a = assigned.select(col(idCol).as("id_a"), col("cid"),
+      col(vecCol).as("va"), VectorFunctions.l2Norm(col(vecCol)).as("na"))
+    val b = assigned.select(col(idCol).as("id_b"), col("cid"),
+      col(vecCol).as("vb"), VectorFunctions.l2Norm(col(vecCol)).as("nb"))
     val marks = a.join(b, "cid")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("c9", round(VectorFunctions.cosine(col("va"), col("vb")), 9))
+      .withColumn("c9", round(VectorFunctions.dot(col("va"), col("vb")) /
+        (col("na") * col("nb")), 9))
       .filter(col("c9") >= tau)
       // the HIGHER id of each near pair carries the mark → the lowest id
       // of every duplicate neighborhood is kept by construction

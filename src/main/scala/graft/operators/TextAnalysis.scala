@@ -162,8 +162,10 @@ object TextAnalysis {
     val terms = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
+    // tf feeds both the document-frequency rollup and the scoring join —
+    // persist so the corpus explode+aggregate runs once, not twice.
     val tf = terms.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")).persist()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
       .withColumn("tfidf",
@@ -420,6 +422,11 @@ object TextAnalysis {
   def bigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = filter(tokens(col(textCol)), x => x =!= "")
+    // The corpus-gram frame feeds BOTH the model aggregation and the
+    // scoring join — persist it so the tokenize+slice-zip extraction (the
+    // per-row kernel) runs ONCE instead of once per plan reference; `pair`
+    // likewise feeds the prefix rollup and the join. Values unchanged
+    // (same deterministic frames, one materialization instead of two).
     val bg = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), toks.as("t"))
       .filter(size(col("t")) >= 2)
@@ -428,7 +435,8 @@ object TextAnalysis {
         slice(col("t"), lit(2), size(col("t")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val pair = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cp"))
+      .persist()
+    val pair = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cp")).persist()
     val pref = pair.groupBy("w1").agg(sum("cp").as("c1"))
     bg.join(pair, Seq("w1", "w2")).join(pref, Seq("w1"))
       .groupBy(col(idCol))
@@ -464,10 +472,14 @@ object TextAnalysis {
                   textCol: String,
                   isTarget: org.apache.spark.sql.Column)
       : org.apache.spark.sql.DataFrame = {
-    val bg = bigramsWithTarget(docs, idCol, textCol, isTarget)
+    // bg feeds the model agg, the totals action AND the scoring join;
+    // model feeds the totals action and the join. Persisting both runs
+    // the extraction kernel once (the totals `head()` materializes them)
+    // instead of once per plan reference — values unchanged.
+    val bg = bigramsWithTarget(docs, idCol, textCol, isTarget).persist()
     val model = bg.groupBy("w1", "w2").agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
-      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
+      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr")).persist()
     val tot = model.agg(sum("ct"), sum("cr"), count(lit(1))).head()
     val nt = tot.getLong(0); val nr = tot.getLong(1); val v = tot.getLong(2)
     bg.join(model, Seq("w1", "w2"))
@@ -502,13 +514,17 @@ object TextAnalysis {
                         isTarget: org.apache.spark.sql.Column,
                         nBuckets: Int = 4096)
       : org.apache.spark.sql.DataFrame = {
+    // persist AFTER the md5-bucket projection so the per-bigram hash (the
+    // dominant per-row cost of this variant) runs once, not once per plan
+    // reference; model persisted for the same reason as the exact form.
     val bg = bigramsWithTarget(docs, idCol, textCol, isTarget)
       .select(col(idCol), col("tgt"),
         (conv(substring(md5(concat(col("w1"), lit(" "), col("w2"))), 1, 15),
           16, 10).cast("long") % nBuckets).as("bucket"))
+      .persist()
     val model = bg.groupBy("bucket").agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
-      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
+      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr")).persist()
     val tot = model.agg(sum("ct"), sum("cr")).head()
     val nt = tot.getLong(0); val nr = tot.getLong(1)
     bg.join(broadcast(model), Seq("bucket"))
