@@ -225,6 +225,19 @@ object MinHashLSH {
   def candidatePairsRouted(docs: DataFrame, bandsDf: DataFrame, idCol: String,
                            textCol: String,
                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // Runtime adaptivity (same AQE-style probe as
+    // EmbeddingLSH.candidatePairsRoutedFromSigs): one cheap aggregation
+    // over the (persisted) band table finds the max bucket size; when no
+    // bucket exceeds the cap — every healthy corpus — the whole skew
+    // apparatus (two windowed-count evaluations of the band table, the
+    // over-cap exact route, the union) is pruned and the operator is just
+    // band-join + distinct, which is bit-identical to the routed plan by
+    // construction (nothing is capped, the exact route is empty). The
+    // probe costs one shuffle of rows the window would shuffle anyway.
+    val maxRow = bandsDf.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).first()
+    val maxN = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    if (maxN <= maxBucket) return candidatePairs(bandsDf, idCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band_idx"), col("band_key"))
     val counted = bandsDf.withColumn("bucket_n", count(lit(1)).over(w))

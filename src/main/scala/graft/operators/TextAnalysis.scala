@@ -591,12 +591,27 @@ object TextAnalysis {
     */
   def kmvDistinct(docs: org.apache.spark.sql.DataFrame, groupCol: String,
                   textCol: String, k: Int = 256)
-      : org.apache.spark.sql.DataFrame = {
-    require(k >= 16, s"k=$k too small for a usable estimate")
+      : org.apache.spark.sql.DataFrame =
+    kmvDistinctFromTokens(distinctTokens(docs, groupCol, textCol), groupCol, k)
+
+  /** The per-group DISTINCT token table — the one tokenize+explode pass
+    * both the exact count and the sketch consume; callers that need both
+    * persist this frame and fan out instead of tokenizing twice.
+    */
+  def distinctTokens(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = filter(tokens(col(textCol)), x => x =!= "")
-    val vocab = docs.filter(col(textCol).isNotNull)
+    docs.filter(col(textCol).isNotNull)
       .select(col(groupCol), explode(toks).as("tok"))
       .distinct()
+  }
+
+  /** [[kmvDistinct]] over a pre-distinct (group, tok) frame. */
+  def kmvDistinctFromTokens(dtoks: org.apache.spark.sql.DataFrame,
+                            groupCol: String, k: Int = 256)
+      : org.apache.spark.sql.DataFrame = {
+    require(k >= 16, s"k=$k too small for a usable estimate")
+    val vocab = dtoks
       .select(col(groupCol),
         (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") %
           graft.operators.MinHashLSH.P).as("h"))

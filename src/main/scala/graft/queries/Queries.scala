@@ -118,7 +118,13 @@ object Queries {
     val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val orders = t(s, dir, "orders")
     val li = t(s, dir, "lineitem")
-    orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    // Broadcast the SMALL side (guide §3.1): without the hint the planner
+    // broadcast-built LINEITEM (the fact table — 4x the orders rows, and
+    // the side that grows fastest with sf) and probed from orders. The
+    // hint builds the segment-filtered orders⋈customer side (~1/5 of
+    // orders) and streams lineitem through it; plan keeps the single
+    // post-aggregation Exchange either way.
+    broadcast(orders.join(broadcast(cust), col("o_custkey") === col("c_custkey")))
       .join(li, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("raw_rev"))
@@ -1663,13 +1669,18 @@ object Queries {
     */
   def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val sketch = graft.operators.TextAnalysis.kmvDistinct(
-      d, "source", "text", k = 64)
-    val exact = d.filter(col("text").isNotNull)
-      .select(col("source"), explode(filter(
-        graft.operators.TextAnalysis.tokens(col("text")),
-        x => x =!= "")).as("tok"))
-      .groupBy("source").agg(countDistinct(col("tok")).as("n_distinct_exact"))
+    // ONE tokenize+explode+distinct pass feeds both sides (persisted):
+    // the exact count is count(*) of the distinct (source, tok) frame —
+    // identical to countDistinct(tok) over the raw explode — and the
+    // sketch derives from the same frame, so the corpus is tokenized
+    // once instead of twice and the exact side's distinct-agg shuffle
+    // collapses into the shared one.
+    val dtoks = graft.operators.TextAnalysis
+      .distinctTokens(d, "source", "text").persist()
+    val sketch = graft.operators.TextAnalysis.kmvDistinctFromTokens(
+      dtoks, "source", k = 64)
+    val exact = dtoks
+      .groupBy("source").agg(count(lit(1)).as("n_distinct_exact"))
     exact.join(sketch, Seq("source"))
   }
 
