@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to staging every encode/decode through a TEMP FILE
+  // on disk (the "use cache" flag). All payloads here are in-memory byte
+  // arrays a few hundred KB at most — the disk round-trip is pure
+  // per-row overhead on the executor kernels. Identical bytes either
+  // way; set once per JVM (executors hit this on class load).
+  ImageIO.setUseCache(false)
+
   /** Decoded container metadata. For images `n_frames` is the frame count
     * (GIFs may exceed 1); for WAV audio `width` carries the sample rate,
     * `height` the channel count and `n_frames` the PCM frame count —

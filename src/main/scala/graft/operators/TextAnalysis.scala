@@ -640,9 +640,14 @@ object TextAnalysis {
                   textCol: String, k: Int = 256)
       : org.apache.spark.sql.DataFrame = {
     val toks = filter(tokens(col(textCol)), x => x =!= "")
+    // ONE distinct on (group, h) instead of distinct-on-token THEN
+    // distinct-on-hash: hashing per occurrence costs a few extra md5s,
+    // but drops a whole exchange of (group, token-string) rows — the
+    // surviving shuffle carries (group, long). The distinct (group, h)
+    // set — and so the sketch — is identical: both token duplicates and
+    // hash collisions collapse in the same final distinct.
     val vocab = docs.filter(col(textCol).isNotNull)
       .select(col(groupCol), explode(toks).as("tok"))
-      .distinct()
       .select(col(groupCol),
         (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") %
           graft.operators.MinHashLSH.P).as("h"))

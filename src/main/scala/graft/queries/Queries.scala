@@ -1594,8 +1594,11 @@ object Queries {
       val ev = t(s, dir, "events")
       val staged = java.nio.file.Files
         .createTempDirectory("graft-json-src").toString
-      ev.select(col("event_id"), col("user_id"), tsUs(ev).as("tus"),
-          col("event_type"), col("value"))
+      // spread: the events table is one parquet file -> one task would
+      // serialize all rows to JSON alone; at real scale the source is
+      // already >= defaultParallelism partitions and this is a no-op
+      spread(ev.select(col("event_id"), col("user_id"), tsUs(ev).as("tus"),
+          col("event_type"), col("value")))
         .write.mode("overwrite").json(staged)
       s.read
         .schema("event_id LONG, user_id LONG, tus LONG, event_type STRING, value DOUBLE")
