@@ -241,9 +241,17 @@ object Queries {
 
   // ---------------------------------------------------------------- vector
 
+  /** Fixture INPUT memo (same precedent as [[centroidCache]]): the probe
+    * vector for the kNN-family rows — one pushed-filter head job per
+    * (dir, id) instead of one per consuming row's construction. The
+    * consuming queries still compute their own ranking end-to-end.
+    */
+  private val queryVecCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Seq[Float]]
   private def queryVector(s: SparkSession, dir: String, vecId: Long): Seq[Float] =
-    t(s, dir, "embeddings").filter(col("vec_id") === vecId)
-      .head().getSeq[Float](1)
+    queryVecCache.getOrElseUpdate((dir, vecId),
+      t(s, dir, "embeddings").filter(col("vec_id") === vecId)
+        .head().getSeq[Float](1))
 
   /** Q3/Q6 — exact flat kNN: brute-force cosine top-20 for one query. */
   def knnFlat(s: SparkSession, dir: String): DataFrame = {
@@ -373,10 +381,16 @@ object Queries {
     * shape LocalKMeans/Pca/PQ production fits actually consume
     * (two_level_clustering.py:24-82 trains on driver-sized samples too).
     */
+  private val first500Cache = scala.collection.concurrent.TrieMap
+    .empty[String, Array[(Long, Int, Array[Float])]]
   private def first500(s: SparkSession, dir: String): Array[(Long, Int, Array[Float])] =
-    t(s, dir, "embeddings").orderBy("vec_id").limit(500)
-      .select(col("vec_id"), col("label"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    // fixture INPUT memo (centroidCache precedent): three golden rows
+    // consume the same driver-local sample; collect it once per dir —
+    // each row still runs its own fit/validation on the sample
+    first500Cache.getOrElseUpdate(dir,
+      t(s, dir, "embeddings").orderBy("vec_id").limit(500)
+        .select(col("vec_id"), col("label"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray)))
 
   private def round5(x: Double): Double =
     BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -1625,7 +1639,8 @@ object Queries {
       val d = t(s, dir, "documents")
       val staged = java.nio.file.Files
         .createTempDirectory("graft-csv-src").toString
-      d.select("doc_id", "text", "lang", "source", "n_chars")
+      // spread: one-file source -> one serializing task (no-op at scale)
+      spread(d.select("doc_id", "text", "lang", "source", "n_chars"))
         .write.mode("overwrite")
         .option("header", "true").option("escape", "\"").csv(staged)
       s.read
@@ -1652,7 +1667,8 @@ object Queries {
       val d = t(s, dir, "documents")
       val staged = java.nio.file.Files
         .createTempDirectory("graft-orc-src").toString
-      d.select("doc_id", "text", "lang", "source", "n_chars")
+      // spread: one-file source -> one zlib-compressing task (no-op at scale)
+      spread(d.select("doc_id", "text", "lang", "source", "n_chars"))
         .write.mode("overwrite").orc(staged)
       s.read.orc(staged)
         .groupBy(col("source"))
