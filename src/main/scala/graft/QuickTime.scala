@@ -12,9 +12,11 @@ import org.apache.spark.sql.SparkSession
   */
 object QuickTime {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val repeat = args(1).toInt
-    val names = args.drop(2)
+    val fresh = args.contains("--fresh") // rebuild sharedFrame artifacts per run
+    val rest = args.filterNot(_ == "--fresh")
+    val sfDir = rest(0)
+    val repeat = rest(1).toInt
+    val names = rest.drop(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,6 +32,7 @@ object QuickTime {
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         System.err.println(s"[qt] warmup failed $n: $e") } // warmup untimed
       for (r <- 1 to repeat) {
+        if (fresh) graft.queries.Queries.clearShared(spark)
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         println(f"[qt] $n run $r: ${(System.nanoTime() - t0) / 1e9}%.3f s")

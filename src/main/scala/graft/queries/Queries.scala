@@ -1608,11 +1608,12 @@ object Queries {
       val ev = t(s, dir, "events")
       val staged = java.nio.file.Files
         .createTempDirectory("graft-json-src").toString
-      // spread: the events table is one parquet file -> one task would
-      // serialize all rows to JSON alone; at real scale the source is
-      // already >= defaultParallelism partitions and this is a no-op
-      spread(ev.select(col("event_id"), col("user_id"), tsUs(ev).as("tus"),
-          col("event_type"), col("value")))
+      // (r18 note: spreading this staging write across 32 tasks was
+      // MEASURED SLOWER — 0.9 s -> 1.0-2.2 s — the multi-file commit +
+      // multi-file read overhead beats the single-task serialization
+      // cost at this volume; guide §6 small-files, negative result kept)
+      ev.select(col("event_id"), col("user_id"), tsUs(ev).as("tus"),
+          col("event_type"), col("value"))
         .write.mode("overwrite").json(staged)
       s.read
         .schema("event_id LONG, user_id LONG, tus LONG, event_type STRING, value DOUBLE")
@@ -1639,8 +1640,7 @@ object Queries {
       val d = t(s, dir, "documents")
       val staged = java.nio.file.Files
         .createTempDirectory("graft-csv-src").toString
-      // spread: one-file source -> one serializing task (no-op at scale)
-      spread(d.select("doc_id", "text", "lang", "source", "n_chars"))
+      d.select("doc_id", "text", "lang", "source", "n_chars")
         .write.mode("overwrite")
         .option("header", "true").option("escape", "\"").csv(staged)
       s.read
@@ -1667,8 +1667,7 @@ object Queries {
       val d = t(s, dir, "documents")
       val staged = java.nio.file.Files
         .createTempDirectory("graft-orc-src").toString
-      // spread: one-file source -> one zlib-compressing task (no-op at scale)
-      spread(d.select("doc_id", "text", "lang", "source", "n_chars"))
+      d.select("doc_id", "text", "lang", "source", "n_chars")
         .write.mode("overwrite").orc(staged)
       s.read.orc(staged)
         .groupBy(col("source"))

@@ -179,20 +179,18 @@ object EventStream {
     // skew guard on the STATIC side only (a degenerate corpus bucket
     // would flood every micro-batch); the stream side is bounded by
     // micro-batch sizing, which is the streaming-native cap.
-    // Both static frames are PERSISTED: a stream-static join re-executes
-    // the static subtree EVERY micro-batch, so without the persist the
-    // corpus band kernel + window cap and the corpus shingle kernel run
-    // once per batch — the per-batch static work is exactly what the
-    // "persist the corpus artifacts once, reuse across ingest batches"
-    // production design (crossCorpusDups scaladoc) prescribes.
+    // (r18 note: persisting cb/cs so micro-batches share one
+    // materialization was MEASURED A WASH at the 2-batch bench shape —
+    // 2.87 s avg -> 3.08 — the static kernels are not where this row's
+    // time goes; at many-batch production scale the caller should
+    // persist the corpus artifacts it passes in, per crossCorpusDups'
+    // scaladoc, rather than this operator persisting per call.)
     val cb = MinHashLSH.cappedBands(
         MinHashLSH.bands(corpus, "doc_id", "text", w, numHashes, r),
         maxCorpusBucket)
       .select(col("doc_id").as("corpus_id"), col("band_idx"), col("band_key"))
-      .persist()
     val cs = corpus.select(col("doc_id").as("corpus_id"),
       MinHashLSH.shingleSet(col("text"), w).as("cset"))
-      .persist()
     docs.select(col("doc_id"),
         MinHashLSH.shingleSet(col("text"), w).as("iset"),
         posexplode_outer(MinHashLSH.bandKeys(col("text"), w, numHashes, r))
