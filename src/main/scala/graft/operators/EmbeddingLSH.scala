@@ -134,7 +134,19 @@ object EmbeddingLSH {
     */
   def candidatePairsRoutedFromSigs(df: DataFrame, sigs: DataFrame,
                                    idCol: String, vecCol: String,
-                                   maxBucket: Int = MinHashLSH.DefaultMaxBucket): DataFrame = {
+                                   maxBucket: Int = MinHashLSH.DefaultMaxBucket): DataFrame =
+    candidateRawFromSigs(df, sigs, idCol, vecCol, maxBucket).distinct()
+
+  /** [[candidatePairsRoutedFromSigs]] WITHOUT the final distinct — a pair
+    * appears once per shared band. The verify path consumes this form and
+    * dedups AFTER the cosine threshold: the deterministic per-pair cos9
+    * makes duplicate rows identical, so distinct-after-filter yields the
+    * same set while the heavy exchange dedups only the few surviving
+    * pairs instead of every banding candidate.
+    */
+  private def candidateRawFromSigs(df: DataFrame, sigs: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   maxBucket: Int): DataFrame = {
     val maxRow = sigs.groupBy(col("band_idx"), col("band_key"))
       .agg(count(lit(1)).as("n")).agg(max(col("n"))).first()
     // Global max over zero groups is a null row: empty input takes the
@@ -145,7 +157,7 @@ object EmbeddingLSH {
       val b = sigs.select(col(idCol).as("id_b"), col("band_idx"), col("band_key"))
       return a.join(b, Seq("band_idx", "band_key"))
         .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
+        .select("id_a", "id_b")
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band_idx"), col("band_key"))
@@ -164,7 +176,7 @@ object EmbeddingLSH {
         org.apache.spark.sql.expressions.Window.partitionBy(col(vecCol))))
       .filter(col(idCol) =!= col("keep"))
       .select(col("keep").as("id_a"), col(idCol).as("id_b"))
-    lsh.union(exact).distinct()
+    lsh.union(exact)
   }
 
   /** Near-dup pairs (a < b) from the banded buckets with cosine ≥ tau
@@ -197,8 +209,13 @@ object EmbeddingLSH {
   def nearDupPairsRoutedFromSigs(df: DataFrame, sigs: DataFrame,
                                  idCol: String, vecCol: String, tau: Double,
                                  maxBucket: Int = MinHashLSH.DefaultMaxBucket): DataFrame =
+    // raw (per-band) candidates; dedup AFTER the tau filter — identical
+    // pair set (cos9 is deterministic per pair), but the distinct's
+    // exchange carries only the surviving near-dups, not every banding
+    // candidate (see candidateRawFromSigs)
     verifyCosine(df, idCol, vecCol, tau,
-      candidatePairsRoutedFromSigs(df, sigs, idCol, vecCol, maxBucket))
+      candidateRawFromSigs(df, sigs, idCol, vecCol, maxBucket))
+      .distinct()
 
   /** Exact cosine verification over candidate (id_a, id_b) pairs: vectors
     * joined back by id — pairs are small post-banding, the vector table is
