@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench-output contract (VERDICT r18 #1): the driver keeps a
+// 2000-char stdout TAIL and json-parses its last line. sbt's default
+// LoggedOutput prefixes every forked-run line with "[info] " (invalid
+// JSON) and appends a "[success] Total time ..." epilogue after the run —
+// both corrupt that tail. Inherit the raw stdout/stderr for forked runs
+// and drop the success banner so the bench's own last line IS the last
+// stdout line, byte-for-byte.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // SIMD encode kernel (graft.index.SimdArgmin) uses jdk.incubator.vector:
 // compile the Java source against the module, and run/test forks load it.
 // The module is RUNTIME-OPTIONAL — FlatCentroids feature-detects per JVM

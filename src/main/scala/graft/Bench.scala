@@ -127,7 +127,35 @@ object Bench {
           println(f"""{"metric":"total_drift","prev_total_sec":$p%.2f,"total_sec":$total%.2f,"delta_sec":${total - p}%.2f}""")
         }
     } catch { case _: Throwable => () } // first run / unreadable artifact
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","cpu_canary_ms":$canaryMs,"kernel_canary_rows_per_sec":$kernelCanary,"canary_waited_s":$canaryWaitedS,"queries_in":"BENCH_SELF.json"}""")
+    // LAST stdout line = the driver-contract line (VERDICT r18 #1): the
+    // driver json-parses the last line of a 2000-char stdout tail, so this
+    // line must be COMPLETE inside that tail and carry the per-query map.
+    // The 96 query names alone cost ~1.7 kB, so per-query values printed
+    // as seconds can never fit — print INTEGER timings in the finest unit
+    // (ms → cs → ds → s) whose line fits the budget, declared in
+    // "queries_unit". Full-precision seconds stay in the first stdout line
+    // and in the BENCH_SELF.json artifact (unchanged). build.sbt pairs
+    // with this: raw forked-run stdout (no "[info] " prefix) and no
+    // "[success]" epilogue, so nothing follows this line in the tail.
+    // 1985: nothing follows this line (verified empirically — raw fork
+    // stdout, success banner off), so only the line itself + newline must
+    // fit the 2000-char tail; the 15-char slack covers a stray "\n".
+    // At healthy sf0.1 timings the 96-entry map lands in "cs" (10 ms
+    // resolution); a contended window's larger values degrade to "ds".
+    val tailBudget = 1985
+    val sfBase = new java.io.File(sfDir).getName
+    val contractLine = Seq("ms" -> 1000.0, "cs" -> 100.0, "ds" -> 10.0, "s" -> 1.0)
+      .iterator.map { case (unit, scale) =>
+        val qsInt = results.map { case (k, v) =>
+          "\"" + k + "\":" + (if (v < 0) "-1" else math.round(v * scale).toString)
+        }.mkString("{", ",", "}")
+        // sf as the basename: the full dir already rides the first line +
+        // artifact; here every char buys per-query resolution instead
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsInt,"queries_unit":"$unit","failed":$failed,"sf":"$sfBase"}"""
+      }.find(_.length <= tailBudget)
+      .getOrElse( // >96 entries at whole-second ints: keep totals parseable
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"queries_unit":"overflow","failed":$failed,"sf":"$sfBase"}""")
+    println(contractLine)
     // Artifact of record (VERDICT r12 #3): the driver's stdout capture
     // keeps only a 2000-char tail, which truncates an 80+-query map —
     // write the COMPLETE json ourselves so every per-query timing and
