@@ -20,6 +20,7 @@ run / fork := true
 // stdout line, byte-for-byte.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by the command engine, not a task
 // SIMD encode kernel (graft.index.SimdArgmin) uses jdk.incubator.vector:
 // compile the Java source against the module, and run/test forks load it.
 // The module is RUNTIME-OPTIONAL — FlatCentroids feature-detects per JVM

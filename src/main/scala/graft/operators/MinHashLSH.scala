@@ -194,6 +194,23 @@ object MinHashLSH {
   def cappedBands(bandsDf: DataFrame, maxBucket: Int): DataFrame =
     capBuckets(bandsDf, Seq("band_idx", "band_key"), maxBucket)
 
+  /** [[cappedBands]] with the [[candidatePairsRouted]]-style runtime skew
+    * probe: ONE max-bucket aggregation over the band table; when no
+    * bucket exceeds the cap (every healthy corpus) the windowed-count cap
+    * is skipped outright — bit-identical by construction, since nothing
+    * would have been dropped. BATCH-ONLY (the probe is an eager action)
+    * and meant for a PERSISTED band table: on an unpersisted one the
+    * probe re-runs the band kernel once.
+    */
+  def cappedBandsProbed(bandsDf: DataFrame, maxBucket: Int): DataFrame = {
+    if (maxBucket == Int.MaxValue) return bandsDf
+    val maxRow = bandsDf.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).first()
+    val maxN = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    if (maxN <= maxBucket) bandsDf
+    else capBuckets(bandsDf, Seq("band_idx", "band_key"), maxBucket)
+  }
+
   def candidatePairs(bandsDf: DataFrame, idCol: String,
                      maxBucket: Int = Int.MaxValue): DataFrame = {
     val src = capBuckets(bandsDf, Seq("band_idx", "band_key"), maxBucket)
@@ -290,24 +307,48 @@ object MinHashLSH {
   def crossCorpusDups(corpus: DataFrame, incoming: DataFrame, idCol: String,
                       textCol: String, threshold: Double,
                       w: Int = 3, numHashes: Int = 12, r: Int = 3,
-                      maxBucket: Int = Int.MaxValue): DataFrame = {
-    val cb = capBuckets(bands(corpus, idCol, textCol, w, numHashes, r),
-      Seq("band_idx", "band_key"), maxBucket)
+                      maxBucket: Int = Int.MaxValue): DataFrame =
+    crossCorpusDupsFromArtifacts(
+      corpusBands = bands(corpus, idCol, textCol, w, numHashes, r),
+      incomingBands = bands(incoming, idCol, textCol, w, numHashes, r),
+      incomingIds = incoming.select(col(idCol)),
+      isets = incoming.select(col(idCol), shingleSet(col(textCol), w).as("iset")),
+      csets = corpus.select(col(idCol).as("corpus_id"),
+        shingleSet(col(textCol), w).as("cset")),
+      idCol = idCol, threshold = threshold, maxBucket = maxBucket,
+      probeSkew = false) // unpersisted bands: a probe would re-run the kernel
+
+  /** [[crossCorpusDups]] over pre-built per-side artifacts — the band
+    * tables and shingle sets a production ingest pipeline persists once
+    * and reuses across every batch (this is the documented scale shape;
+    * the convenience form above derives them inline). With
+    * `probeSkew = true` (persisted artifacts only — the probe is an
+    * eager aggregation per side) healthy sides skip the windowed-count
+    * skew cap entirely, bit-identically: a side whose largest bucket is
+    * under the cap drops nothing.
+    */
+  def crossCorpusDupsFromArtifacts(corpusBands: DataFrame,
+                                   incomingBands: DataFrame,
+                                   incomingIds: DataFrame,
+                                   isets: DataFrame, csets: DataFrame,
+                                   idCol: String, threshold: Double,
+                                   maxBucket: Int = Int.MaxValue,
+                                   probeSkew: Boolean = true): DataFrame = {
+    def capped(b: DataFrame): DataFrame =
+      if (probeSkew) cappedBandsProbed(b, maxBucket)
+      else capBuckets(b, Seq("band_idx", "band_key"), maxBucket)
+    val cb = capped(corpusBands)
       .select(col(idCol).as("corpus_id"), col("band_idx"), col("band_key"))
-    val ib = capBuckets(bands(incoming, idCol, textCol, w, numHashes, r),
-      Seq("band_idx", "band_key"), maxBucket)
+    val ib = capped(incomingBands)
     val cand = ib.join(cb, Seq("band_idx", "band_key"))
       .select(col(idCol), col("corpus_id")).distinct()
-    val isets = incoming.select(col(idCol), shingleSet(col(textCol), w).as("iset"))
-    val csets = corpus.select(col(idCol).as("corpus_id"),
-      shingleSet(col(textCol), w).as("cset"))
     val matches = cand.join(isets, Seq(idCol)).join(csets, Seq("corpus_id"))
       .withColumn("j9", round(jaccard(col("iset"), col("cset")), 9))
       .filter(col("j9") >= threshold)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_dups"), min(col("corpus_id")).as("dup_of"),
         round(max(col("j9")), 6).as("max_j"))
-    incoming.select(col(idCol))
+    incomingIds
       .join(matches, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         col("dup_of"), col("max_j"))

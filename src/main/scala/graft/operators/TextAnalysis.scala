@@ -162,12 +162,17 @@ object TextAnalysis {
     val terms = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
-    // tf feeds both the document-frequency rollup and the scoring join —
-    // persist so the corpus explode+aggregate runs once, not twice.
     val tf = terms.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf")).persist()
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, "term")
+      .agg(count(lit(1)).as("tf"))
+    // df as a per-term window count over tf (one row per (doc, term), so
+    // the partition count IS the document frequency — same integer the
+    // old groupBy("term") rollup produced). Single-reference lineage:
+    // no persist (r18's leaked for the session's lifetime — ADVICE r18),
+    // no df-side join, and the corpus explode+aggregate runs exactly once
+    // even on a cold first execution (the mode the driver times).
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(
+        Window.partitionBy(col("term"))))
       .withColumn("tfidf",
         col("tf").cast("double") *
           log(lit(n + 1.0) / (col("df").cast("double") + lit(1.0))))
@@ -420,23 +425,25 @@ object TextAnalysis {
     * all-pairs, nothing lands on the driver.
     */
   def bigramLogProb(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                    textCol: String): org.apache.spark.sql.DataFrame = {
-    val toks = filter(tokens(col(textCol)), x => x =!= "")
-    // The corpus-gram frame feeds BOTH the model aggregation and the
-    // scoring join — persist it so the tokenize+slice-zip extraction (the
-    // per-row kernel) runs ONCE instead of once per plan reference; `pair`
-    // likewise feeds the prefix rollup and the join. Values unchanged
-    // (same deterministic frames, one materialization instead of two).
-    val bg = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), toks.as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(col(idCol), explode(zip_with(
-        slice(col("t"), lit(1), size(col("t")) - 1),
-        slice(col("t"), lit(2), size(col("t")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .persist()
-    val pair = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cp")).persist()
+                    textCol: String): org.apache.spark.sql.DataFrame =
+    // Convenience form: extraction inline. The corpus-gram subtree is
+    // referenced once per plan use below — callers that score repeatedly
+    // or fan several scorers off one corpus should persist the extraction
+    // themselves and use [[bigramLogProbFromBigrams]] (the r18 in-operator
+    // persist leaked for the session's lifetime — ADVICE r18 — so
+    // persistence now belongs to the caller, the crossCorpusDups pattern).
+    bigramLogProbFromBigrams(
+      bigramsWithTarget(docs, idCol, textCol, lit(false))
+        .drop("tgt"), idCol)
+
+  /** [[bigramLogProb]] over a pre-extracted (idCol, w1, w2) corpus-bigram
+    * frame (extra columns ride along ignored). Holds no persist of its
+    * own: pass a persisted artifact when the extraction is expensive —
+    * the model aggregation and the scoring join each reference it.
+    */
+  def bigramLogProbFromBigrams(bg: org.apache.spark.sql.DataFrame,
+                               idCol: String): org.apache.spark.sql.DataFrame = {
+    val pair = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cp"))
     val pref = pair.groupBy("w1").agg(sum("cp").as("c1"))
     bg.join(pair, Seq("w1", "w2")).join(pref, Seq("w1"))
       .groupBy(col(idCol))
@@ -471,15 +478,21 @@ object TextAnalysis {
   def dsirWeights(docs: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String,
                   isTarget: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.DataFrame = {
-    // bg feeds the model agg, the totals action AND the scoring join;
-    // model feeds the totals action and the join. Persisting both runs
-    // the extraction kernel once (the totals `head()` materializes them)
-    // instead of once per plan reference — values unchanged.
-    val bg = bigramsWithTarget(docs, idCol, textCol, isTarget).persist()
+      : org.apache.spark.sql.DataFrame =
+    dsirWeightsFromBigrams(bigramsWithTarget(docs, idCol, textCol, isTarget),
+      idCol)
+
+  /** [[dsirWeights]] over a pre-extracted (idCol, tgt, w1, w2) frame —
+    * no in-operator persist (caller owns the artifact's lifecycle, the
+    * crossCorpusDups pattern): the totals action and the scoring join
+    * each re-reference the frame, so pass a persisted one when the
+    * extraction is the dominant cost.
+    */
+  def dsirWeightsFromBigrams(bg: org.apache.spark.sql.DataFrame,
+                             idCol: String): org.apache.spark.sql.DataFrame = {
     val model = bg.groupBy("w1", "w2").agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
-      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr")).persist()
+      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
     val tot = model.agg(sum("ct"), sum("cr"), count(lit(1))).head()
     val nt = tot.getLong(0); val nr = tot.getLong(1); val v = tot.getLong(2)
     bg.join(model, Seq("w1", "w2"))
@@ -513,20 +526,34 @@ object TextAnalysis {
                         textCol: String,
                         isTarget: org.apache.spark.sql.Column,
                         nBuckets: Int = 4096)
+      : org.apache.spark.sql.DataFrame =
+    dsirWeightsHashedFromBigrams(
+      bigramsWithTarget(docs, idCol, textCol, isTarget), idCol, nBuckets)
+
+  /** [[dsirWeightsHashed]] over a pre-extracted (idCol, tgt, w1, w2)
+    * frame. The md5-bucketed model is AT MOST nBuckets rows and is
+    * broadcast to the scoring join regardless — so materialize it on the
+    * driver with ONE action (the unigramLogProb pattern): the totals come
+    * from the collected rows for free and nothing is persisted (the r18
+    * in-operator persists leaked for the session's lifetime — ADVICE
+    * r18). The bigram frame is referenced twice (model pass + scoring
+    * pass); pass a persisted artifact when extraction dominates.
+    */
+  def dsirWeightsHashedFromBigrams(bgRaw: org.apache.spark.sql.DataFrame,
+                                   idCol: String, nBuckets: Int = 4096)
       : org.apache.spark.sql.DataFrame = {
-    // persist AFTER the md5-bucket projection so the per-bigram hash (the
-    // dominant per-row cost of this variant) runs once, not once per plan
-    // reference; model persisted for the same reason as the exact form.
-    val bg = bigramsWithTarget(docs, idCol, textCol, isTarget)
+    val bg = bgRaw
       .select(col(idCol), col("tgt"),
         (conv(substring(md5(concat(col("w1"), lit(" "), col("w2"))), 1, 15),
           16, 10).cast("long") % nBuckets).as("bucket"))
-      .persist()
-    val model = bg.groupBy("bucket").agg(
+    val modelAgg = bg.groupBy("bucket").agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
-      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr")).persist()
-    val tot = model.agg(sum("ct"), sum("cr")).head()
-    val nt = tot.getLong(0); val nr = tot.getLong(1)
+      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
+    val modelRows = modelAgg.collect() // ≤ nBuckets rows by construction
+    val nt = modelRows.iterator.map(_.getLong(1)).sum
+    val nr = modelRows.iterator.map(_.getLong(2)).sum
+    val model = bgRaw.sparkSession.createDataFrame(
+      java.util.Arrays.asList(modelRows: _*), modelAgg.schema)
     bg.join(broadcast(model), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
@@ -606,19 +633,32 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** One exchange for the whole k-min pipeline: hash-partition the
+    * (group, h) rows by GROUP first, so the dedup aggregate (keys are a
+    * superset of the partitioning — co-located already) and the per-group
+    * rank window (same key) both run without further shuffles. One
+    * Exchange instead of two (distinct's (group,h) + the window's group);
+    * the h-set is identical — hash collisions collapse in the same
+    * distinct, just laid out per group. Group skew bound is unchanged:
+    * one task per group sorts that group's vocabulary either way.
+    */
+  private def kMinRanked(withH: org.apache.spark.sql.DataFrame,
+                         groupCol: String): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("h"))
+    withH.repartition(col(groupCol)).distinct()
+      .withColumn("rk", row_number().over(w))
+  }
+
   /** [[kmvDistinct]] over a pre-distinct (group, tok) frame. */
   def kmvDistinctFromTokens(dtoks: org.apache.spark.sql.DataFrame,
                             groupCol: String, k: Int = 256)
       : org.apache.spark.sql.DataFrame = {
     require(k >= 16, s"k=$k too small for a usable estimate")
-    val vocab = dtoks
+    kMinRanked(dtoks
       .select(col(groupCol),
         (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") %
-          graft.operators.MinHashLSH.P).as("h"))
-      .distinct() // hash collisions collapse, exactly as the sketch defines
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol).orderBy(col("h"))
-    vocab.withColumn("rk", row_number().over(w))
+          graft.operators.MinHashLSH.P).as("h")), groupCol)
       .filter(col("rk") <= k)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("kmv_k"), max(col("h")).as("kth_min"),
@@ -638,27 +678,38 @@ object TextAnalysis {
     */
   def kmvSketches(docs: org.apache.spark.sql.DataFrame, groupCol: String,
                   textCol: String, k: Int = 256)
-      : org.apache.spark.sql.DataFrame = {
-    val toks = filter(tokens(col(textCol)), x => x =!= "")
+      : org.apache.spark.sql.DataFrame =
     // ONE distinct on (group, h) instead of distinct-on-token THEN
     // distinct-on-hash: hashing per occurrence costs a few extra md5s,
     // but drops a whole exchange of (group, token-string) rows — the
     // surviving shuffle carries (group, long). The distinct (group, h)
     // set — and so the sketch — is identical: both token duplicates and
     // hash collisions collapse in the same final distinct.
-    val vocab = docs.filter(col(textCol).isNotNull)
-      .select(col(groupCol), explode(toks).as("tok"))
+    kmvSketchesFromH(docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol),
+        explode(filter(tokens(col(textCol)), x => x =!= "")).as("tok"))
       .select(col(groupCol),
         (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") %
-          graft.operators.MinHashLSH.P).as("h"))
-      .distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol).orderBy(col("h"))
-    vocab.withColumn("rk", row_number().over(w))
+          graft.operators.MinHashLSH.P).as("h")), groupCol, k)
+
+  /** [[kmvSketches]] over a pre-distinct (group, tok) frame — the same
+    * shared artifact [[kmvDistinctFromTokens]] consumes; the per-token
+    * md5 runs once per distinct token instead of once per occurrence.
+    */
+  def kmvSketchesFromTokens(dtoks: org.apache.spark.sql.DataFrame,
+                            groupCol: String, k: Int = 256)
+      : org.apache.spark.sql.DataFrame =
+    kmvSketchesFromH(dtoks.select(col(groupCol),
+      (conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") %
+        graft.operators.MinHashLSH.P).as("h")), groupCol, k)
+
+  private def kmvSketchesFromH(withH: org.apache.spark.sql.DataFrame,
+                               groupCol: String, k: Int)
+      : org.apache.spark.sql.DataFrame =
+    kMinRanked(withH, groupCol)
       .filter(col("rk") <= k)
       .groupBy(col(groupCol))
       .agg(sort_array(collect_list(col("h"))).as("kmins"))
-  }
 
   /** Pairwise set-overlap estimation from the SKETCHES ALONE — the
     * operation KMV's mergeability exists for: the union sketch of two
@@ -694,9 +745,9 @@ object TextAnalysis {
     * emit nothing, a NULL target flag keeps the doc scored but counted
     * in neither model.
     */
-  private def bigramsWithTarget(docs: org.apache.spark.sql.DataFrame,
-                                idCol: String, textCol: String,
-                                isTarget: org.apache.spark.sql.Column)
+  def bigramsWithTarget(docs: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String,
+                        isTarget: org.apache.spark.sql.Column)
       : org.apache.spark.sql.DataFrame = {
     val toks = filter(tokens(col(textCol)), x => x =!= "")
     docs.filter(col(textCol).isNotNull)

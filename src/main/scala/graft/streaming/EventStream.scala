@@ -184,13 +184,36 @@ object EventStream {
     // 2.87 s avg -> 3.08 — the static kernels are not where this row's
     // time goes; at many-batch production scale the caller should
     // persist the corpus artifacts it passes in, per crossCorpusDups'
-    // scaladoc, rather than this operator persisting per call.)
-    val cb = MinHashLSH.cappedBands(
+    // scaladoc, rather than this operator persisting per call. Callers
+    // that already hold those artifacts use the FromArtifacts form.)
+    crossCorpusCandidatesFromArtifacts(docs,
+      MinHashLSH.cappedBands(
         MinHashLSH.bands(corpus, "doc_id", "text", w, numHashes, r),
-        maxCorpusBucket)
-      .select(col("doc_id").as("corpus_id"), col("band_idx"), col("band_key"))
-    val cs = corpus.select(col("doc_id").as("corpus_id"),
-      MinHashLSH.shingleSet(col("text"), w).as("cset"))
+        maxCorpusBucket),
+      corpus.select(col("doc_id").as("corpus_id"),
+        MinHashLSH.shingleSet(col("text"), w).as("cset")),
+      w, numHashes, r)
+  }
+
+  /** [[crossCorpusCandidates]] over the corpus's PRE-BUILT (and ideally
+    * persisted) band table and shingle sets — the artifacts a production
+    * pipeline materializes once and stream-static joins every micro-batch
+    * against (apply any skew cap to `corpusBands` before passing it, e.g.
+    * [[graft.operators.MinHashLSH.cappedBandsProbed]] on a persisted
+    * table). Stream side unchanged: per-row band kernel on the incoming
+    * micro-batch, stateless joins.
+    */
+  def crossCorpusCandidatesFromArtifacts(docs: DataFrame,
+                                         corpusBands: DataFrame,
+                                         corpusSets: DataFrame,
+                                         w: Int = 3, numHashes: Int = 12,
+                                         r: Int = 3): DataFrame = {
+    import graft.operators.MinHashLSH
+    val cb =
+      if (corpusBands.columns.contains("corpus_id")) corpusBands
+      else corpusBands
+        .select(col("doc_id").as("corpus_id"), col("band_idx"), col("band_key"))
+    val cs = corpusSets
     docs.select(col("doc_id"),
         MinHashLSH.shingleSet(col("text"), w).as("iset"),
         posexplode_outer(MinHashLSH.bandKeys(col("text"), w, numHashes, r))
