@@ -238,6 +238,12 @@ object MinHashLSH {
     * and any such member also appearing in a healthy bucket still pairs
     * there. This is the production entry point; the uncapped
     * [[candidatePairs]] stays for oracle-exact replay.
+    *
+    * BATCH-ONLY + persisted-input caveat (ADVICE r18): the skew probe
+    * below is an EAGER `.first()` at call time, so `bandsDf` must be a
+    * batch frame, and an unpersisted one pays one extra evaluation of
+    * the band kernel for the probe — pass the persisted band artifact
+    * (as every in-repo caller does).
     */
   def candidatePairsRouted(docs: DataFrame, bandsDf: DataFrame, idCol: String,
                            textCol: String,

@@ -34,6 +34,12 @@ object Multimodal {
   // arrays a few hundred KB at most — the disk round-trip is pure
   // per-row overhead on the executor kernels. Identical bytes either
   // way; set once per JVM (executors hit this on class load).
+  // NOTE (ADVICE r18): this is a JVM-GLOBAL ImageIO setting taken as a
+  // class-load side effect — any other ImageIO user in the same JVM also
+  // stops disk-staging (for in-memory byte-array payloads that is
+  // strictly less I/O; code relying on disk staging for images larger
+  // than heap would need to re-enable it). No such user exists in this
+  // application; embedders of these operators inherit the flag.
   ImageIO.setUseCache(false)
 
   /** Decoded container metadata. For images `n_frames` is the frame count

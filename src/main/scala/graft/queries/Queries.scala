@@ -1435,12 +1435,17 @@ object Queries {
         case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
       }
       val qname = s"stream_hourly_${streamSeq.incrementAndGet()}"
-      val q = graft.streaming.EventStream.hourlyCounts(
-          src.select(tsCol.as("ts"), col("event_type"), col("value")))
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // state partitions from input size (see streamingSessions note)
+      val stagedBytes = srcDir.resolve("events.parquet").toFile.length
+      val q = graft.streaming.EventStream.withStreamPartitions(s,
+        graft.streaming.EventStream.streamShufflePartitions(s, stagedBytes)) {
+        graft.streaming.EventStream.hourlyCounts(
+            src.select(tsCol.as("ts"), col("event_type"), col("value")))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       q.awaitTermination()
       // own the rows (localCheckpoint) so the memory-sink table's lifetime
       // doesn't matter to downstream consumers of the shared frame
@@ -1626,11 +1631,20 @@ object Queries {
         .parquet(srcDir.toString)
         .select(timestamp_micros(col("tus")).as("ts"), col("user_id"), col("value"))
       val qname = s"stream_sessions_${streamSeq.incrementAndGet()}"
-      val q = graft.streaming.EventStream.sessionWindows(src)
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // state partitions derived from the staged input size (clamped to
+      // the session's parallelism — production behavior unchanged); the
+      // emitted values are partition-count-robust by the same contract
+      // that lets the driver bench at different core counts
+      val stagedBytes = java.nio.file.Files.list(srcDir)
+        .mapToLong(p => p.toFile.length).sum
+      val q = graft.streaming.EventStream.withStreamPartitions(s,
+        graft.streaming.EventStream.streamShufflePartitions(s, stagedBytes)) {
+        graft.streaming.EventStream.sessionWindows(src)
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       q.awaitTermination()
       val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
       s.table(qname)
@@ -1934,19 +1948,28 @@ object Queries {
       val corpusBands =
         if (minhashBandsMaxBucket(s, dir) <= cap) corpusBands0
         else graft.operators.MinHashLSH.cappedBands(corpusBands0, cap)
-      val q = graft.streaming.EventStream.crossCorpusCandidatesFromArtifacts(
-          src, corpusBands,
-          shingleSets(s, dir).filter(corpusSide)
-            .select(col("doc_id").as("corpus_id"), col("sset").as("cset")))
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val flags = graft.streaming.EventStream
-            .crossCorpusFlags(batch, threshold = 0.1).collect()
-          out.synchronized { out ++= flags }: Unit
-        }
-        .start()
+      // per-batch shuffle partitions from the staged input size (this
+      // stream is stateless, but each micro-batch's joins + the
+      // foreachBatch reduce still schedule one task per partition)
+      val stagedBytes = java.nio.file.Files.list(stage)
+        .filter(p => p.toString.endsWith(".parquet"))
+        .mapToLong(p => p.toFile.length).sum
+      val q = graft.streaming.EventStream.withStreamPartitions(s,
+        graft.streaming.EventStream.streamShufflePartitions(s, stagedBytes)) {
+        graft.streaming.EventStream.crossCorpusCandidatesFromArtifacts(
+            src, corpusBands,
+            shingleSets(s, dir).filter(corpusSide)
+              .select(col("doc_id").as("corpus_id"), col("sset").as("cset")))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val flags = graft.streaming.EventStream
+              .crossCorpusFlags(batch, threshold = 0.1).collect()
+            out.synchronized { out ++= flags }: Unit
+          }
+          .start()
+      }
       q.awaitTermination()
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",

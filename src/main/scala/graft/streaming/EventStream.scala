@@ -15,6 +15,44 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
+  /** Scale-adaptive shuffle/state partition count for a NEW streaming
+    * query — the streaming analogue of AQE partition coalescing, which
+    * stateful streaming cannot use: the shuffle-partition count is
+    * pinned into the checkpoint at first start, and every micro-batch
+    * pays one state-store instance (open + delta write + commit fsync)
+    * per partition per stateful operator regardless of data volume.
+    * `ceil(inputBytes / advisoryPartitionSizeInBytes)` clamped to
+    * [1, session shuffle partitions]: at production scale the clamp
+    * hits the session ceiling (the deployment's tuned parallelism — the
+    * behavior there is UNCHANGED); a few-MB local stream stops paying
+    * dozens of state stores per micro-batch for kilobytes of state.
+    * Existing checkpoints keep their pinned count (Structured Streaming
+    * enforces that itself).
+    */
+  def streamShufflePartitions(s: org.apache.spark.sql.SparkSession,
+                              inputBytes: Long): Int = {
+    val conf = s.sessionState.conf
+    val sessionN = conf.numShufflePartitions
+    val advisory = math.max(1L, conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+    math.max(1, math.min(sessionN,
+      math.ceil(inputBytes.toDouble / advisory).toInt))
+  }
+
+  /** Start a stream under a temporary session shuffle-partition setting:
+    * the per-query cloned session pins `n` for the stream's whole life,
+    * and the session conf is restored before returning. Callers
+    * serialize stream starts (the session conf is session-global for
+    * the duration of `body`).
+    */
+  def withStreamPartitions[T](s: org.apache.spark.sql.SparkSession, n: Int)
+                             (body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Tumbling hourly counts/sums per event type with a watermark for
     * late-data cutoff. Works on a streaming or batch DataFrame with
     * columns (ts timestamp, event_type string, value double).
