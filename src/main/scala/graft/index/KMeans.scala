@@ -135,21 +135,95 @@ object KMeansDF {
           .map(x => x + (rnd.nextFloat() - 0.5f) * 1e-4f)
       }
     }
+    // Two Lloyd-update strategies, bit-identical where both apply
+    // (KMeansOnePlanSpec pins it): Spark's Average is (partial double
+    // sum in row order per input partition) merged in partition order
+    // then divided once — exactly what the shuffle-free path below
+    // computes by hand.
+    //
+    //  - PARTIAL-COLLECT (r19, small partial sets): each partition emits
+    //    its per-cluster (sumVec, count) partials straight to the driver
+    //    — a SINGLE-STAGE job per iteration (no exchange, no
+    //    per-iteration Catalyst plan: the one frame is reused, and with
+    //    no shuffle dependency nothing is stage-skip cached between
+    //    iterations), merged in partition order on the driver. Measured
+    //    ~2× per-iteration cost of the plan-per-iteration loop at
+    //    sample scale.
+    //  - GROUPBY (large k·d·partitions): the partial set itself
+    //    (numPartitions · k · d doubles) stops being driver-small, so
+    //    the classic per-iteration groupBy/avg keeps partials on the
+    //    cluster; centroids ship as a per-iteration broadcast.
+    val partialBytes = work.rdd.getNumPartitions.toLong * k * (d * 8L + 24L)
+    val partialCollectCap = 64L << 20 // driver-safe partial set
     try {
-      for (_ <- 0 until iters) {
-        // flat layout + norms rebuild per iteration (centroids moved) —
-        // O(k·d) next to the full-sample assignment pass it accelerates
-        val bc = spark.sparkContext.broadcast(FlatCentroids.build(centroids))
-        val aggs = (0 until d).map(i => avg(col(vecCol)(i)).as(s"c$i"))
-        val updated =
-          try Coder.withNearestBatched(work, vecCol, "cluster", bc)
-            .groupBy("cluster").agg(aggs.head, aggs.tail: _*)
-            .collect()
-            .map(r => r.getInt(0) -> Array.tabulate(d)(i => r.getDouble(i + 1).toFloat))
-            .toMap
-          finally bc.destroy() // don't accumulate k·d arrays on executors per iter
-        centroids = Array.tabulate(centroids.length)(c =>
-          updated.getOrElse(c, centroids(c)))
+      if (partialBytes <= partialCollectCap) {
+        val holder = new java.util.concurrent.atomic.AtomicReference[FlatCentroids]()
+        val vecIdx = work.schema.fieldIndex(vecCol)
+        val outSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cluster",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("sums",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, containsNull = false),
+            nullable = false),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        val partials = work.mapPartitions { rows =>
+          val ci = holder.get // re-captured at each job's task serialization
+          val sums = scala.collection.mutable.LinkedHashMap
+            .empty[Int, (Array[Double], Array[Long])]
+          rows.grouped(1024).foreach { chunk =>
+            val qs = chunk.iterator.map(_.getSeq[Double](vecIdx).toArray).toArray
+            val out = new Array[Int](qs.length)
+            ci.nearestBatch(qs, out)
+            var i = 0
+            while (i < qs.length) {
+              val e = sums.getOrElseUpdate(out(i),
+                (new Array[Double](d), new Array[Long](1)))
+              var j = 0; val q = qs(i)
+              while (j < d) { e._1(j) += q(j); j += 1 }
+              e._2(0) += 1
+              i += 1
+            }
+          }
+          sums.iterator.map { case (c, (sv, cn)) =>
+            org.apache.spark.sql.Row(c, sv.toSeq, cn(0))
+          }
+        }(org.apache.spark.sql.Encoders.row(outSchema))
+        for (_ <- 0 until iters) {
+          holder.set(FlatCentroids.build(centroids))
+          val agg = scala.collection.mutable.LinkedHashMap
+            .empty[Int, (Array[Double], Array[Long])]
+          partials.collect().foreach { r => // collect preserves partition order
+            val sv = r.getSeq[Double](1)
+            val e = agg.getOrElseUpdate(r.getInt(0),
+              (new Array[Double](d), new Array[Long](1)))
+            var j = 0
+            while (j < d) { e._1(j) += sv(j); j += 1 }
+            e._2(0) += r.getLong(2)
+          }
+          val updated = agg.iterator.map { case (c, (sv, cn)) =>
+            c -> Array.tabulate(d)(j => (sv(j) / cn(0)).toFloat)
+          }.toMap
+          centroids = Array.tabulate(centroids.length)(c =>
+            updated.getOrElse(c, centroids(c)))
+        }
+      } else {
+        for (_ <- 0 until iters) {
+          // flat layout + norms rebuild per iteration (centroids moved) —
+          // O(k·d) next to the full-sample assignment pass it accelerates
+          val bc = spark.sparkContext.broadcast(FlatCentroids.build(centroids))
+          val aggs = (0 until d).map(i => avg(col(vecCol)(i)).as(s"c$i"))
+          val updated =
+            try Coder.withNearestBatched(work, vecCol, "cluster", bc)
+              .groupBy("cluster").agg(aggs.head, aggs.tail: _*)
+              .collect()
+              .map(r => r.getInt(0) -> Array.tabulate(d)(i => r.getDouble(i + 1).toFloat))
+              .toMap
+            finally bc.destroy() // don't accumulate k·d arrays per iter
+          centroids = Array.tabulate(centroids.length)(c =>
+            updated.getOrElse(c, centroids(c)))
+        }
       }
       centroids
     } finally work.unpersist()
