@@ -43,11 +43,17 @@ object SequencePack {
     require(seqLen > 0, s"pack: seqLen must be positive, got $seqLen")
     val s = docs.sparkSession
     val p = s.sparkContext.defaultParallelism
+    // localCheckpoint, not persist (r19): the returned lazy plan
+    // references this frame, so a persist could never be safely
+    // unpersisted (the session-lifetime leak ADVICE r18 flagged in the
+    // LM operators) — checkpoint blocks are owned by the frame and
+    // reclaimed when it is GC'd. Also pins spark_partition_id() at one
+    // materialization, exactly as the persist did.
     val ranged = docs
       .select(col(idCol), coalesce(tokenCol.cast("long"), lit(0L)).as("n_toks"))
       .repartitionByRange(p, col(idCol))
       .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val totals = ranged.groupBy("pid").agg(sum("n_toks").as("t")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = totals.scanLeft(0 -> 0L) {

@@ -443,7 +443,10 @@ object TextAnalysis {
     */
   def bigramLogProbFromBigrams(bg: org.apache.spark.sql.DataFrame,
                                idCol: String): org.apache.spark.sql.DataFrame = {
+    // pair is referenced by the prefix rollup AND the scoring join —
+    // one GC-scoped materialization (see dsirWeightsFromBigrams note)
     val pair = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cp"))
+      .localCheckpoint(true)
     val pref = pair.groupBy("w1").agg(sum("cp").as("c1"))
     bg.join(pair, Seq("w1", "w2")).join(pref, Seq("w1"))
       .groupBy(col(idCol))
@@ -490,9 +493,14 @@ object TextAnalysis {
     */
   def dsirWeightsFromBigrams(bg: org.apache.spark.sql.DataFrame,
                              idCol: String): org.apache.spark.sql.DataFrame = {
+    // model is referenced by the totals action AND the scoring join —
+    // localCheckpoint materializes the vocab-sized (Zipf-bounded) frame
+    // once with a GC-scoped lifetime (no persist: the returned lazy
+    // plan would pin it for the session, ADVICE r18)
     val model = bg.groupBy("w1", "w2").agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
       sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
+      .localCheckpoint(true)
     val tot = model.agg(sum("ct"), sum("cr"), count(lit(1))).head()
     val nt = tot.getLong(0); val nr = tot.getLong(1); val v = tot.getLong(2)
     bg.join(model, Seq("w1", "w2"))
